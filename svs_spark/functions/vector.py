@@ -1,0 +1,79 @@
+"""Dense-vector column expressions (JVM-side, codegen-friendly).
+
+The reference computes cosine similarity as a plain dot product because it
+enforces unit-norm embeddings (reference ``src/svs/kb.py:55-58``, guard at
+``src/svs/embeddings/util.py:26-41``). We keep the same invariant: `dot`
+IS cosine for unit vectors, and `check_unit_norm` reproduces the ±0.001
+magnitude guard.
+
+All expressions accumulate in DOUBLE, summing array elements
+left-to-right (``F.aggregate`` semantics). This is deliberate: a
+sequential double-precision sum is bit-reproducible across engines, so the
+DuckDB oracle (``list_dot_product`` over ``DOUBLE[]``) hash-matches our
+results exactly. The pandas-UDF matmul path (``svs_spark.operators.
+similarity.score_batch``) is faster but SIMD reassociation makes it only
+approximately equal — it is used for benchmarks, not the correctness gate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two ARRAY<numeric> columns, DOUBLE result.
+
+    Stays inside whole-stage codegen — no Python round trip.
+    """
+    a, b = _col(a), _col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_literal(a: Column | str, vec: Sequence[float]) -> Column:
+    """Dot product against a fixed Python-side query vector.
+
+    The vector is folded into the plan as an array literal (broadcast to
+    every task with the serialized plan — no shuffle, no join).
+    """
+    a = _col(a)
+    lit_vec = F.array(*[F.lit(float(v)) for v in vec])
+    return dot(a, lit_vec)
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean magnitude of an ARRAY<numeric> column."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Full cosine similarity (no unit-norm assumption)."""
+    a, b = _col(a), _col(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a: Column | str) -> Column:
+    """Scale an array column to unit L2 norm (NULL-safe; zero vector → NULL)."""
+    a = _col(a)
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n))
+
+
+def check_unit_norm(a: Column | str, tolerance: float = 0.001) -> Column:
+    """Boolean column: magnitude within 1 ± tolerance.
+
+    Parity with the reference magnitude guard
+    (``src/svs/embeddings/util.py:26-41``).
+    """
+    n = l2_norm(a)
+    return (n >= 1.0 - tolerance) & (n <= 1.0 + tolerance)
