@@ -1,0 +1,81 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Methodology mirrors the reference's "warm" numbers (BASELINE.md): the
+embeddings table is persisted + materialized before timing (the reference
+times retrieval against its cached RAM matrix, README.md:137 footnote),
+then each query is executed once and timed end-to-end (plan + execute +
+collect to driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# Queries timed for the headline metric. Start with the reference-parity
+# core; extension OLAP queries are appended as they land in the registry.
+HEADLINE = [
+    "retrieve_topk",
+    "retrieve_docs",
+    "pairwise_topk",
+    "dfs_traversal",
+    "doc_point_lookup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from svs_spark.session import get_session
+
+    spark = get_session("svs_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from svs_spark.queries import queries
+
+    registry = queries()
+    names = [n for n in HEADLINE if n in registry]
+    # warm: JVM + parquet footer caches + embeddings persist
+    from pyspark import StorageLevel
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.persist(StorageLevel.MEMORY_AND_DISK).count()
+    for n in names:
+        registry[n](spark, sf_dir).count()  # warm-up pass (plan + JIT)
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        df = registry[n](spark, sf_dir)
+        rows = df.collect()
+        timings[n] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -170,50 +170,65 @@ def block_pairwise_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_size: int = 4096,
+    block_size: int = 2048,
+    round_decimals: int | None = 6,
 ) -> DataFrame:
-    """All-pairs top-k via blocked NumPy matmuls (bench path for larger N).
+    """All-pairs top-k via blocked BLAS GEMMs — the scale path for V2.
 
-    Shards the gram-matrix computation: assign each vector a block id,
-    self-join on block pairs (bi <= bj), and compute each block-pair's
-    score matrix with one BLAS GEMM inside ``applyInPandas``. Same
-    O(N²d) work as the reference's single ``np.dot(matrix, matrix.T)``
-    (``kb.py:1651``) but distributed over block pairs, and each task's
-    memory is O(block_size²).
+    Shards the reference's single ``np.dot(matrix, matrix.T)``
+    (``kb.py:1651``) into block pairs: vectors are grouped into
+    ``block_size`` chunks, every block pair (bi <= bj) becomes one task
+    computing a (bs × bs) gram block with one GEMM, locally pruning to
+    its own top-k before the global ``TakeOrderedAndProject``. N=1M,
+    bs=4096 ⇒ ~30k independent GEMM tasks of O(bs²) memory each — the
+    work distributes with no N² shuffle (only k rows leave each task).
+
+    ``round_decimals`` rounds scores *before* local selection so the
+    local prune uses the exact same total order (rounded score desc,
+    id_a desc, id_b desc) as the global limit — required for
+    deterministic parity with the rounded DuckDB oracle.
     """
     import numpy as np
 
     blocked = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        (F.col(id_col) / block_size).cast("long").alias("blk"),
+        F.floor(F.col(id_col) / block_size).alias("blk"),
     )
-    left = blocked.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
-        F.col("blk").alias("blk_a"),
+    mats = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("vid", "vec")).alias("items")
     )
-    right = blocked.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
-        F.col("blk").alias("blk_b"),
+    a = mats.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    b = mats.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        F.col("blk_a"), F.col("blk_b")
     )
-    pairs = left.join(right, F.col("blk_a") <= F.col("blk_b"))
 
-    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_a = pdf["id_a"].to_numpy()
-        ids_b = pdf["id_b"].to_numpy()
-        mat_a = np.vstack(pdf["vec_a"].to_numpy()).astype(np.float64)
-        mat_b = np.vstack(pdf["vec_b"].to_numpy()).astype(np.float64)
-        scores = np.einsum("ij,ij->i", mat_a, mat_b)
-        keep = ids_a < ids_b
-        out = pd.DataFrame(
-            {"id_a": ids_a[keep], "id_b": ids_b[keep], "score": scores[keep]}
-        )
-        if len(out) > k:
-            out = out.nlargest(k, "score")
-        return out
+    def score_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for items_a, items_b in zip(pdf["items_a"], pdf["items_b"]):
+                ia = np.fromiter((x["vid"] for x in items_a), dtype=np.int64)
+                ma = np.vstack([x["vec"] for x in items_a]).astype(np.float64)
+                ib = np.fromiter((x["vid"] for x in items_b), dtype=np.int64)
+                mb = np.vstack([x["vec"] for x in items_b]).astype(np.float64)
+                gram = ma @ mb.T  # one BLAS GEMM per block pair
+                ii, jj = np.nonzero(ia[:, None] < ib[None, :])
+                if len(ii) == 0:
+                    continue
+                scores = gram[ii, jj]
+                if round_decimals is not None:
+                    scores = np.round(scores, round_decimals)
+                if len(scores) > k:
+                    # total order = (score, id_a, id_b) desc, matching the
+                    # global orderBy — lexsort ascending, take the tail
+                    order = np.lexsort((ib[jj], ia[ii], scores))[-k:]
+                    ii, jj, scores = ii[order], jj[order], scores[order]
+                yield pd.DataFrame(
+                    {"id_a": ia[ii], "id_b": ib[jj], "score": scores}
+                )
 
-    scored = pairs.groupBy("blk_a", "blk_b").applyInPandas(
-        score_block, schema="id_a long, id_b long, score double"
+    scored = pairs.mapInPandas(
+        score_blocks, schema="id_a long, id_b long, score double"
     )
     return scored.orderBy(
         F.desc("score"), F.desc("id_a"), F.desc("id_b")

@@ -96,15 +96,7 @@ def q_retrieve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", F.round(V.dot("va", "vb"), 6).alias("score")
-    )
-    return scored.orderBy(
-        F.desc("score"), F.desc("id_a"), F.desc("id_b")
-    ).limit(50)
+    return sim.block_pairwise_topk(emb, 50, block_size=512)
 
 
 # ---------------------------------------------------------------------------
