@@ -147,7 +147,7 @@ def fingerprint(text: Column | str) -> Column:
     acc < 1e9+7 and acc*31 + 0x10FFFF << 2^63).
     """
     c = F.col(text) if isinstance(text, str) else text
-    chars = F.split(c, "")
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),

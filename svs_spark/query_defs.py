@@ -271,3 +271,200 @@ def q_reverse_emb_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
         "vec_id", "label", "doc_id", "source"
     )
+
+
+# ===========================================================================
+# Beyond-reference: text analysis over `documents` (BASELINE.json mandate)
+# All SQL oracles are generated from the same constants via oracle_gen.
+# ===========================================================================
+
+from svs_spark import oracle_gen as OG  # noqa: E402
+from svs_spark.functions import text as T  # noqa: E402
+
+
+@register(
+    "lang_id_counts",
+    oracle=f"""
+    SELECT {OG.detect_language_sql('text')} AS lang_pred, lang,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker argmax) vs the labeled lang
+    column — the confusion matrix as a GROUP BY. Pure codegen'd string
+    arithmetic; at 100 TB this is a single scan + partial agg."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(T.detect_language("text").alias("lang_pred"), "lang")
+        .groupBy("lang_pred", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum({OG.ws_token_count_sql('text')}) AS total_tokens,
+           round(avg({OG.quality_score_sql('text')}), 6) AS avg_quality
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring rollup per source (length/stopword/punct heuristic)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.whitespace_token_count("text")).alias("total_tokens"),
+        F.round(F.avg(T.quality_score("text")), 6).alias("avg_quality"),
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT lang,
+           sum({OG.ws_token_count_sql('text')}) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS word_tokens,
+           sum(n_chars) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per lang."""
+    docs = load(spark, sf_dir, "documents")
+    word_tokens = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+        )
+    )
+    return docs.groupBy("lang").agg(
+        F.sum(T.whitespace_token_count("text")).alias("ws_tokens"),
+        F.sum(word_tokens).alias("word_tokens"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "fingerprint_docs",
+    oracle=f"""
+    SELECT doc_id, {OG.fingerprint_sql('text')} AS fp
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over codepoints
+    (portable integer fold — identical in any engine)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# ===========================================================================
+# Beyond-reference: deduplication suite over `documents`
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(substr(text, 1, 40)) AS key_hash,
+           count(*) AS n_dups, min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a normalized key (40-char prefix —
+    the testdata's planted near-dups share prefixes). At 100 TB this is
+    one shuffle on the hash key with map-side partial aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.substring("text", 1, 40)).alias("key_hash"), "doc_id"
+        )
+        .groupBy("key_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 1),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2])) AS sh
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc (single-space tokenization to
+    keep oracle parity; testdata text is single-spaced)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    return docs.filter(F.size(toks) >= 3).select(
+        "doc_id", sh.alias("sh")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+    n AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (na.c + nb.c - inter), 6) AS jaccard
+    FROM p JOIN n na ON p.id_a = na.doc_id JOIN n nb ON p.id_b = nb.doc_id
+    WHERE inter::DOUBLE / (na.c + nb.c - inter) >= 0.8
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup join: explode distinct shingles, self-join
+    on shingle (the inverted-index join), count intersections, compute
+    |A∩B|/(|A|+|B|-|A∩B|). The exploded join shuffles on the shingle
+    key — at 100 TB you'd first drop ultra-frequent shingles (stop-
+    shingles) to kill skew; AQE skew-join splitting handles the rest."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    nb = n.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    j = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("ca") + F.col("cb") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= 0.8)
+    )
+    return j.select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
