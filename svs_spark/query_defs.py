@@ -468,3 +468,284 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= 0.8)
     )
     return j.select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+
+
+# ===========================================================================
+# Beyond-reference: OLAP extension queries (SURVEY.md §7 Phase 6) over the
+# TPC-H-ish star schema + events. Money aggregates cast to DECIMAL before
+# summing (source values are exact 2-decimal) so both engines aggregate
+# exactly and the final doubles are bit-identical regardless of summation
+# order — no rounding-window tricks needed.
+# ===========================================================================
+
+def _dec(c: str, p: int = 12, s: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sum_base_price,
+           CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2)) * (1 + l_tax::DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+           CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(l_discount::DECIMAL(4,2)) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: single scan + partial agg; the shipdate
+    predicate pushes down to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc, tax = _dec("l_discount", 4, 2), _dec("l_tax", 4, 2)
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(price).cast("double") / cnt).alias("avg_price"),
+        (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           round(CAST(sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2))) AS DOUBLE), 2) AS revenue,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY 1, 3
+    ORDER BY sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2))) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: filters push to all three scans,
+    customer is broadcast, the orders⋈lineitem shuffle keys on orderkey,
+    and the top-10 is a TakeOrderedAndProject (no global sort)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("o_orderpriority")
+    ).agg(F.sum(disc_price).alias("rev_exact"))
+    return (
+        agg.orderBy(F.desc("rev_exact"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q5ish",
+    oracle="""
+    SELECT n.n_name,
+           round(CAST(sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2))) AS DOUBLE), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: all dimension tables
+    (region, nation, customer, supplier) broadcast; only the
+    orders⋈lineitem join shuffles, keyed on orderkey."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(disc_price).cast("double"), 2).alias("revenue")
+    )
+
+
+@register(
+    "window_top_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3 AND o_custkey < 100
+    """,
+)
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window/rank: top-3 orders per customer. The o_custkey filter is
+    pushed below the window by Catalyst (partition-key predicate)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") < 100))
+    )
+
+
+@register(
+    "order_priority_rollup",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (grouping-sets family)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, us, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(us) // 1000000 AS start_s, max(us) // 1000000 AS end_s,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch twin of the streaming session-window operator. One shuffle
+    on user_id; both windows reuse the same partitioning."""
+    # ts arrives as long nanoseconds (see queries.load); integer `div`
+    # keeps values exact (ns epochs exceed double's 2^53 mantissa).
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(run)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("min(us) div 1000000").alias("start_s"),
+        F.expr("max(us) div 1000000").alias("end_s"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "kv_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_kv_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-JSON property access (parity with svs's JSON `meta`
+    round-trip, kb.py:317-319) aggregated per event type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
