@@ -1,5 +1,742 @@
-"""KnowledgeBase façade (placeholder — implemented in Phase 1/2)."""
+"""KnowledgeBase: the reference's full API surface, Spark-first.
+
+Reproduces Rhobota/svs ``KB`` (``src/svs/kb.py:1410-1799``) over a
+warehouse of parquet tables instead of one SQLite file:
+
+=====================  =========================================
+svs                    svs_spark
+=====================  =========================================
+SQLite file            Warehouse directory (docs/edges/keyval/_meta)
+docs table             docs: id, parent_id, level, text,
+                       embedding ARRAY<FLOAT>, meta (JSON string)
+embeddings table+FK    nullable embedding column on docs (the FK
+                       existed only for no-vector rows + matrix scans)
+edges table            edges: edge_id, src, dst, rel, weight, directed
+keyval/keyval_user     keyval: key, plus typed value columns
+NumPy matrix cache     persist() on the docs DataFrame
+asyncio lock           Spark's distributed execution (the reference's
+                       serial lock is its scalability ceiling, §4)
+=====================  =========================================
+
+Bulk contexts commit as one atomic table swap each — the moral
+equivalent of the reference's BEGIN/COMMIT transaction per bulk
+(``kb.py:794-829``). The async/sync API duality is deliberately not
+ported (no query semantics in it; SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import json
+import warnings
+from contextlib import contextmanager
+from typing import Any, Iterator, List, Optional
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+from svs_spark.functions.embeddings import (
+    EmbeddingFunc,
+    embed_df,
+    make_embeddings_func,
+    with_magnitude_check,
+)
+from svs_spark.sources.warehouse import Warehouse, resolve_location
+
+SCHEMA_VERSION = 1  # kb.py:64
+
+DOCS_SCHEMA = StructType([
+    StructField("id", LongType(), False),
+    StructField("parent_id", LongType(), True),
+    StructField("level", IntegerType(), False),
+    StructField("text", StringType(), False),
+    StructField("embedding", ArrayType(FloatType()), True),
+    StructField("meta", StringType(), True),
+])
+
+EDGES_SCHEMA = StructType([
+    StructField("edge_id", LongType(), False),
+    StructField("src", LongType(), False),
+    StructField("dst", LongType(), False),
+    StructField("rel", LongType(), False),
+    StructField("weight", DoubleType(), True),
+    StructField("directed", BooleanType(), False),
+])
+
+# keyval values keep their primitive type (SQLite ANY under STRICT —
+# kb.py:74-78, tested tests/test_kb.py:52-66): a type tag + JSON/base64.
+KEYVAL_SCHEMA = StructType([
+    StructField("key", StringType(), False),
+    StructField("val_type", StringType(), False),
+    StructField("val", StringType(), False),
+])
+
+_MISSING = object()
 
 
-class KnowledgeBase:  # pragma: no cover - placeholder
-    pass
+def _encode_val(val: Any) -> tuple[str, str]:
+    if isinstance(val, bool):
+        raise ValueError("bool keyval values are not supported")
+    if isinstance(val, int):
+        return "int", json.dumps(val)
+    if isinstance(val, float):
+        return "float", json.dumps(val)
+    if isinstance(val, str):
+        return "str", val
+    if isinstance(val, bytes):
+        return "bytes", base64.b64encode(val).decode()
+    raise ValueError(f"unsupported keyval type: {type(val)!r}")
+
+
+def _decode_val(val_type: str, val: str) -> Any:
+    if val_type == "int":
+        return int(val)
+    if val_type == "float":
+        return float(val)
+    if val_type == "str":
+        return val
+    if val_type == "bytes":
+        return base64.b64decode(val)
+    raise ValueError(f"unknown keyval type tag: {val_type!r}")
+
+
+class KnowledgeBase:
+    """Open (or create) a knowledge base at ``path_or_url``.
+
+    Parity: ``KB.__init__`` (kb.py:1410-1435) including remote/gz
+    resolution and the embedding-config persistence semantics
+    (kb.py:896-922): params are stored on first use, rebuilt on reopen,
+    an explicit func overrides stored params with a warning, and
+    no-func + no-stored-params is an error.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path_or_url: str,
+        embedding_func: Optional[EmbeddingFunc] = None,
+        embedding_params: Optional[dict] = None,
+        force_fresh_db: bool = False,
+    ):
+        self.spark = spark
+        root = resolve_location(path_or_url)
+        self.wh = Warehouse(spark, root)
+        if force_fresh_db:
+            self.wh.drop_all()
+        self._cached_docs: Optional[DataFrame] = None
+        self._init_meta(embedding_func, embedding_params)
+
+    # -- lifecycle (S1-S5) --------------------------------------------------
+
+    def _init_meta(
+        self,
+        embedding_func: Optional[EmbeddingFunc],
+        embedding_params: Optional[dict],
+    ) -> None:
+        meta = {}
+        if self.wh.exists("_meta"):
+            meta = {
+                r["key"]: _decode_val(r["val_type"], r["val"])
+                for r in self.wh.read("_meta").collect()
+            }
+            stored_version = meta.get("schema_version")
+            if stored_version != SCHEMA_VERSION:
+                raise RuntimeError(
+                    f"schema version mismatch: {stored_version} != {SCHEMA_VERSION}"
+                )
+        stored_params = (
+            json.loads(meta["embedding_func_params"])
+            if "embedding_func_params" in meta
+            else None
+        )
+        if embedding_func is not None:
+            if stored_params is not None:
+                # explicit func overrides stored config (kb.py:912-917)
+                warnings.warn(
+                    "explicit embedding_func overrides stored params",
+                    stacklevel=3,
+                )
+            self.embedding_func = with_magnitude_check(embedding_func)
+            params_to_store = embedding_params or {"provider": "custom"}
+        elif embedding_params is not None:
+            self.embedding_func = with_magnitude_check(
+                make_embeddings_func(embedding_params)
+            )
+            params_to_store = embedding_params
+        elif stored_params is not None:
+            self.embedding_func = with_magnitude_check(
+                make_embeddings_func(stored_params)
+            )
+            params_to_store = stored_params
+        else:
+            raise ValueError(
+                "no embedding function given and none stored in the KB"
+            )
+        if not meta:
+            meta = {
+                "schema_version": SCHEMA_VERSION,
+                "created_datetime": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+            }
+        meta["embedding_func_params"] = json.dumps(params_to_store)
+        self._write_kv("_meta", meta)
+        for table, schema in (
+            ("docs", DOCS_SCHEMA),
+            ("edges", EDGES_SCHEMA),
+            ("keyval", KEYVAL_SCHEMA),
+        ):
+            if not self.wh.exists(table):
+                self.wh.write(
+                    table, self.spark.createDataFrame([], schema)
+                )
+
+    def _write_kv(self, table: str, kv: dict) -> None:
+        rows = []
+        for k, v in kv.items():
+            t, enc = _encode_val(v)
+            rows.append((k, t, enc))
+        self.wh.write(
+            table, self.spark.createDataFrame(rows, KEYVAL_SCHEMA)
+        )
+
+    def close(self, vacuum: bool = False, also_gzip: bool = False) -> None:
+        """kb.py:1437-1464: optional VACUUM (compaction) + gzip export."""
+        if vacuum:
+            for t in ("docs", "edges", "keyval", "_meta"):
+                self.wh.compact(t)
+        if also_gzip:
+            self.wh.export_gzip(self.wh.root + "_gzip_export")
+        self._invalidate()
+
+    def load(self) -> None:
+        """Warm the vector cache (kb.py:964-967): persist + materialize —
+        Spark's columnar cache replaces the reference's RAM matrix."""
+        self.docs.persist()
+        self.docs.count()
+
+    # -- cached docs view (the _EmbeddingsMatrix analogue, kb.py:856-893) ---
+
+    @property
+    def docs(self) -> DataFrame:
+        if self._cached_docs is None:
+            self._cached_docs = self.wh.read("docs")
+        return self._cached_docs
+
+    @property
+    def edges(self) -> DataFrame:
+        return self.wh.read("edges")
+
+    def _invalidate(self) -> None:
+        if self._cached_docs is not None:
+            self._cached_docs.unpersist()
+        self._cached_docs = None
+
+    # -- counts (Q1) ----------------------------------------------------------
+
+    def count(self) -> int:
+        return self.docs.count()
+
+    def __len__(self) -> int:
+        return self.count()
+
+    def count_edges(self) -> int:
+        return self.edges.count()
+
+    # -- DML: bulk add (M1) ---------------------------------------------------
+
+    @contextmanager
+    def bulk_add_docs(self):
+        """Transactional bulk insert (kb.py:1486-1524): level computed
+        from the parent (pending or stored), embeddings backfilled in
+        chunks on exit, the whole context committed as ONE atomic write."""
+        pending: list[dict] = []
+        known_levels: dict[int, int] = {}
+        next_id = (self.docs.agg(F.max("id")).first()[0] or 0) + 1
+        counter = [next_id]
+
+        def add_doc(
+            text: str,
+            parent_id: Optional[int] = None,
+            meta: Optional[dict] = None,
+            no_embedding: bool = False,
+        ) -> int:
+            if parent_id is None:
+                level = 0
+            elif parent_id in known_levels:
+                level = known_levels[parent_id] + 1
+            else:
+                row = self.docs.filter(F.col("id") == parent_id).select(
+                    "level"
+                ).first()
+                if row is None:
+                    raise ValueError(f"invalid parent_id: {parent_id}")
+                known_levels[parent_id] = row[0]
+                level = row[0] + 1
+            doc_id = counter[0]
+            counter[0] += 1
+            known_levels[doc_id] = level
+            pending.append(
+                {
+                    "id": doc_id,
+                    "parent_id": parent_id,
+                    "level": level,
+                    "text": text,
+                    "no_embedding": no_embedding,
+                    "meta": json.dumps(meta) if meta is not None else None,
+                }
+            )
+            return doc_id
+
+        yield add_doc
+
+        if not pending:
+            return
+        new_rows = self.spark.createDataFrame(
+            [
+                (p["id"], p["parent_id"], p["level"], p["text"], p["meta"],
+                 p["no_embedding"])
+                for p in pending
+            ],
+            StructType([
+                StructField("id", LongType(), False),
+                StructField("parent_id", LongType(), True),
+                StructField("level", IntegerType(), False),
+                StructField("text", StringType(), False),
+                StructField("meta", StringType(), True),
+                StructField("no_embedding", BooleanType(), False),
+            ]),
+        )
+        to_embed = new_rows.filter(~F.col("no_embedding")).drop("no_embedding")
+        skipped = (
+            new_rows.filter(F.col("no_embedding"))
+            .drop("no_embedding")
+            .withColumn("embedding", F.lit(None).cast(ArrayType(FloatType())))
+        )
+        embedded = embed_df(to_embed, self.embedding_func, check=False)
+        # magnitude guard applied inside embed via the wrapped func below
+        embedded = embedded.select(
+            "id", "parent_id", "level", "text",
+            F.col("embedding").cast(ArrayType(FloatType())).alias("embedding"),
+            "meta",
+        )
+        skipped = skipped.select(
+            "id", "parent_id", "level", "text", "embedding", "meta"
+        )
+        self.wh.write("docs", self.docs.unionByName(embedded.unionByName(skipped)))
+        self._invalidate()
+
+    def add_doc(self, text: str, parent_id: Optional[int] = None,
+                meta: Optional[dict] = None, no_embedding: bool = False) -> int:
+        with self.bulk_add_docs() as add:
+            return add(text, parent_id=parent_id, meta=meta,
+                       no_embedding=no_embedding)
+
+    # -- DML: bulk delete (M2) -------------------------------------------------
+
+    @contextmanager
+    def bulk_del_docs(self):
+        """Transactional delete (kb.py:1526-1542) with the reference's
+        order-sensitive parent guard (kb.py:360-414): deleting a doc that
+        still has a child at that point in the sequence raises; edges
+        touching a deleted doc (as src, dst, or rel) cascade."""
+        deletions: list[int] = []
+
+        def del_doc(doc_id: int) -> None:
+            deletions.append(doc_id)
+
+        yield del_doc
+
+        if not deletions:
+            return
+        ids = set(deletions)
+        existing = {
+            r["id"]
+            for r in self.docs.filter(F.col("id").isin(list(ids)))
+            .select("id").collect()
+        }
+        children = (
+            self.docs.filter(F.col("parent_id").isin(list(ids)))
+            .select("id", "parent_id")
+            .collect()
+        )
+        kids_by_parent: dict[int, set] = {}
+        for r in children:
+            kids_by_parent.setdefault(r["parent_id"], set()).add(r["id"])
+        removed: set = set()
+        for doc_id in deletions:
+            if doc_id not in existing or doc_id in removed:
+                raise ValueError(f"no such doc: {doc_id}")
+            live_kids = kids_by_parent.get(doc_id, set()) - removed
+            if live_kids:
+                raise RuntimeError(
+                    f"cannot delete doc {doc_id}: it is a parent of {sorted(live_kids)}"
+                )
+            removed.add(doc_id)
+        id_list = list(removed)
+        self.wh.write("docs", self.docs.filter(~F.col("id").isin(id_list)))
+        self.wh.write(
+            "edges",
+            self.edges.filter(
+                ~(
+                    F.col("src").isin(id_list)
+                    | F.col("dst").isin(id_list)
+                    | F.col("rel").isin(id_list)
+                )
+            ),
+        )
+        self._invalidate()
+
+    def del_doc(self, doc_id: int) -> None:
+        with self.bulk_del_docs() as dd:
+            dd(doc_id)
+
+    # -- DML: meta + embedding update (M3, M4) ---------------------------------
+
+    def update_doc_meta(self, doc_id: int, new_meta: Optional[dict]) -> None:
+        """kb.py:347-358: replace (or NULL) one doc's JSON meta."""
+        if self.docs.filter(F.col("id") == doc_id).first() is None:
+            raise ValueError(f"no such doc: {doc_id}")
+        enc = json.dumps(new_meta) if new_meta is not None else None
+        self.wh.write(
+            "docs",
+            self.docs.withColumn(
+                "meta",
+                F.when(F.col("id") == doc_id, F.lit(enc)).otherwise(
+                    F.col("meta")
+                ),
+            ),
+        )
+        self._invalidate()
+
+    def set_doc_embedding(
+        self, doc_id: int, embedding: Optional[List[float]]
+    ) -> None:
+        """kb.py:526-571: replace one doc's vector."""
+        if self.docs.filter(F.col("id") == doc_id).first() is None:
+            raise ValueError(f"no such doc: {doc_id}")
+        lit = (
+            F.array(*[F.lit(float(x)) for x in embedding]).cast(
+                ArrayType(FloatType())
+            )
+            if embedding is not None
+            else F.lit(None).cast(ArrayType(FloatType()))
+        )
+        self.wh.write(
+            "docs",
+            self.docs.withColumn(
+                "embedding",
+                F.when(F.col("id") == doc_id, lit).otherwise(
+                    F.col("embedding")
+                ),
+            ),
+        )
+        self._invalidate()
+
+    # -- queries (Q2-Q6) --------------------------------------------------------
+
+    @staticmethod
+    def _to_record(row: Row, include_embedding: bool) -> dict:
+        emb: Any
+        if include_embedding:
+            emb = list(row["embedding"]) if row["embedding"] is not None else None
+        else:
+            emb = row["embedding"] is not None  # tri-state bool (kb.py:442-473)
+        return {
+            "id": row["id"],
+            "parent_id": row["parent_id"],
+            "level": row["level"],
+            "text": row["text"],
+            "embedding": emb,
+            "meta": json.loads(row["meta"]) if row["meta"] is not None else None,
+        }
+
+    def query_doc(self, doc_id: int, include_embedding: bool = False) -> dict:
+        row = self.docs.filter(F.col("id") == doc_id).first()
+        if row is None:
+            raise KeyError(f"no such doc: {doc_id}")
+        return self._to_record(row, include_embedding)
+
+    def query_children(
+        self, doc_id: int, include_embedding: bool = False
+    ) -> List[dict]:
+        rows = (
+            self.docs.filter(F.col("parent_id") == doc_id)
+            .orderBy("id")
+            .collect()
+        )
+        return [self._to_record(r, include_embedding) for r in rows]
+
+    def query_level(
+        self, level: int, include_embedding: bool = False
+    ) -> List[dict]:
+        rows = self.docs.filter(F.col("level") == level).orderBy("id").collect()
+        return [self._to_record(r, include_embedding) for r in rows]
+
+    def dfs_traversal(self, include_embedding: bool = False) -> List[dict]:
+        """kb.py:1580-1593 golden order (tests/test_kb.py:1117-1153):
+        roots ascending, children ascending, depth-first. Iterative
+        frontier expansion building a zero-padded path, then one sort."""
+        frontier = self.docs.filter(F.col("parent_id").isNull()).select(
+            F.col("id").alias("cur"),
+            F.lpad(F.col("id").cast("string"), 12, "0").alias("path"),
+        )
+        paths = frontier
+        while frontier.limit(1).count() > 0:
+            frontier = (
+                self.docs.alias("d")
+                .join(frontier.alias("f"), F.col("d.parent_id") == F.col("f.cur"))
+                .select(
+                    F.col("d.id").alias("cur"),
+                    F.concat_ws(
+                        "/",
+                        F.col("f.path"),
+                        F.lpad(F.col("d.id").cast("string"), 12, "0"),
+                    ).alias("path"),
+                )
+            )
+            paths = paths.unionByName(frontier)
+        ordered = (
+            self.docs.alias("d")
+            .join(paths.alias("p"), F.col("d.id") == F.col("p.cur"))
+            .orderBy("p.path")
+            .select("d.*")
+            .collect()
+        )
+        return [self._to_record(r, include_embedding) for r in ordered]
+
+    def fetch_doc_with_emb_id(self, doc_id: int) -> dict:
+        """Q5 reverse-FK parity (kb.py:511-524) — with the vector stored
+        inline, the embedding id IS the doc id."""
+        return self.query_doc(doc_id, include_embedding=True)
+
+    # -- similarity (V1-V4) -------------------------------------------------------
+
+    def retrieve(self, query: str, n: int) -> List[dict]:
+        """kb.py:1608-1640: embed query → brute-force cosine top-n →
+        fetch winner docs. Scoring/top-k runs distributed (see
+        operators.similarity.retrieve_topk scale notes)."""
+        from svs_spark.operators.similarity import retrieve_topk
+
+        qvec = self.embedding_func([query])[0]
+        emb = self.docs.filter(F.col("embedding").isNotNull())
+        winners = retrieve_topk(emb, qvec, n, id_col="id", vec_col="embedding")
+        rows = (
+            self.docs.alias("d")
+            .join(F.broadcast(winners.alias("w")), F.col("d.id") == F.col("w.id"))
+            .select("d.*", F.col("w.score"))
+            .orderBy(F.desc("score"), F.desc("d.id"))
+            .collect()
+        )
+        return [
+            {"score": r["score"], "doc": self._to_record(r, False)}
+            for r in rows
+        ]
+
+    def document_top_pairwise_scores(
+        self, n: int
+    ) -> List[tuple[float, dict, dict]]:
+        """kb.py:1642-1671: top-n pairs from the strict upper triangle."""
+        from svs_spark.operators.similarity import block_pairwise_topk
+
+        emb = self.docs.filter(F.col("embedding").isNotNull())
+        pairs = block_pairwise_topk(
+            emb, n, id_col="id", vec_col="embedding", round_decimals=None
+        ).collect()
+        docs_by_id = {
+            r["id"]: self._to_record(r, False)
+            for r in self.docs.filter(
+                F.col("id").isin(
+                    [p["id_a"] for p in pairs] + [p["id_b"] for p in pairs]
+                )
+            ).collect()
+        }
+        return [
+            (p["score"], docs_by_id[p["id_a"]], docs_by_id[p["id_b"]])
+            for p in pairs
+        ]
+
+    # -- graph (G1-G6) ---------------------------------------------------------
+
+    @contextmanager
+    def bulk_graph_update(self):
+        """kb.py:1673-1729: transactional edge mutations with (src, dst,
+        rel) uniqueness (kb.py:650-651) — duplicates raise RuntimeError."""
+        existing = {
+            (r["src"], r["dst"], r["rel"]): r["edge_id"]
+            for r in self.edges.collect()
+        }
+        next_id = (max(existing.values()) + 1) if existing else 1
+        adds: list[tuple] = []
+        dels: set[int] = set()
+        counter = [next_id]
+        doc_ids = None  # lazily fetched validation set
+
+        def _check_docs(*ids: int) -> None:
+            nonlocal doc_ids
+            if doc_ids is None:
+                doc_ids = {r["id"] for r in self.docs.select("id").collect()}
+            for i in ids:
+                if i not in doc_ids:
+                    raise ValueError(f"no such doc: {i}")
+
+        def _add(src: int, dst: int, rel: int, weight: Optional[float],
+                 directed: bool) -> int:
+            _check_docs(src, dst, rel)
+            if (src, dst, rel) in existing:
+                raise RuntimeError(
+                    f"edge ({src}, {dst}, {rel}) already exists"
+                )
+            eid = counter[0]
+            counter[0] += 1
+            existing[(src, dst, rel)] = eid
+            adds.append((eid, src, dst, rel, weight, directed))
+            return eid
+
+        class GraphUpdater:
+            def add_edge(self, doc1: int, doc2: int, relationship: int,
+                         weight: Optional[float] = None) -> int:
+                return _add(doc1, doc2, relationship, weight, False)
+
+            def add_directed_edge(self, from_doc: int, to_doc: int,
+                                  relationship: int,
+                                  weight: Optional[float] = None) -> int:
+                return _add(from_doc, to_doc, relationship, weight, True)
+
+            def del_edge(self, edge_id: int) -> None:
+                dels.add(edge_id)
+
+        yield GraphUpdater()
+
+        if not adds and not dels:
+            return
+        df = self.edges
+        if dels:
+            have = {r["edge_id"] for r in df.select("edge_id").collect()}
+            missing = dels - have
+            if missing:
+                raise ValueError(f"no such edge: {sorted(missing)}")
+            df = df.filter(~F.col("edge_id").isin(list(dels)))
+        if adds:
+            df = df.unionByName(
+                self.spark.createDataFrame(adds, EDGES_SCHEMA)
+            )
+        self.wh.write("edges", df)
+
+    def add_edge(self, doc1: int, doc2: int, relationship: int,
+                 weight: Optional[float] = None) -> int:
+        with self.bulk_graph_update() as g:
+            return g.add_edge(doc1, doc2, relationship, weight)
+
+    def add_directed_edge(self, from_doc: int, to_doc: int, relationship: int,
+                          weight: Optional[float] = None) -> int:
+        with self.bulk_graph_update() as g:
+            return g.add_directed_edge(from_doc, to_doc, relationship, weight)
+
+    def del_edge(self, edge_id: int) -> None:
+        with self.bulk_graph_update() as g:
+            g.del_edge(edge_id)
+
+    def build_networkx_graph(self, multigraph: bool = True):
+        """kb.py:681-722 golden semantics (tests/test_kb.py:626-728):
+        directedness auto-detected; undirected edges in a directed graph
+        expand to reciprocal arcs; nodes are endpoint docs only; edge
+        attrs: edge_doc (= rel record) and weight when non-NULL."""
+        try:
+            import networkx as nx
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("networkx is not installed") from e
+
+        edge_rows = self.edges.collect()
+        any_directed = any(r["directed"] for r in edge_rows)
+        if any_directed:
+            g = nx.MultiDiGraph() if multigraph else nx.DiGraph()
+        else:
+            g = nx.MultiGraph() if multigraph else nx.Graph()
+        needed = sorted(
+            {r["src"] for r in edge_rows} | {r["dst"] for r in edge_rows}
+            | {r["rel"] for r in edge_rows}
+        )
+        recs = {
+            r["id"]: self._to_record(r, False)
+            for r in self.docs.filter(F.col("id").isin(needed)).collect()
+        }
+        for r in edge_rows:
+            attrs = {"edge_doc": recs[r["rel"]]}
+            if r["weight"] is not None:
+                attrs["weight"] = r["weight"]
+            g.add_edge(r["src"], r["dst"], **attrs)
+            if any_directed and not r["directed"]:
+                g.add_edge(r["dst"], r["src"], **attrs)
+        for node in list(g.nodes):
+            g.nodes[node]["doc"] = recs[node]
+        return g
+
+    # -- key/value (K1-K5) --------------------------------------------------------
+
+    def _kv_all(self) -> dict:
+        return {
+            r["key"]: _decode_val(r["val_type"], r["val"])
+            for r in self.wh.read("keyval").collect()
+        }
+
+    @contextmanager
+    def bulk_keyval_update(self):
+        """kb.py:1731-1795: dict-like KV ops committed atomically.
+        get() default semantics (kb.py:1746-1756): missing key raises
+        KeyError; an Exception-subclass default is raised; any other
+        default is returned."""
+        state = self._kv_all()
+        kb = self
+
+        class KV:
+            def get(self, key: str, default: Any = _MISSING) -> Any:
+                if key in state:
+                    return state[key]
+                if default is _MISSING:
+                    raise KeyError(key)
+                if isinstance(default, type) and issubclass(default, Exception):
+                    raise default(key)
+                if isinstance(default, Exception):
+                    raise default
+                return default
+
+            def set(self, key: str, val: Any) -> None:
+                _encode_val(val)  # validate type early
+                state[key] = val
+
+            def remove(self, key: str) -> None:
+                if key not in state:
+                    raise KeyError(key)
+                del state[key]
+
+            def has(self, key: str) -> bool:
+                return key in state
+
+            def count(self) -> int:
+                return len(state)
+
+            def items(self) -> List[tuple]:
+                return sorted(state.items())
+
+            __contains__ = has
+            __len__ = count
+
+            def __getitem__(self, key: str) -> Any:
+                return self.get(key)
+
+            def __setitem__(self, key: str, val: Any) -> None:
+                self.set(key, val)
+
+            def __delitem__(self, key: str) -> None:
+                self.remove(key)
+
+            def __iter__(self) -> Iterator[str]:
+                return iter(sorted(state))
+
+        yield KV()
+        self._write_kv("keyval", state)

@@ -1,0 +1,269 @@
+"""KnowledgeBase unit tests mirroring the reference's exact-state test
+strategy (SURVEY.md §5, FIXTURES.md): deterministic embedding funcs make
+ranking exactly predictable; goldens assert ids, levels, tri-state
+embedding fields, DFS order, cascade deletes, KV semantics.
+
+Golden sources: reference tests/test_kb.py (cited per test).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from svs_spark.functions.embeddings import (
+    make_keyword_embeddings_func,
+    make_mock_embeddings_func,
+)
+from svs_spark.kb import KnowledgeBase
+
+
+@pytest.fixture()
+def kb(spark, tmp_path):
+    return KnowledgeBase(
+        spark,
+        str(tmp_path / "kb"),
+        embedding_func=make_mock_embeddings_func(),
+        embedding_params={"provider": "mock"},
+        force_fresh_db=True,
+    )
+
+
+@pytest.fixture()
+def kw_kb(spark, tmp_path):
+    return KnowledgeBase(
+        spark,
+        str(tmp_path / "kwkb"),
+        embedding_func=make_keyword_embeddings_func(),
+        embedding_params={"provider": "keyword"},
+        force_fresh_db=True,
+    )
+
+
+def _add_fixture_docs(kb: KnowledgeBase) -> None:
+    # canonical 5-row fixture (FIXTURES.md F1 / reference test_kb.py:147-216)
+    with kb.bulk_add_docs() as add:
+        d1 = add("first doc")
+        d2 = add("second doc", parent_id=d1)
+        add("third doc", meta={"test": "stuff"})
+        d4 = add("forth doc", parent_id=d2, meta={"test": "again"})
+        add("fifth doc", parent_id=d4, meta={"test": 5}, no_embedding=True)
+
+
+class TestDocStore:
+    def test_add_levels_and_ids(self, kb):
+        _add_fixture_docs(kb)
+        recs = {r["id"]: r for r in kb.query_level(0)}
+        assert set(recs) == {1, 3}
+        assert kb.query_doc(2)["level"] == 1
+        assert kb.query_doc(4)["level"] == 2
+        assert kb.query_doc(5)["level"] == 3
+        assert kb.count() == 5 and len(kb) == 5
+
+    def test_invalid_parent(self, kb):
+        with pytest.raises(ValueError):
+            with kb.bulk_add_docs() as add:
+                add("orphan", parent_id=999)
+
+    def test_embedding_tristate(self, kb):
+        # reference test_kb.py:263-278: bool without include_embedding,
+        # vector with it, None/False for no_embedding docs
+        _add_fixture_docs(kb)
+        assert kb.query_doc(1)["embedding"] is True
+        assert kb.query_doc(5)["embedding"] is False
+        assert kb.query_doc(1, include_embedding=True)["embedding"] == [1.0, 0.0, 0.0]
+        assert kb.query_doc(5, include_embedding=True)["embedding"] is None
+
+    def test_meta_roundtrip_and_update(self, kb):
+        # reference test_kb.py:1154-1161
+        _add_fixture_docs(kb)
+        assert kb.query_doc(3)["meta"] == {"test": "stuff"}
+        assert kb.query_doc(5)["meta"] == {"test": 5}
+        kb.update_doc_meta(3, {"new": [1, 2]})
+        assert kb.query_doc(3)["meta"] == {"new": [1, 2]}
+        kb.update_doc_meta(3, None)
+        assert kb.query_doc(3)["meta"] is None
+
+    def test_children(self, kb):
+        _add_fixture_docs(kb)
+        kids = kb.query_children(2)
+        assert [k["id"] for k in kids] == [4]
+
+    def test_delete_parent_refused(self, kb):
+        # reference test_kb.py:380-395
+        _add_fixture_docs(kb)
+        with pytest.raises(RuntimeError):
+            kb.del_doc(2)
+        # child-before-parent in one bulk succeeds (order-sensitive guard)
+        with kb.bulk_del_docs() as dd:
+            dd(5)
+            dd(4)
+        assert kb.count() == 3
+
+    def test_delete_missing(self, kb):
+        _add_fixture_docs(kb)
+        with pytest.raises(ValueError):
+            kb.del_doc(99)
+
+    def test_dfs_order(self, kb):
+        # golden order: roots ascending, children ascending, depth-first
+        # (reference test_kb.py:1117-1153)
+        _add_fixture_docs(kb)
+        order = [r["id"] for r in kb.dfs_traversal()]
+        assert order == [1, 2, 4, 5, 3]
+
+    def test_persistence_across_reopen(self, spark, tmp_path):
+        path = str(tmp_path / "kb2")
+        kb = KnowledgeBase(
+            spark, path, embedding_params={"provider": "mock"},
+            force_fresh_db=True,
+        )
+        _add_fixture_docs(kb)
+        kb.close(vacuum=True)
+        # reopen WITHOUT a func: embedding config rebuilt from stored
+        # params (reference test_kb.py:922-971)
+        kb2 = KnowledgeBase(spark, path)
+        assert kb2.count() == 5
+        assert kb2.query_doc(4)["meta"] == {"test": "again"}
+
+    def test_no_func_no_params_errors(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            KnowledgeBase(spark, str(tmp_path / "kb3"), force_fresh_db=True)
+
+    def test_set_doc_embedding(self, kb):
+        _add_fixture_docs(kb)
+        kb.set_doc_embedding(5, [0.0, 1.0, 0.0])
+        assert kb.query_doc(5, include_embedding=True)["embedding"] == [0.0, 1.0, 0.0]
+
+
+class TestRetrieval:
+    def test_golden_rank_orders(self, kw_kb):
+        # reference test_kb.py:1229-1248 golden ranks
+        with kw_kb.bulk_add_docs() as add:
+            add("third doc")
+            add("first doc")
+            add("second doc")
+        def ids(q):
+            return [r["doc"]["text"] for r in kw_kb.retrieve(q, 3)]
+        assert ids("first") == ["first doc", "third doc", "second doc"]
+        assert ids("second") == ["second doc", "first doc", "third doc"]
+        assert ids("third") == ["third doc", "first doc", "second doc"]
+
+    def test_add_then_delete_changes_ranks(self, kw_kb):
+        # reference test_kb.py:1268-1318 (cache invalidation on mutation)
+        with kw_kb.bulk_add_docs() as add:
+            add("third doc")
+            add("first doc")
+            add("second doc")
+        with kw_kb.bulk_add_docs() as add:
+            add("forth doc")
+        assert kw_kb.retrieve("forth", 1)[0]["doc"]["text"] == "forth doc"
+        with kw_kb.bulk_del_docs() as dd:
+            dd(1)
+            dd(2)
+            dd(4)
+        assert kw_kb.retrieve("forth", 1)[0]["doc"]["text"] == "second doc"
+
+    def test_pairwise_golden(self, kw_kb):
+        # reference test_kb.py:1252-1266: top-2 pairs (1,2) then (2,3)
+        with kw_kb.bulk_add_docs() as add:
+            add("third doc")
+            add("first doc")
+            add("second doc")
+        pairs = kw_kb.document_top_pairwise_scores(2)
+        assert [(p[1]["id"], p[2]["id"]) for p in pairs] == [(1, 2), (2, 3)]
+
+    def test_magnitude_guard(self, spark, tmp_path):
+        # reference test_kb.py:1321-1346
+        def too_big(texts):
+            return [[1.0, 0.1, 0.0] for _ in texts]
+
+        kb = KnowledgeBase(
+            spark, str(tmp_path / "mag"), embedding_func=too_big,
+            force_fresh_db=True,
+        )
+        with pytest.raises(Exception, match="magnitude"):
+            with kb.bulk_add_docs() as add:
+                add("anything")
+
+
+class TestGraph:
+    def _setup(self, kb):
+        with kb.bulk_add_docs() as add:
+            for i in range(7):
+                add(f"doc {i + 1}")
+
+    def test_edge_crud_and_uniqueness(self, kb):
+        # reference FIXTURES.md F3 / test_kb.py:511-579
+        self._setup(kb)
+        with kb.bulk_graph_update() as g:
+            e1 = g.add_edge(2, 4, 6)
+            g.add_edge(2, 4, 7)
+            g.add_edge(1, 4, 6, weight=0.5)
+            g.add_edge(1, 3, 7, weight=1.5)
+            g.add_directed_edge(2, 3, 6)
+            g.add_directed_edge(2, 5, 7, weight=2.5)
+        assert e1 == 1
+        assert kb.count_edges() == 6
+        with pytest.raises(RuntimeError):
+            kb.add_edge(2, 4, 6)  # duplicate (src, dst, rel) — kb.py:650-651
+        kb.del_edge(1)
+        assert kb.count_edges() == 5
+        with pytest.raises(ValueError):
+            kb.del_edge(99)
+
+    def test_networkx_export(self, kb):
+        pytest.importorskip("networkx")
+        self._setup(kb)
+        with kb.bulk_graph_update() as g:
+            g.add_edge(2, 4, 6)          # undirected
+            g.add_directed_edge(2, 3, 7)  # forces directed graph
+        g = kb.build_networkx_graph()
+        assert g.is_directed()
+        # undirected edge expanded to both directions (kb.py:681-722)
+        assert g.has_edge(2, 4) and g.has_edge(4, 2) and g.has_edge(2, 3)
+        assert not g.has_edge(3, 2)
+        # nodes = endpoints only; edge-type docs 6,7 are not nodes
+        assert set(g.nodes) == {2, 3, 4}
+
+    def test_edge_cascade_on_doc_delete(self, kb):
+        # reference test_kb.py:683-712
+        self._setup(kb)
+        with kb.bulk_graph_update() as g:
+            g.add_edge(2, 4, 6)
+            g.add_edge(1, 3, 6)
+        kb.del_doc(4)
+        assert kb.count_edges() == 1  # (2,4,6) cascaded away
+
+    def test_rel_doc_cascade(self, kb):
+        self._setup(kb)
+        kb.add_edge(1, 2, 6)
+        kb.del_doc(6)  # rel doc delete cascades the edge too
+        assert kb.count_edges() == 0
+
+
+class TestKeyval:
+    def test_kv_semantics(self, kb):
+        # FIXTURES.md F4 / reference test_kb.py:1349-1430
+        with kb.bulk_keyval_update() as kv:
+            kv.set("reason", "because")
+            kv.set("answer", 42)
+            kv.set("age", 87.5)
+            kv.set("blob", b"\x00\x01")
+        with kb.bulk_keyval_update() as kv:
+            assert kv.get("reason") == "because"
+            assert kv.get("answer") == 42 and isinstance(kv.get("answer"), int)
+            assert kv.get("age") == 87.5
+            assert kv.get("blob") == b"\x00\x01"
+            assert kv.count() == 4 and len(kv) == 4
+            assert "answer" in kv and kv.has("answer")
+            with pytest.raises(KeyError):
+                kv.get("missing")
+            with pytest.raises(RuntimeError):
+                kv.get("missing", RuntimeError)  # Exception default raises
+            assert kv.get("missing", "fallback") == "fallback"
+            kv.remove("age")
+            with pytest.raises(KeyError):
+                kv.remove("age")
+        with kb.bulk_keyval_update() as kv:
+            assert kv.count() == 3
+            assert sorted(kv) == ["answer", "blob", "reason"]
