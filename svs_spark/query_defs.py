@@ -1034,3 +1034,71 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("out_degree") >= 2)
     )
+
+
+# ===========================================================================
+# Beyond-reference: multimodal binary-column plumbing + windowed counts
+# ===========================================================================
+
+from svs_spark.operators import multimodal as MM  # noqa: E402
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           length(text)::BIGINT AS n_bytes,
+           sha256(text) AS sha,
+           round(list_sum(list_transform(string_split(text, ''),
+                                         c -> ascii(c)))::DOUBLE
+                 / length(text), 6) AS mean_byte,
+           len(list_distinct(string_split(text, '')))::BIGINT AS distinct_bytes,
+           {OG.count_occurrences_sql('text', ' ')}::BIGINT AS n_spaces
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset feature extraction: documents' text bytes stand in
+    for image payloads; the mapInPandas pipeline (Arrow batches → python
+    kernel → typed rows) is the real thing, the decode kernel is the
+    deterministic stub (operators/multimodal.py). The SQL oracle
+    recomputes the byte statistics independently."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = MM.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "sha",
+        F.round(F.element_at("features", 2), 6).alias("mean_byte"),
+        F.element_at("features", 5).cast("long").alias("distinct_bytes"),
+        F.element_at("features", 6).cast("long").alias("n_spaces"),
+    )
+
+
+@register(
+    "windowed_event_counts",
+    oracle="""
+    SELECT (epoch_us(ts) // 600000000) * 600 AS bucket_start_s,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window counts — batch twin of the streaming
+    operator (svs_spark.streaming.sessions.windowed_event_counts)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket_start_s", F.expr("(ts div 1000 div 600000000) * 600"))
+        .groupBy("bucket_start_s", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

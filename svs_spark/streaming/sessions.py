@@ -1,0 +1,174 @@
+"""Structured Streaming operators over the `events` table shape.
+
+The reference is batch-only (SURVEY.md §2.8: no streaming), so these are
+beyond-reference extension operators, designed as the streaming twins of
+the batch queries in query_defs:
+
+- ``windowed_event_counts``: tumbling-window counts with a watermark for
+  late data (maps to `sessionize_events`'s grouping stage)
+- ``sessionize_stream``: native session windows (gap-based) — the
+  streaming twin of the batch lag+cumsum sessionization
+- ``running_user_totals``: applyInPandasWithState custom stateful
+  operator (per-user running aggregates with timeout-based eviction)
+
+All take a streaming DataFrame of (user_id LONG, event_type STRING,
+value DOUBLE, ts TIMESTAMP) and return streaming DataFrames; callers
+pick the sink. Tests drive them with trigger(availableNow=True) over the
+parquet testdata directory and compare against the batch equivalents.
+
+Scale notes: state store size is bounded by the watermark horizon; the
+shuffle keys on user_id (same partitioning as the batch op), and session
+state per key is O(1). At 100 TB/day the same plan runs with more
+shuffle partitions — nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # nanos-as-long (see queries.load)
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with a proper event-time
+    timestamp column derived from the nanos long.
+
+    The file streaming source requires a *directory*; the testdata ships
+    a single file, so it is staged into a temp dir via symlink (in
+    production the source is already a directory/Kafka topic)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        stage = os.path.join(
+            tempfile.gettempdir(),
+            "svs_stream_" + src.replace("/", "_"),
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = stage
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    return raw.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (native session_window op) —
+    streaming twin of query_defs.q_sessionize_events."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType([
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) via
+    applyInPandasWithState — the svs_spark pattern for operators Spark's
+    built-ins can't express (arbitrary per-key state machines)."""
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory table with availableNow (test
+    helper; production sinks are kafka/delta/parquet writeStream)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

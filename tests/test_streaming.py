@@ -1,0 +1,98 @@
+"""Streaming operators validated against their batch twins: drain each
+stream with availableNow into a memory sink, then compare with a plain
+batch computation over the same parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from svs_spark.streaming.sessions import (
+    run_to_memory,
+    running_user_totals,
+    sessionize_stream,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def test_windowed_counts_match_batch(spark, batch_events):
+    stream = windowed_event_counts(stream_events(spark, SF_DIR))
+    run_to_memory(stream, "win_counts", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in (
+            batch_events.groupBy(
+                F.window("event_time", "10 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value",
+            )
+            .collect()
+        )
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_session_windows_match_batch_sessionization(spark, batch_events):
+    stream = sessionize_stream(stream_events(spark, SF_DIR))
+    run_to_memory(stream, "sessions", output_mode="complete")
+    got = spark.table("sessions")
+    # batch twin: session_window works in batch mode too
+    expected = (
+        batch_events.groupBy(
+            F.session_window("event_time", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    assert got.count() == expected.count() > 0
+    # per-user session counts agree
+    g = {r["user_id"]: r["n"] for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    e = {r["user_id"]: r["n"] for r in expected.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert g == e
+
+
+def test_running_user_totals_state(spark):
+    stream = running_user_totals(stream_events(spark, SF_DIR))
+    run_to_memory(stream, "user_totals", output_mode="update")
+    got = spark.table("user_totals")
+    # last update per user should equal the batch totals
+    last = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in got.collect()  # update mode: one row per user per batch
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("t"),
+        )
+        .collect()
+    }
+    assert set(last) == set(batch)
+    for uid in batch:
+        assert last[uid][0] == batch[uid][0]
+        assert abs(last[uid][1] - batch[uid][1]) < 1e-6
