@@ -24,11 +24,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Queries timed for the headline metric. Start with the reference-parity
 # core; extension OLAP queries are appended as they land in the registry.
 HEADLINE = [
+    # reference-parity core (vector store surface)
     "retrieve_topk",
     "retrieve_docs",
     "pairwise_topk",
     "dfs_traversal",
     "doc_point_lookup",
+    # dedup / text-analysis extension
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "lang_id_counts",
+    "embedding_near_dup",
+    # ANN
+    "knn_bruteforce",
+    "ann_ivf_probe",
+    # OLAP extension
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "sessionize_events",
+    "windowed_event_counts",
 ]
 
 

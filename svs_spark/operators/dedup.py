@@ -67,6 +67,69 @@ def minhash_signature(tok_hashes: Column, num_hashes: int = 16) -> Column:
     return F.array(*sigs)
 
 
+def _signature_batch_kernel(
+    id_col: str, text_col: str, num_hashes: int, shingle_size: int
+):
+    """Arrow-batched (shingle-hash, minhash-signature) kernel.
+
+    Computes exactly the same integers as the SQL oracle (polynomial
+    shingle hash + affine permutations, all int64) but fast: each batch
+    memoizes shingle→hash in a dict and runs the permutations as one
+    vectorized numpy broadcast per doc. Docs with fewer than
+    ``shingle_size`` tokens are skipped (mirrored by the oracle filter).
+
+    Shingles (not unigrams) are load-bearing for LSH bucket sizes: with
+    a small vocabulary, every doc's unigram *set* is near-identical, so
+    unigram MinHash puts whole corpora into one band bucket (observed:
+    2.5k-doc buckets at sf0.1 → quadratic verification). k-word
+    shingles make the sets distinctive, which is what bounds bucket
+    size — the property the 100 TB scale path depends on.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    coeffs = np.asarray(minhash_coeffs(num_hashes), dtype=np.int64)
+    a_vec = coeffs[:, 0][:, None]
+    b_vec = coeffs[:, 1][:, None]
+
+    def poly_hash(token: str) -> int:
+        acc = 0
+        for ch in token:
+            acc = (acc * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+        return acc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids_out, hs_out, sig_out = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.lower().split(" ")
+                if len(toks) < shingle_size:
+                    continue
+                shingles = dict.fromkeys(
+                    " ".join(toks[i : i + shingle_size])
+                    for i in range(len(toks) - shingle_size + 1)
+                )
+                hs = []
+                for t in shingles:
+                    h = cache.get(t)
+                    if h is None:
+                        h = poly_hash(t)
+                        cache[t] = h
+                    hs.append(h)
+                harr = np.asarray(hs, dtype=np.int64)
+                sig = ((a_vec * harr + b_vec) % MINHASH_PRIME).min(axis=1)
+                ids_out.append(did)
+                hs_out.append(hs)
+                sig_out.append(sig.tolist())
+            yield pd.DataFrame(
+                {"did": ids_out, "hs": hs_out, "sig": sig_out}
+            )
+
+    return run
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -74,22 +137,26 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup join, verified with exact Jaccard.
 
-    Pipeline: tokenize → signature → explode one row per band →
+    Pipeline: shingle → signature → explode one row per band →
     self-join on (band, band-key) → distinct candidate pairs → exact
-    token-set Jaccard filter. The only shuffle keys on the band key;
+    shingle-set Jaccard filter. The only shuffle keys on the band key;
     at 100 TB band buckets are small by construction (a hot bucket
     means actual duplicates, which is the signal we want).
 
     Returns (id_a, id_b, jaccard).
     """
     rows = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("did"),
-        token_hashes(text_col).alias("hs"),
-    ).withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+    base = docs.select(id_col, text_col).mapInPandas(
+        _signature_batch_kernel(id_col, text_col, num_hashes, shingle_size),
+        schema="did long, hs array<long>, sig array<long>",
+    )
+    # base feeds the band explode AND both verification sides — persist
+    # so the signature kernel runs once, not three times
+    base = base.persist()
 
     band_rows = base.select(
         "did",

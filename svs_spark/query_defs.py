@@ -445,7 +445,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — at 100 TB you'd first drop ultra-frequent shingles (stop-
     shingles) to kill skew; AQE skew-join splitting handles the rest."""
     sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # ex feeds the pair join twice plus the size counts — persist so the
+    # shingle expressions evaluate once
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).persist()
     n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = ex.select(F.col("doc_id").alias("id_a"), "s")
     b = ex.select(F.col("doc_id").alias("id_b"), "s")
@@ -778,11 +780,18 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) -> s
         for bi in range(bands)
     )
     return f"""
-    WITH tok AS (
+    WITH shingled AS (
       SELECT doc_id AS did,
-             list_transform(list_distinct(string_split(lower(text), ' ')),
-                            t -> {th}) AS hs
+             list_distinct(list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 1),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2])) AS sh
       FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    tok AS (
+      SELECT did, list_transform(sh, t -> {th}) AS hs FROM shingled
     ),
     sig AS (SELECT did, hs, [{sig_exprs}] AS sig FROM tok),
     bandrows AS (

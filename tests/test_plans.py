@@ -1,0 +1,75 @@
+"""Plan-quality gates: assert the physical plans scale-critical queries
+produce are the ones we designed for (pushdown, pruning, broadcast,
+TakeOrdered, bounded shuffles) — failing these means a 100 TB regression
+even if correctness still passes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from svs_spark.plans import explain as X
+from svs_spark.queries import queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return queries()
+
+
+def test_retrieve_topk_is_take_ordered(spark, registry):
+    df = registry["retrieve_topk"](spark, SF_DIR)
+    assert X.uses_take_ordered(df), "top-k must be TakeOrderedAndProject, not global sort"
+
+
+def test_retrieve_topk_prunes_columns(spark, registry):
+    df = registry["retrieve_topk"](spark, SF_DIR)
+    # label column must not be read — only vec_id + embedding
+    assert X.reads_only_columns(df, {"vec_id", "embedding"})
+
+
+def test_point_lookup_pushes_filter(spark, registry):
+    df = registry["doc_point_lookup"](spark, SF_DIR)
+    assert X.has_pushed_filter(df, "doc_id"), "IN-filter must reach the parquet scan"
+
+
+def test_retrieve_docs_broadcasts_winners(spark, registry):
+    df = registry["retrieve_docs"](spark, SF_DIR)
+    assert X.uses_broadcast_join(df), "k winners must broadcast, not shuffle docs"
+
+
+def test_tpch_q3_broadcasts_customer(spark, registry):
+    df = registry["tpch_q3"](spark, SF_DIR)
+    assert X.uses_broadcast_join(df)
+    assert X.uses_take_ordered(df)
+
+
+def test_tpch_q1_single_shuffle(spark, registry):
+    df = registry["tpch_q1"](spark, SF_DIR)
+    # one scan + partial agg + single exchange on the grouping keys
+    assert X.count_shuffles(df) <= 1
+    assert X.has_pushed_filter(df, "l_shipdate")
+
+
+def test_tpch_q1_prunes_columns(spark, registry):
+    df = registry["tpch_q1"](spark, SF_DIR)
+    assert X.reads_only_columns(
+        df,
+        {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"},
+    ), "q1 must not scan the join-key columns it doesn't use"
+
+
+def test_sessionize_single_shuffle(spark, registry):
+    df = registry["sessionize_events"](spark, SF_DIR)
+    # both windows + the final groupBy key on user_id: one exchange
+    # (AQE may add a coalesce read, but only one real repartitioning)
+    assert X.count_shuffles(df) <= 2
+
+
+def test_filter_pushdown_on_level(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = emb.filter(F.col("label") == 3).select("vec_id")
+    assert X.has_pushed_filter(df, "label")
+    assert X.reads_only_columns(df, {"vec_id", "label"})
