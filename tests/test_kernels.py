@@ -1,0 +1,158 @@
+"""Kernel edge-case enumeration, mirroring the reference's exhaustive
+tests for get_top_k / get_top_pairs / serialization
+(reference tests/test_util.py:142-471, tests/test_embeddings.py:13-23).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from svs_spark.functions import vector as V
+from svs_spark.functions.embeddings import (
+    cached_embedding_func,
+    embedding_from_bytes,
+    embedding_to_bytes,
+    make_embeddings_func,
+    make_mock_embeddings_func,
+)
+from svs_spark.operators.similarity import (
+    block_pairwise_topk,
+    pairwise_topk,
+    retrieve_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def small_emb(spark):
+    # scores against q=[1,0]: id1→0.6, id2→0.8, id3→0.6 (tie with id1)
+    rows = [(1, [0.6, 0.8]), (2, [0.8, 0.6]), (3, [0.6, 0.8])]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+Q = [1.0, 0.0]
+
+
+class TestTopK:
+    # reference get_top_k (util.py:190-203): k<=0 → [], k>n clamps,
+    # ties broken by larger index first
+    def test_k_zero(self, small_emb):
+        assert retrieve_topk(small_emb, Q, 0).count() == 0
+
+    def test_k_negative(self, small_emb):
+        assert retrieve_topk(small_emb, Q, -3).count() == 0
+
+    def test_k_exceeds_n(self, small_emb):
+        assert retrieve_topk(small_emb, Q, 100).count() == 3
+
+    def test_tie_break_higher_id_first(self, small_emb):
+        got = [r["vec_id"] for r in retrieve_topk(small_emb, Q, 3).collect()]
+        assert got == [2, 3, 1]  # tie (1 vs 3) → higher id first
+
+    def test_empty_input(self, spark):
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert retrieve_topk(empty, Q, 5).count() == 0
+
+
+class TestPairwise:
+    # reference get_top_pairs (util.py:206-233): strict upper triangle,
+    # each unordered pair once, sorted desc
+    def test_upper_triangle_once(self, small_emb):
+        rows = pairwise_topk(small_emb, 10).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(pairs) == 3  # C(3,2)
+        assert all(a < b for a, b in pairs)
+
+    def test_block_matches_exact(self, small_emb):
+        exact = pairwise_topk(small_emb, 10).collect()
+        blocked = block_pairwise_topk(small_emb, 10, block_size=2).collect()
+        assert [
+            (r["id_a"], r["id_b"], round(r["score"], 6)) for r in exact
+        ] == [(r["id_a"], r["id_b"], round(r["score"], 6)) for r in blocked]
+
+    def test_single_row_no_pairs(self, spark):
+        one = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        assert pairwise_topk(one, 5).count() == 0
+        assert block_pairwise_topk(one, 5).count() == 0
+
+
+class TestVectorFunctions:
+    def test_dot_cosine_norm(self, spark):
+        df = spark.createDataFrame(
+            [([3.0, 4.0], [1.0, 0.0])], "a array<double>, b array<double>"
+        )
+        row = df.select(
+            V.dot("a", "b").alias("d"),
+            V.l2_norm("a").alias("n"),
+            V.cosine("a", "b").alias("c"),
+            V.check_unit_norm("a").alias("u"),
+        ).first()
+        assert row["d"] == 3.0
+        assert row["n"] == 5.0
+        assert abs(row["c"] - 0.6) < 1e-12
+        assert row["u"] is False
+
+    def test_normalize(self, spark):
+        df = spark.createDataFrame(
+            [([3.0, 4.0],), ([0.0, 0.0],)], "a array<double>"
+        )
+        rows = df.select(
+            V.normalize("a").alias("n"),
+            V.check_unit_norm(V.normalize("a")).alias("u"),
+        ).collect()
+        assert rows[0]["n"] == [0.6, 0.8] and rows[0]["u"] is True
+        assert rows[1]["n"] is None  # zero vector → NULL
+
+    def test_magnitude_guard_tolerance(self, spark):
+        # reference kb.py:55-58: 1 ± 0.001
+        df = spark.createDataFrame(
+            [([1.0005, 0.0],), ([1.002, 0.0],), ([0.999, 0.0],)],
+            "a array<double>",
+        )
+        got = [r[0] for r in df.select(V.check_unit_norm("a")).collect()]
+        assert got == [True, False, True]
+
+
+class TestEmbeddingSerde:
+    # reference embeddings/util.py:15-23, tests/test_embeddings.py:13-23
+    def test_roundtrip(self):
+        vec = [1.0, -0.5, 0.25]
+        raw = embedding_to_bytes(vec)
+        assert len(raw) == 12  # little-endian float32
+        assert embedding_from_bytes(raw) == vec
+
+    def test_empty(self):
+        assert embedding_from_bytes(embedding_to_bytes([])) == []
+
+    def test_factory_dispatch(self):
+        f = make_embeddings_func({"provider": "mock"})
+        assert f(["x", "y"]) == [[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]]
+        with pytest.raises(ValueError):
+            make_embeddings_func({"provider": "nope"})
+
+    def test_lru_cache_dedup(self):
+        calls = []
+
+        def counting(texts):
+            calls.append(list(texts))
+            return [[1.0, 0.0, 0.0] for _ in texts]
+
+        cached = cached_embedding_func(counting)
+        cached(["a", "b", "a"])
+        cached(["a", "c"])
+        flat = [t for batch in calls for t in batch]
+        assert flat == ["a", "b", "c"]  # each unique text embedded once
+
+    def test_mock_func(self):
+        f = make_mock_embeddings_func()
+        vecs = f(["anything", "at all"])
+        assert vecs == [[1.0, 0.0, 0.0]] * 2
+        assert all(
+            abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9 for v in vecs
+        )
