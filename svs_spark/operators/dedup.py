@@ -301,3 +301,65 @@ def embedding_near_dup_pairs(
     return pairs.mapInPandas(
         score_blocks, schema="id_a long, id_b long, score double"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph via iterative
+    min-label propagation — turns pairwise matches into dedup clusters
+    (doc_id, canonical_id = min id in component).
+
+    Each iteration is one join + groupBy (shuffle on node id); converges
+    in O(component diameter) rounds — near-dup graphs are shallow, so a
+    handful of rounds even at 100 TB. This is the standard large-graph
+    CC shape (label propagation), no driver-side graph materialization.
+    """
+    und = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+    )
+    und = und.persist()
+    # localCheckpoint (eager) truncates lineage each round — without it
+    # the iterated plan nests exponentially and the driver OOMs building
+    # plan strings long before any data is large
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )

