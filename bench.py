@@ -45,6 +45,8 @@ HEADLINE = [
     "tpch_q5ish",
     "sessionize_events",
     "windowed_event_counts",
+    "asof_last_purchase",
+    "dedup_clusters",
 ]
 
 
@@ -55,7 +57,12 @@ def main() -> None:
 
     from svs_spark.session import get_session
 
-    spark = get_session("svs_spark_bench")
+    # -Xlog:disable: JVM unified-logging warnings (GC etc.) print to
+    # stdout and would corrupt the one-line JSON contract
+    spark = get_session(
+        "svs_spark_bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from svs_spark.queries import queries

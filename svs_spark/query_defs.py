@@ -1205,3 +1205,46 @@ def q_descendants_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT doc_id, depth FROM desc_r
     """)
+
+
+# ===========================================================================
+# Temporal: as-of join (point-in-time feature join) — the oracle uses
+# DuckDB's NATIVE ASOF JOIN, an independent implementation of the same
+# semantics (svs_spark side: union+window carry-forward).
+# ===========================================================================
+
+from svs_spark.operators.temporal import asof_join_backward  # noqa: E402
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts, event_type FROM events),
+    p AS (SELECT user_id, ts AS pts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, e.event_type,
+           epoch_us(p.pts) AS asof_us,
+           round(p.value, 6) AS asof_value
+    FROM e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts > p.pts
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the most recent strictly-earlier purchase by the
+    same user (backward as-of join, left semantics)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    purchases = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.expr("ts div 1000").alias("pus"), "value")
+    joined = asof_join_backward(
+        ev, purchases, key="user_id", left_ts="us", right_ts="pus",
+        payload_cols=["value"], strict=True,
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type",
+        F.col("asof_ts").alias("asof_us"),
+        F.round("asof_value", 6).alias("asof_value"),
+    )

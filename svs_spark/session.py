@@ -46,6 +46,7 @@ def get_session(
     app_name: str = "svs_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or get) a SparkSession with engine defaults.
 
@@ -58,4 +59,6 @@ def get_session(
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = configure_builder(builder, shuffle_partitions)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
