@@ -57,10 +57,22 @@ def main() -> None:
 
     from svs_spark.session import get_session
 
+    # Right-size shuffle parallelism to the input volume (~64 MB per
+    # partition, min 8): at sf0.1 that's 8 partitions — a fixed 32 wastes
+    # scheduling overhead on empty tasks; at 100 TB the same policy gives
+    # thousands. AQE still coalesces/splits at runtime.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    shuffle_parts = max(8, min(1024, total_bytes // (64 * 1024 * 1024)))
+
     # -Xlog:disable: JVM unified-logging warnings (GC etc.) print to
     # stdout and would corrupt the one-line JSON contract
     spark = get_session(
         "svs_spark_bench",
+        shuffle_partitions=int(shuffle_parts),
         extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
     )
     spark.sparkContext.setLogLevel("ERROR")
