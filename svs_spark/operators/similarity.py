@@ -233,3 +233,69 @@ def block_pairwise_topk(
     return scored.orderBy(
         F.desc("score"), F.desc("id_a"), F.desc("id_b")
     ).limit(k)
+
+
+def knn_join_batch(
+    embeddings: DataFrame,
+    query_vecs: "list[tuple[int, Sequence[float]]]",
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk retrieval: many queries against the corpus in ONE scan.
+
+    The query matrix Q (q × d) ships inside the task closure; each Arrow
+    batch runs a single BLAS GEMM (batch × d)·(d × q) and locally prunes
+    to its own top-k per query before anything is shuffled — so the
+    exchange carries ≤ k·q rows per batch, never the full score matrix.
+    A final per-query ranked window merges the partials.
+
+    This is the throughput shape for 100 TB retrieval: the corpus is
+    scanned once for the whole query batch, and per-query cost amortizes
+    the Arrow transfer that dominates single-query latency (serving-
+    style point queries are explicitly a non-goal — BASELINE.json).
+    Exact results: equal to per-query retrieve_topk (tested).
+    """
+    import numpy as np
+
+    qids = [int(q) for q, _ in query_vecs]
+    qmat_list = [[float(x) for x in v] for _, v in query_vecs]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmat = np.asarray(qmat_list, dtype=np.float64).T  # (d, q)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        nq = qmat.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = mat @ qmat  # (batch, q) — one GEMM
+            take = min(k, len(ids))
+            # per-query local top-k (argpartition column-wise)
+            part = np.argpartition(-scores, take - 1, axis=0)[:take]
+            out_ids = ids[part.ravel(order="F")]
+            out_qids = np.repeat(qid_arr, take)
+            out_scores = np.take_along_axis(scores, part, axis=0).ravel(
+                order="F"
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": out_qids,
+                    id_col: out_ids,
+                    "score": np.round(out_scores, 6),
+                }
+            )
+
+    partials = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.desc(id_col)
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

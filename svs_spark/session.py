@@ -27,7 +27,13 @@ def configure_builder(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SVS_SHUFFLE_PARTITIONS", "32"))
     return (
-        builder.config("spark.sql.adaptive.enabled", "true")
+        # local-mode driver == executor: the 1g JVM default starves the
+        # columnar cache (6 GB of 1M×1536 f32 vectors is the reference's
+        # own headline workload); only applies if the JVM isn't up yet
+        builder.config(
+            "spark.driver.memory", os.environ.get("SVS_DRIVER_MEMORY", "48g")
+        )
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
