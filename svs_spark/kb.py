@@ -485,6 +485,10 @@ class KnowledgeBase:
             F.col("id").alias("cur"),
             F.lpad(F.col("id").cast("string"), 12, "0").alias("path"),
         )
+        # localCheckpoint per level: truncates the iterated lineage so
+        # deep hierarchies don't nest plans exponentially (same fix as
+        # operators.dedup.connected_components)
+        frontier = frontier.localCheckpoint()
         paths = frontier
         while frontier.limit(1).count() > 0:
             frontier = (
@@ -498,6 +502,7 @@ class KnowledgeBase:
                         F.lpad(F.col("d.id").cast("string"), 12, "0"),
                     ).alias("path"),
                 )
+                .localCheckpoint()
             )
             paths = paths.unionByName(frontier)
         ordered = (

@@ -1248,3 +1248,60 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").alias("asof_us"),
         F.round("asof_value", 6).alias("asof_value"),
     )
+
+
+# ===========================================================================
+# Quantiles + set operations over events (operator-class coverage)
+# ===========================================================================
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based; at 100 TB
+    switch to approx_percentile with a bounded error knob)."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "set_ops_users",
+    oracle="""
+    WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+    signups AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    SELECT user_id, 'purchase_and_error' AS cohort FROM (
+      SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM errorers)
+    UNION ALL
+    SELECT user_id, 'purchase_no_signup' AS cohort FROM (
+      SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM signups)
+    """,
+)
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort construction (set-operator coverage)."""
+    ev = load(spark, sf_dir, "events")
+
+    def cohort(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    both = cohort("purchase").intersect(cohort("error")).withColumn(
+        "cohort", F.lit("purchase_and_error")
+    )
+    no_signup = cohort("purchase").exceptAll(cohort("signup")).withColumn(
+        "cohort", F.lit("purchase_no_signup")
+    )
+    return both.unionByName(no_signup)

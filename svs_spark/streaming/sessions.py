@@ -172,3 +172,17 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys within the watermark
+    horizon (state bounded by the watermark — the streaming twin of the
+    batch hash-groupBy dedup). For content dedup, pass a hash column
+    (e.g. sha2 of the payload) as the key."""
+    return events.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(keys)

@@ -96,3 +96,18 @@ def test_running_user_totals_state(spark):
     for uid in batch:
         assert last[uid][0] == batch[uid][0]
         assert abs(last[uid][1] - batch[uid][1]) < 1e-6
+
+
+def test_streaming_dedup(spark):
+    from svs_spark.streaming.sessions import dedup_stream
+
+    # duplicate the stream by unioning it with itself: every event
+    # appears twice; dedup must restore exact-once
+    s1 = stream_events(spark, SF_DIR)
+    doubled = s1.union(stream_events(spark, SF_DIR))
+    deduped = dedup_stream(doubled, keys=["event_id"])
+    run_to_memory(deduped, "dedup_out", output_mode="append")
+    n = spark.table("dedup_out").count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n == expected
