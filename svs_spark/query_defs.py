@@ -1305,3 +1305,51 @@ def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", F.lit("purchase_no_signup")
     )
     return both.unionByName(no_signup)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents),
+    s AS (SELECT lang, term,
+                 round(sum(tf * ln(nd::DOUBLE / df)), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          GROUP BY 1, 2)
+    SELECT lang, term, tfidf, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM s
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per language label.
+    Classic text-analytics shape: explode → tf → df join → weighted agg
+    → ranked window. At 100 TB the df table is small (vocabulary) and
+    broadcasts; the only big shuffle keys on term."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    tf = t.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    df_ = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.count()
+    s = (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("lang", "term")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))), 6
+            ).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
