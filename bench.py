@@ -47,6 +47,9 @@ HEADLINE = [
     "windowed_event_counts",
     "asof_last_purchase",
     "dedup_clusters",
+    "winnow_pairs",
+    "tfidf_top_terms",
+    "value_percentiles",
 ]
 
 

@@ -1353,3 +1353,113 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ===========================================================================
+# Winnowing fingerprints: rolling-window minima over ordered shingle
+# hashes (the MOSS-style local fingerprinting scheme) — near-dup docs
+# share winnowed prints even under edits, and selection is deterministic
+# so both engines compute identical print sets.
+# ===========================================================================
+
+_WINNOW_K = 3   # shingle size (words)
+_WINNOW_W = 4   # winnowing window (shingles)
+
+
+def _winnow_sql() -> str:
+    th = OG.token_hash_sql(
+        "(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+    return f"""
+      WITH tw AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+      ),
+      hw AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+                              i -> {th}) AS hs
+        FROM tw WHERE len(toks) >= {_WINNOW_K + _WINNOW_W - 1}
+      ),
+      wmin AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(hs) - {_WINNOW_W} + 2),
+                 j -> list_min(hs[j:j+{_WINNOW_W - 1}]))) AS prints
+        FROM hw
+      )
+"""
+
+
+@register(
+    "winnow_pairs",
+    oracle=f"""
+    {_winnow_sql()},
+    ex AS (SELECT doc_id, unnest(prints) AS p FROM wmin),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_prints
+      FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_prints FROM shared WHERE shared_prints >= 8
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs: docs sharing ≥8 winnowed fingerprints.
+    Column-expression form is the spec (small N / oracle parity); at
+    100 TB the hash+minima stage moves into an Arrow kernel like the
+    MinHash signature kernel and the join shape is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    k, w = _WINNOW_K, _WINNOW_W
+
+    def kernel(batches):
+        import pandas as pd
+        from svs_spark.functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+
+        cache: dict = {}
+
+        def ph(s: str) -> int:
+            h = cache.get(s)
+            if h is None:
+                h = 0
+                for ch in s:
+                    h = (h * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+                cache[s] = h
+            return h
+
+        for pdf in batches:
+            ids, prints = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.lower().split(" ")
+                if len(toks) < k + w - 1:
+                    continue
+                hs = [
+                    ph(" ".join(toks[i : i + k]))
+                    for i in range(len(toks) - k + 1)
+                ]
+                ids.append(did)
+                prints.append(
+                    list(
+                        dict.fromkeys(
+                            min(hs[j : j + w])
+                            for j in range(len(hs) - w + 1)
+                        )
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "prints": prints})
+
+    base = (
+        docs.select("doc_id", "text")
+        .mapInPandas(kernel, schema="doc_id long, prints array<long>")
+        .persist()
+    )
+    ex = base.select("doc_id", F.explode("prints").alias("p"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "p")
+    b = ex.select(F.col("doc_id").alias("id_b"), "p")
+    return (
+        a.join(b, ["p"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_prints"))
+        .filter(F.col("shared_prints") >= 8)
+    )
