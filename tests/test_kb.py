@@ -267,3 +267,48 @@ class TestKeyval:
         with kb.bulk_keyval_update() as kv:
             assert kv.count() == 3
             assert sorted(kv) == ["answer", "blob", "reason"]
+
+
+class TestMetaGuards:
+    def test_schema_version_mismatch_raises(self, spark, tmp_path):
+        # reference kb.py:841-853 / tests/test_kb.py:893-919
+        import json
+        from svs_spark.kb import KnowledgeBase, KEYVAL_SCHEMA
+        from svs_spark.sources.warehouse import Warehouse
+
+        path = str(tmp_path / "vkb")
+        KnowledgeBase(
+            spark, path, embedding_params={"provider": "mock"},
+            force_fresh_db=True,
+        )
+        wh = Warehouse(spark, path)
+        rows = [
+            (r["key"], r["val_type"], r["val"])
+            for r in wh.read("_meta").collect()
+        ]
+        rows = [
+            ("schema_version", "int", json.dumps(99))
+            if k == "schema_version" else (k, t, v)
+            for (k, t, v) in rows
+        ]
+        wh.write("_meta", spark.createDataFrame(rows, KEYVAL_SCHEMA))
+        with pytest.raises(RuntimeError, match="schema version"):
+            KnowledgeBase(spark, path)
+
+    def test_explicit_func_overrides_with_warning(self, spark, tmp_path):
+        # reference kb.py:912-917: explicit func over stored params warns
+        import warnings as w
+        from svs_spark.functions.embeddings import make_mock_embeddings_func
+        from svs_spark.kb import KnowledgeBase
+
+        path = str(tmp_path / "wkb")
+        KnowledgeBase(
+            spark, path, embedding_params={"provider": "mock"},
+            force_fresh_db=True,
+        )
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            KnowledgeBase(
+                spark, path, embedding_func=make_mock_embeddings_func()
+            )
+        assert any("overrides" in str(c.message) for c in caught)

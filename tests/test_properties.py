@@ -134,3 +134,35 @@ def test_connected_components_invariants(spark):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+def test_asof_join_matches_python_reference(spark):
+    """asof_join_backward vs brute-force python on a random dataset."""
+    from svs_spark.operators.temporal import asof_join_backward
+
+    rng = random.Random(7)
+    left = [(i, rng.randrange(5), rng.randrange(1000)) for i in range(200)]
+    right = [(j, rng.randrange(5), rng.randrange(1000), float(j)) for j in range(60)]
+
+    def brute(lid, key, ts):
+        cands = [
+            (rts, val) for (_, k, rts, val) in right if k == key and rts < ts
+        ]
+        return max(cands) if cands else None
+
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "rid long, k long, rts long, val double")
+    got = {
+        r["lid"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join_backward(
+            ldf, rdf, key="k", left_ts="ts", right_ts="rts",
+            payload_cols=["val"],
+        ).collect()
+    }
+    assert len(got) == len(left)
+    for lid, key, ts in left:
+        exp = brute(lid, key, ts)
+        if exp is None:
+            assert got[lid] == (None, None)
+        else:
+            assert got[lid] == exp
