@@ -122,3 +122,83 @@ def import_svs_sqlite(
     wh.write("keyval", spark.createDataFrame(kv_rows("keyval_user"), KEYVAL_SCHEMA))
     wh.write("_meta", spark.createDataFrame(kv_rows("keyval"), KEYVAL_SCHEMA))
     con.close()
+
+
+def export_svs_sqlite(
+    spark: SparkSession, warehouse_path: str, out_db: str
+) -> None:
+    """Export a svs_spark warehouse back to a reference-layout SQLite KB
+    (the inverse of import_svs_sqlite) — full round-trip interop: a KB
+    built or mutated here opens in the reference library unchanged.
+
+    Vectors re-pack to little-endian float32 BLOBs in a fresh
+    ``embeddings`` table with docs.embedding as the FK; rows stream via
+    toLocalIterator so the driver never holds a full table.
+    """
+    if os.path.exists(out_db):
+        os.remove(out_db)
+    con = sqlite3.connect(out_db)
+    con.executescript(
+        """
+        CREATE TABLE keyval (id INTEGER PRIMARY KEY, key TEXT UNIQUE, val ANY);
+        CREATE TABLE keyval_user (id INTEGER PRIMARY KEY, key TEXT UNIQUE, val ANY);
+        CREATE TABLE embeddings (id INTEGER PRIMARY KEY, embedding BLOB NOT NULL);
+        CREATE TABLE docs (
+          id INTEGER PRIMARY KEY,
+          parent_id INTEGER REFERENCES docs(id),
+          level INTEGER NOT NULL,
+          text TEXT NOT NULL,
+          embedding INTEGER REFERENCES embeddings(id),
+          meta TEXT);
+        CREATE INDEX docs_parent_id ON docs(parent_id);
+        CREATE INDEX docs_level ON docs(level);
+        CREATE INDEX docs_embedding ON docs(embedding);
+        CREATE TABLE edges (
+          id INTEGER PRIMARY KEY,
+          a INTEGER NOT NULL REFERENCES docs(id),
+          b INTEGER NOT NULL REFERENCES docs(id),
+          r INTEGER NOT NULL REFERENCES docs(id),
+          w REAL,
+          d INTEGER NOT NULL,
+          UNIQUE (a, b, r));
+        """
+    )
+    wh = Warehouse(spark, warehouse_path)
+
+    emb_id = 0
+    for row in wh.read("docs").orderBy("id").toLocalIterator():
+        fk = None
+        if row["embedding"] is not None:
+            emb_id += 1
+            fk = emb_id
+            con.execute(
+                "INSERT INTO embeddings (id, embedding) VALUES (?, ?)",
+                (fk, struct.pack(
+                    f"<{len(row['embedding'])}f", *row["embedding"]
+                )),
+            )
+        con.execute(
+            "INSERT INTO docs VALUES (?,?,?,?,?,?)",
+            (row["id"], row["parent_id"], row["level"], row["text"], fk,
+             row["meta"]),
+        )
+    for row in wh.read("edges").orderBy("edge_id").toLocalIterator():
+        con.execute(
+            "INSERT INTO edges VALUES (?,?,?,?,?,?)",
+            (row["edge_id"], row["src"], row["dst"], row["rel"],
+             row["weight"], 1 if row["directed"] else 0),
+        )
+
+    from svs_spark.kb import _decode_val
+
+    def dump_kv(table: str, target: str) -> None:
+        for row in wh.read(table).orderBy("key").toLocalIterator():
+            con.execute(
+                f"INSERT INTO {target} (key, val) VALUES (?, ?)",
+                (row["key"], _decode_val(row["val_type"], row["val"])),
+            )
+
+    dump_kv("keyval", "keyval_user")
+    dump_kv("_meta", "keyval")
+    con.commit()
+    con.close()

@@ -99,3 +99,44 @@ def test_import_gz(spark, svs_db, tmp_path):
     import_svs_sqlite(spark, gz, wh_path)
     kb = KnowledgeBase(spark, wh_path)
     assert len(kb) == 4
+
+
+def test_roundtrip_export_import(spark, tmp_path):
+    """warehouse → SQLite → warehouse preserves every record."""
+    from svs_spark.functions.embeddings import make_mock_embeddings_func
+    from svs_spark.sources.svs_import import export_svs_sqlite
+
+    src_path = str(tmp_path / "src_kb")
+    kb = KnowledgeBase(
+        spark, src_path, embedding_func=make_mock_embeddings_func(),
+        embedding_params={"provider": "mock"}, force_fresh_db=True,
+    )
+    with kb.bulk_add_docs() as add:
+        a = add("first doc", meta={"x": 1})
+        b = add("second doc", parent_id=a)
+        add("third doc", no_embedding=True)
+    kb.add_edge(a, b, 3, weight=0.5)
+    with kb.bulk_keyval_update() as kv:
+        kv.set("answer", 42)
+
+    db = str(tmp_path / "export.db")
+    export_svs_sqlite(spark, src_path, db)
+
+    # reference-layout sanity: FK and uniqueness constraints exist
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM docs").fetchone()[0] == 3
+    assert con.execute("SELECT count(*) FROM embeddings").fetchone()[0] == 2
+    dup = con.execute("SELECT a, b, r FROM edges").fetchall()
+    assert dup == [(1, 2, 3)]
+    con.close()
+
+    back = str(tmp_path / "back_kb")
+    import_svs_sqlite(spark, db, back)
+    kb2 = KnowledgeBase(spark, back)
+    assert len(kb2) == 3
+    assert kb2.query_doc(a, include_embedding=True)["embedding"] == [1.0, 0.0, 0.0]
+    assert kb2.query_doc(3)["embedding"] is False
+    assert kb2.query_doc(a)["meta"] == {"x": 1}
+    assert kb2.count_edges() == 1
+    with kb2.bulk_keyval_update() as kv:
+        assert kv.get("answer") == 42
