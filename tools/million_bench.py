@@ -61,6 +61,15 @@ def main() -> None:
     emb.count()
     build_s = time.perf_counter() - t0
 
+    # bulk load: write the corpus as a parquet table (reference: 8 s
+    # into SQLite at 1M docs, README.md:129 — no embedding RPCs)
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"mb_load_{n}_{dim}")
+    t0 = time.perf_counter()
+    emb.write.mode("overwrite").parquet(out)
+    load_s = time.perf_counter() - t0
+
     qvec = fixed_query_vec(dim)
 
     # warm both paths once (JIT, Arrow setup)
@@ -104,6 +113,8 @@ def main() -> None:
                 "n_docs": n,
                 "dim": dim,
                 "index_build_sec": round(build_s, 3),
+                "bulk_load_parquet_sec": round(load_s, 3),
+                "reference_bulk_load_sec": 8.0,
                 "sql_path_sec": round(sql_s, 3),
                 "batch_path_sec": round(batch_s, 3),
                 "bulk_64q_sec": round(bulk_s, 3),
