@@ -186,3 +186,48 @@ def dedup_stream(
     return events.withWatermark(
         "event_time", watermark
     ).dropDuplicatesWithinWatermark(keys)
+
+
+def purchase_attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding attribution window.
+
+    Both sides carry watermarks so the join state is bounded: a click
+    can be dropped once it is older than (watermark + window) — the
+    standard funnel/attribution shape at scale.
+    """
+    c = (
+        clicks.withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    p = (
+        purchases.withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_time <= purchase_time AND
+            click_time >= purchase_time - INTERVAL {attribution_window}
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "click_id", "purchase_time", "click_time", "value",
+    )

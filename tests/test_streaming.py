@@ -111,3 +111,44 @@ def test_streaming_dedup(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert n == expected
+
+
+def test_stream_stream_attribution_join(spark):
+    from svs_spark.streaming.sessions import purchase_attribution_stream
+
+    ev = stream_events(spark, SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = purchase_attribution_stream(clicks, purchases)
+    run_to_memory(joined, "attrib", output_mode="append")
+    got = spark.table("attrib")
+
+    # batch twin: plain interval join over the same data
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    expected = bp.join(
+        bc,
+        F.expr(
+            "p_user = c_user AND click_time <= purchase_time "
+            "AND click_time >= purchase_time - INTERVAL 30 minutes"
+        ),
+    )
+    assert got.count() == expected.count() > 0
+    g = sorted((r["purchase_id"], r["click_id"]) for r in got.collect())
+    e = sorted(
+        (r["purchase_id"], r["click_id"]) for r in expected.collect()
+    )
+    assert g == e
