@@ -50,6 +50,7 @@ HEADLINE = [
     "winnow_pairs",
     "tfidf_top_terms",
     "value_percentiles",
+    "embed_and_retrieve",
 ]
 
 

@@ -745,3 +745,25 @@ class KnowledgeBase:
 
         yield KV()
         self._write_kv("keyval", state)
+
+
+def _kb_register_views(self: KnowledgeBase, prefix: str = "kb") -> None:
+    """Expose the KB tables to spark.sql as temp views
+    (``<prefix>_docs``, ``<prefix>_edges``, ``<prefix>_keyval``) — the
+    SQL string surface the reference never had: any svs KB becomes
+    queryable with joins/aggregations/windows over its documents,
+    vectors, graph, and KV data."""
+    self.docs.createOrReplaceTempView(f"{prefix}_docs")
+    self.edges.createOrReplaceTempView(f"{prefix}_edges")
+    self.wh.read("keyval").createOrReplaceTempView(f"{prefix}_keyval")
+
+
+def _kb_sql(self: KnowledgeBase, query: str, prefix: str = "kb"):
+    """Run a SQL query against the registered KB views (registers them
+    first)."""
+    self.register_views(prefix)
+    return self.spark.sql(query)
+
+
+KnowledgeBase.register_views = _kb_register_views
+KnowledgeBase.sql = _kb_sql

@@ -1463,3 +1463,80 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_prints"))
         .filter(F.col("shared_prints") >= 8)
     )
+
+
+# ===========================================================================
+# End-to-end embedding pipeline under the oracle gate: a deterministic
+# hash-embedding UDF (text → dim-8 unit vector, pure integer arithmetic
+# + IEEE sqrt/div so both engines produce identical doubles) feeds the
+# standard score→top-k retrieval — the reference's embed→store→retrieve
+# lifecycle (kb.py:1608-1640) as ONE verified query.
+# ===========================================================================
+
+_HE_DIM = 8
+_HE_MULTS = [(2654435761 * (i + 1)) % 2147483647 for i in range(_HE_DIM)]
+
+
+def _hash_embed_sql(col: str) -> str:
+    h = OG.token_hash_sql(col)
+    comps = ", ".join(
+        f"((({h}) * {m}) % 1009 - 504)::DOUBLE" for m in _HE_MULTS
+    )
+    return (
+        f"(SELECT list_transform([{comps}], x -> x / sqrt(list_dot_product("
+        f"[{comps}], [{comps}]))))"
+    )
+
+
+@register(
+    "embed_and_retrieve",
+    oracle=f"""
+    WITH emb AS (
+      SELECT doc_id, {_hash_embed_sql('text')} AS v FROM documents
+    )
+    SELECT doc_id,
+           round(list_dot_product(v, {vec_sql_literal(fixed_query_vec(_HE_DIM, seed=3))}), 6) AS score
+    FROM emb
+    ORDER BY score DESC, doc_id DESC
+    LIMIT 20
+    """,
+)
+def q_embed_and_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed every document with the portable hash-embedding UDF
+    (mapInPandas — the U1 EmbeddingFunc surface), then exact top-20
+    retrieval against a fixed query vector."""
+    import math as _math
+
+    docs = load(spark, sf_dir, "documents")
+
+    def kernel(batches):
+        import pandas as pd
+        from svs_spark.functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+
+        def ph(s: str) -> int:
+            h = 0
+            for ch in s:
+                h = (h * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+            return h
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                h = ph(text)
+                raw = [float((h * m) % 1009 - 504) for m in _HE_MULTS]
+                norm = _math.sqrt(sum(x * x for x in raw))
+                ids.append(did)
+                vecs.append([x / norm for x in raw])
+            yield pd.DataFrame({"doc_id": ids, "v": vecs})
+
+    emb = docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, v array<double>"
+    )
+    qv = fixed_query_vec(_HE_DIM, seed=3)
+    return (
+        emb.select(
+            "doc_id", F.round(V.dot_literal("v", qv), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(20)
+    )

@@ -312,3 +312,20 @@ class TestMetaGuards:
                 spark, path, embedding_func=make_mock_embeddings_func()
             )
         assert any("overrides" in str(c.message) for c in caught)
+
+
+class TestSqlSurface:
+    def test_sql_over_kb_views(self, kb):
+        _add_fixture_docs(kb)
+        kb.add_edge(1, 2, 3, weight=0.5)
+        out = kb.sql(
+            """
+            SELECT d.level, count(*) AS n,
+                   count(e.edge_id) AS n_edges_out
+            FROM kb_docs d LEFT JOIN kb_edges e ON e.src = d.id
+            GROUP BY d.level ORDER BY d.level
+            """
+        ).collect()
+        by_level = {r["level"]: (r["n"], r["n_edges_out"]) for r in out}
+        assert by_level[0] == (2, 1)  # docs 1,3; doc 1 has the edge
+        assert by_level[1] == (1, 0)
