@@ -1540,3 +1540,68 @@ def q_embed_and_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: all four predicates push to
+    the parquet scan; a single partial+final agg, no join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _dec("l_extendedprice") * _dec("l_discount", 4, 2)
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "tpch_q12ish",
+    oracle="""
+    SELECT o.o_orderpriority,
+           sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
+           sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                    THEN l.l_extendedprice::DECIMAL(12,2) ELSE 0 END) AS DOUBLE)
+             AS returned_value
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation (CASE WHEN inside sums)
+    over the orders⋈lineitem join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    j = o.join(li, li["l_orderkey"] == o["o_orderkey"])
+    is_r = F.col("l_returnflag") == "R"
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("returned_count"),
+        F.sum(F.when(~is_r, 1).otherwise(0)).alias("kept_count"),
+        F.sum(
+            F.when(is_r, _dec("l_extendedprice")).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        )
+        .cast("double")
+        .alias("returned_value"),
+    )

