@@ -101,3 +101,91 @@ def search_lsh_index(
         .orderBy(F.desc("score"), F.desc(id_col))
         .limit(k)
     )
+
+
+def build_two_level_index(
+    embeddings: DataFrame,
+    out_path: str,
+    nbits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> None:
+    """Two-level index layout: LSH bucket × coarse cluster.
+
+    Partitioning by (bucket, cluster) lets a search prune on BOTH axes:
+    the query's sign-bit bucket first, then the top-probed clusters
+    within it — at 100 TB each probe touches 1/(2^nbits · n_clusters)
+    of the data. Cluster centroids are precomputed into the index
+    metadata so search ranks clusters without scanning anything.
+    """
+    bucketed = embeddings.withColumn(
+        "bucket", hyperplane_bucket(vec_col, nbits, dim)
+    )
+    (
+        bucketed.repartition(F.col("bucket"), F.col(cluster_col))
+        .write.mode("overwrite")
+        .partitionBy("bucket", cluster_col)
+        .parquet(out_path)
+    )
+    # distributed centroid build (index metadata)
+    cent = (
+        embeddings.select(
+            F.col(cluster_col).alias("cl"),
+            F.posexplode(vec_col).alias("pos", "x"),
+        )
+        .groupBy("cl", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cl", F.col("pc.c").alias("centroid"))
+        .collect()
+    )
+    meta = {
+        "nbits": nbits,
+        "dim": dim,
+        "cluster_col": cluster_col,
+        "num_vectors": embeddings.count(),
+        "centroids": {str(r["cl"]): list(r["centroid"]) for r in cent},
+    }
+    meta_dir = os.path.join(out_path, "_index_meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def search_two_level_index(
+    spark: SparkSession,
+    index_path: str,
+    qvec: Sequence[float],
+    k: int,
+    probes: int = 2,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the two-level index: rank clusters by centroid·query from
+    the metadata (no scan), then read only (bucket ∈ probe set) ×
+    (cluster ∈ top-probes) partitions and rerank exactly."""
+    meta = read_index_meta(index_path)
+    nbits, cluster_col = meta["nbits"], meta["cluster_col"]
+    qb = query_bucket(qvec, nbits)
+    buckets = [qb] + [qb ^ (1 << b) for b in range(min(multiprobe, nbits))]
+    ranked = sorted(
+        meta["centroids"].items(),
+        key=lambda kv: -sum(float(c) * float(q) for c, q in zip(kv[1], qvec)),
+    )
+    probe_clusters = [int(cl) for cl, _ in ranked[:probes]]
+    df = spark.read.parquet(index_path)
+    hits = df.filter(
+        F.col("bucket").isin(buckets) & F.col(cluster_col).isin(probe_clusters)
+    )
+    return (
+        hits.select(
+            id_col,
+            F.round(dot_literal(vec_col, qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc(id_col))
+        .limit(k)
+    )

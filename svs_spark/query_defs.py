@@ -1605,3 +1605,67 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("returned_value"),
     )
+
+
+@register(
+    "semi_anti_customers",
+    oracle="""
+    SELECT c_custkey, 'active_1995' AS cohort
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-01-01')
+    UNION ALL
+    SELECT c_custkey, 'never_ordered' AS cohort
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI join coverage: customers active in 1995 and
+    customers who never ordered. Both plan as broadcast semi/anti hash
+    joins — no row multiplication, dedup-free EXISTS semantics."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    o95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    active = (
+        c.join(o95, c["c_custkey"] == o95["o_custkey"], "left_semi")
+        .select("c_custkey", F.lit("active_1995").alias("cohort"))
+    )
+    never = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", F.lit("never_ordered").alias("cohort"))
+    )
+    return active.unionByName(never)
+
+
+@register(
+    "order_status_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE (all grouping-set combinations) with decimal-exact sums."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
