@@ -1175,6 +1175,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.8
         )
         .select("id_a", "id_b")
+        .persist()  # und references pairs twice (both directions)
     )
     return D.connected_components(pairs)
 
