@@ -1023,7 +1023,7 @@ def q_graph_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS node_id, count(*) AS out_degree,
            count(DISTINCT dst) AS n_neighbors
-    FROM expanded GROUP BY src HAVING count(*) >= 2
+    FROM expanded GROUP BY src
     """,
 )
 def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,7 +1041,6 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("out_degree"),
             F.countDistinct("dst").alias("n_neighbors"),
         )
-        .filter(F.col("out_degree") >= 2)
     )
 
 
@@ -1670,3 +1669,121 @@ def q_order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ===========================================================================
+# Graph analysis: triangles, BFS depths, PageRank.
+#
+# The functional graph in _EDGES_SQL (out-degree 1) has no triangles, so
+# the analysis operators run on a second deterministic derived graph: a
+# 64-node universe where dst mixes both doc_id % 64 and doc_id // 64 —
+# at sf0.01 this yields 163 edges / 14 triangles, at sf0.1 1,635 edges /
+# 11,752 triangles. Same arithmetic in both engines.
+# ===========================================================================
+
+from svs_spark.operators import graph as G  # noqa: E402
+
+_ANALYSIS_GRAPH_SQL = """
+      SELECT DISTINCT doc_id % 64 AS src,
+             (doc_id * 5 + (doc_id // 64) * 17 + 3) % 64 AS dst
+      FROM documents
+      WHERE doc_id % 3 = 0
+        AND doc_id % 64 <> (doc_id * 5 + (doc_id // 64) * 17 + 3) % 64
+"""
+
+# symmetrized (both arcs per edge) — the shape graph.undirected() builds
+_ANALYSIS_UND_SQL = f"""
+      SELECT src AS a, dst AS b FROM ({_ANALYSIS_GRAPH_SQL})
+      UNION
+      SELECT dst AS a, src AS b FROM ({_ANALYSIS_GRAPH_SQL})
+"""
+
+
+def _analysis_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dst = F.expr("(doc_id * 5 + (doc_id div 64) * 17 + 3) % 64")
+    return (
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 64 != dst))
+        .select((F.col("doc_id") % 64).alias("src"), dst.alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH und AS ({_ANALYSIS_UND_SQL}),
+    e1 AS (SELECT a, b FROM und WHERE a < b)
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM e1
+    JOIN e1 e2 ON e1.b = e2.a
+    JOIN e1 e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle enumeration (each triangle once, a<b<c)."""
+    return G.triangle_count(_analysis_edges(spark, sf_dir))
+
+
+@register(
+    "graph_bfs_depths",
+    oracle=f"""
+    WITH RECURSIVE und AS ({_ANALYSIS_UND_SQL}),
+    walk(node, depth) AS (
+      SELECT 0::BIGINT AS node, 0 AS depth
+      UNION
+      SELECT u.b AS node, w.depth + 1
+      FROM walk w JOIN und u ON u.a = w.node
+      WHERE w.depth < 4
+    )
+    SELECT node, min(depth) AS depth FROM walk GROUP BY node
+    """,
+)
+def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop counts from node 0 (≤4 hops) — iterative frontier BFS
+    on the Spark side vs a recursive transitive walk in the oracle."""
+    return G.bfs_depths(_analysis_edges(spark, sf_dir), source=0, max_depth=4)
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
+    """Unrolled power-iteration SQL: p0..p{n} CTEs, one per iteration.
+
+    DuckDB can't aggregate inside a recursive CTE term, so the fixed
+    iteration count is unrolled instead — same contraction the Spark
+    operator (operators/graph.py:pagerank) runs iteratively.
+    """
+    d = damping
+    parts = [
+        f"WITH und AS ({_ANALYSIS_UND_SQL}),",
+        "nodes AS (SELECT DISTINCT a AS node FROM und),",
+        "deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", p{i} AS (
+      SELECT n.node,
+             (1 - {d}) / (SELECT n FROM nn)
+               + {d} * coalesce(s.inflow, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT u.b AS node, sum(p.rank / dg.deg) AS inflow
+        FROM p{i - 1} p
+        JOIN und u ON u.a = p.node
+        JOIN deg dg ON dg.node = p.node
+        GROUP BY u.b
+      ) s ON s.node = n.node
+    )"""
+        )
+    parts.append(
+        f"SELECT node, round(rank, 6) AS rank FROM p{iterations}"
+    )
+    return "\n".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 power iterations, d=0.85) on the analysis graph; the
+    oracle unrolls the same iteration as chained SQL CTEs."""
+    ranks = G.pagerank(_analysis_edges(spark, sf_dir), iterations=10)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
