@@ -1787,3 +1787,612 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same iteration as chained SQL CTEs."""
     ranks = G.pagerank(_analysis_edges(spark, sf_dir), iterations=10)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ===========================================================================
+# OLAP widening: TPC-H Q10/Q14 analogues, pivot, window frames
+# ===========================================================================
+
+
+@register(
+    "tpch_q10ish",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                          * (1 - l.l_discount::DECIMAL(4,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY sum(l.l_extendedprice::DECIMAL(12,2)
+                 * (1 - l.l_discount::DECIMAL(4,2))) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: who returned the most revenue.
+
+    Plan shape: returnflag + orderdate predicates push to the scans,
+    nation broadcasts onto customer, orders⋈lineitem shuffles on
+    orderkey once, top-20 is TakeOrderedAndProject.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(disc_price).alias("rev_exact")
+    )
+    return (
+        agg.orderBy(F.desc("rev_exact"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q14ish",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice::DECIMAL(12,2)
+                      * (1 - l.l_discount::DECIMAL(4,2))
+                 ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+             / CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                        * (1 - l.l_discount::DECIMAL(4,2))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: promo share of one month's revenue.
+
+    part broadcasts onto the date-pruned lineitem scan; the conditional
+    numerator folds into the same single aggregation pass.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("promo"),
+        F.sum(disc_price).alias("total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.col("promo").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "pivot_segment_status",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) FILTER (WHERE o.o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o.o_orderstatus = 'P') AS n_partial,
+           round(CAST(sum(o.o_totalprice::DECIMAL(12,2))
+                      FILTER (WHERE o.o_orderstatus = 'F') AS DOUBLE), 2)
+             AS filled_total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order-status columns per market segment (groupBy().pivot()
+    with an explicit value list so Catalyst skips the distinct-values
+    scan; the oracle spells the same thing as conditional aggregation)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    piv = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("total"),
+        )
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+        F.col("P_n").alias("n_partial"),
+        F.round(F.col("F_total").cast("double"), 2).alias("filled_total"),
+    )
+
+
+@register(
+    "moving_avg_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY 1
+    )
+    SELECT CAST(epoch(day) AS BIGINT) AS day_epoch,
+           round(revenue, 2) AS revenue,
+           round(avg(revenue) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS ma7
+    FROM daily
+    """,
+)
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order revenue (window FRAME
+    coverage — ROWS BETWEEN — beyond the existing rank/lag queries).
+    Dates surface as epoch longs per the timestamp-portability rule."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.unix_timestamp("day").alias("day_epoch"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.avg("revenue").over(w), 2).alias("ma7"),
+    )
+
+
+# ===========================================================================
+# Training-pipeline ops: deterministic splits + per-group vector centroids
+# ===========================================================================
+
+
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split via a Knuth multiplicative
+    hash of doc_id — reproducible across engines and runs (no RNG seed
+    dependence), stable under re-partitioning, and pure codegen'd
+    arithmetic at 100 TB. (For doc_id beyond ~2^32, swap the multiply
+    for xxhash64 % 1000 — kept portable here so DuckDB agrees.)"""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < 900, "train").otherwise("test")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "lang_centroids",
+    oracle="""
+    SELECT d.lang, r.dim,
+           round(avg(e.embedding[r.dim + 1]::DOUBLE), 6) AS centroid_v
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    CROSS JOIN (SELECT unnest(range(64)) AS dim) r
+    GROUP BY 1, 2
+    """,
+)
+def q_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid, one row per (lang, dimension).
+
+    posexplode + two-key groupBy: the shuffle carries (lang, dim) keys
+    so all 64 dims of a language aggregate in parallel rather than
+    fetching whole vectors to one reducer — the scalable layout for
+    class-centroid / cluster-mean computation over billions of rows.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    exploded = j.select(
+        "lang", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "dim", "col": "v"})
+    return exploded.groupBy("lang", "dim").agg(
+        F.round(F.avg("v"), 6).alias("centroid_v")
+    )
+
+
+# ===========================================================================
+# OLAP widening 2: outer-join distributions, correlated-subquery rewrites
+# ===========================================================================
+
+
+@register(
+    "tpch_q13ish",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-order-count distribution: LEFT OUTER JOIN with
+    an ON-clause residual predicate, then aggregation of an aggregation.
+
+    Scale shape: one shuffle on custkey for join+count (the first
+    groupBy reuses the join's hash partitioning), then a tiny shuffle
+    on the distinct count values — second agg input is |customers| rows
+    collapsing to a handful of distinct counts, so map-side partial
+    aggregation does nearly all the work.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q17ish",
+    oracle="""
+    SELECT round(CAST(sum(l.l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY 1
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.half_avg_qty
+    """,
+)
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue. The spec's correlated
+    scalar subquery (avg qty per part) is decorrelated into an explicit
+    per-part aggregate joined back — the same rewrite Catalyst/DuckDB
+    perform, written out so the plan is visibly a pair of partkey-hash
+    joins instead of a per-row subquery (which would be O(N) scans).
+
+    Scale shape: lineitem shuffles on l_partkey once for the avg and
+    once for the join (AQE reuses the exchange); the Brand#1 part-side
+    filter broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    half_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(half_avg, li["l_partkey"] == half_avg["a_partkey"])
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+        ).alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q18ish",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS order_epoch,
+           round(o.o_totalprice::DECIMAL(12,2)::DOUBLE, 2) AS totalprice,
+           CAST(sum(l.l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING sum(l_quantity::DECIMAL(12,2)) > 240
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING over a grouped sum used
+    as an IN-subquery ⇒ LEFT SEMI join on the qualifying orderkeys.
+
+    Scale shape: the HAVING aggregate and the main lineitem join both
+    hash on l_orderkey, so AQE schedules them off one exchange; the
+    qualifying-keys side collapses to few rows and broadcasts into the
+    semi join. Top-100 is TakeOrderedAndProject.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > F.lit(240).cast("decimal(12,2)"))
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    j = (
+        orders.join(
+            F.broadcast(big),
+            orders["o_orderkey"] == big["big_orderkey"],
+            "left_semi",
+        )
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+    )
+    agg = j.groupBy(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.round(_dec("o_totalprice").cast("double"), 2).alias("totalprice"),
+    ).agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    return agg.orderBy(F.desc("totalprice"), F.asc("o_orderkey")).limit(100)
+
+
+@register(
+    "tpch_q19ish",
+    oracle="""
+    SELECT round(CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                          * (1 - l.l_discount::DECIMAL(4,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 45
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive multi-branch predicate spanning both join
+    sides. The per-side conjuncts (p_brand/p_size ∈ any branch;
+    l_quantity ∈ the union range) are NOT pulled out manually — Catalyst
+    derives and pushes them below the join itself (visible as
+    PushedFilters on both scans), leaving only the cross-table residual
+    on the join. The part side still broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 45)
+            & qty.between(20, 40)
+        )
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).filter(
+        branch
+    )
+    return j.agg(
+        F.round(F.sum(disc_price).cast("double"), 2).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22ish",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity shape: rich customers (above
+    the positive-balance average — a scalar subquery that becomes a
+    broadcast cross-join of one row) with no recent order (NOT EXISTS
+    ⇒ LEFT ANTI join against the date-filtered orders key projection;
+    every synthetic customer has *some* order, so the lapsed-since-2000
+    cut keeps the result non-degenerate at every sf).
+
+    Scale shape: the scalar average is a full-reduce to one row then
+    broadcast; the anti join hashes on custkey. orders is projected to
+    the single join column before shuffling (column pruning feeds the
+    exchange, not the full table).
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("v")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("v")
+    )
+    never_ordered = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        never_ordered.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ===========================================================================
+# Training-pipeline ops 2: sequence packing + stratified sampling
+# ===========================================================================
+
+
+@register(
+    "doc_packing",
+    oracle="""
+    WITH est AS (
+      SELECT doc_id, source, (n_chars + 3) // 4 AS est_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, est_tokens,
+             CAST(sum(est_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM est
+    )
+    SELECT source, CAST((cum_tokens - 1) // 2048 AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(est_tokens) AS pack_tokens
+    FROM packed
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs to ~2048-token packs
+    by cumulative token count in deterministic doc_id order, per source.
+
+    The window partitions by source, so at 100 TB no single reducer
+    sees the whole corpus — each source's docs pack independently (the
+    usual pretraining layout groups by shard/source anyway). Token
+    estimate is chars/4 rounded up; the cumulative sum assigns each doc
+    to the pack its running total lands in — a streaming-friendly
+    first-fit that both engines express as one window + one groupBy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    est = docs.select(
+        "doc_id",
+        "source",
+        ((F.col("n_chars") + 3) / 4).cast("long").alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = est.withColumn(
+        "cum_tokens", F.sum("est_tokens").over(w).cast("long")
+    )
+    return (
+        packed.withColumn(
+            "pack_id", ((F.col("cum_tokens") - 1) / 2048).cast("long")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_tokens").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 100
+          < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (downsample the
+    dominant language, keep more of the rare ones) — the standard
+    data-mixture rebalancing step before training.
+
+    Same Knuth-hash determinism as train_test_split: the WHERE is pure
+    codegen'd arithmetic, no RNG state, identical members on every
+    engine/run/partitioning. At 100 TB this is a full scan with the
+    sample predicate pushed into the scan stage — no shuffle at all
+    until the reporting groupBy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
