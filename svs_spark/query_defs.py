@@ -2396,3 +2396,210 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 % 1000 >= 900 AS is_test,
+             list_distinct(list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 3),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2] || ' ' ||
+                    string_split(lower(text), ' ')[i+3] || ' ' ||
+                    string_split(lower(text), ' ')[i+4])) AS sh
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 5
+    ),
+    ex AS (SELECT doc_id, is_test, unnest(sh) AS s FROM sp),
+    tr AS (SELECT DISTINCT s FROM ex WHERE NOT is_test)
+    SELECT e.doc_id, count(DISTINCT e.s) AS n_shared_5grams
+    FROM ex e JOIN tr ON e.s = tr.s
+    WHERE e.is_test
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag test-split docs sharing any
+    5-word shingle with the train split (the standard benchmark-leak
+    check before training; 5-grams because the synthetic vocab makes
+    3-grams collide on every doc). Split = the same Knuth hash as
+    train_test_split, so the check composes with it.
+
+    Scale shape: one shingle-key shuffle joins the exploded test side
+    against the distinct train-shingle index — the same inverted-index
+    layout as ngram_jaccard_pairs, but semi-bounded (train shingles are
+    deduped before the join, and only test rows explode into the probe
+    side). At 100 TB you'd hash the shingles to 64-bit (xxhash64)
+    before the shuffle to shrink exchange width.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+                F.element_at(toks, i + 5),
+            ),
+        )
+    )
+    is_test = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+        >= 900
+    )
+    sp = docs.filter(F.size(toks) >= 5).select(
+        "doc_id", is_test.alias("is_test"), sh.alias("sh")
+    )
+    ex = sp.select("doc_id", "is_test", F.explode("sh").alias("s"))
+    train_idx = ex.filter(~F.col("is_test")).select("s").distinct()
+    return (
+        ex.filter(F.col("is_test"))
+        .join(train_idx, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared_5grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "data_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(*) AS n,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           round(min(o_custkey), 6) AS min_v, round(max(o_custkey), 6) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 6), round(max(o_totalprice), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_epoch', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           round(CAST(epoch(min(o_orderdate)) AS BIGINT), 6),
+           round(CAST(epoch(max(o_orderdate)) AS BIGINT), 6)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (null rate / cardinality / range per column) —
+    the first thing a training pipeline runs on a new 100 TB dump.
+
+    All three columns profile in ONE scan + one aggregation (Spark
+    computes the multi-column aggregate row-wise, then a tiny unpivot
+    shapes it long); the oracle spells the same result as three scans
+    because DuckDB reads the 60k-row parquet in microseconds, but the
+    Spark plan is the one you'd run at scale. count(DISTINCT x) over
+    three columns expands via Spark's `expand` operator — one shuffle
+    carrying 3× rows, still far cheaper than three scans of 100 TB.
+    """
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("min_custkey"),
+        F.max("o_custkey").cast("double").alias("max_custkey"),
+        (F.count("*") - F.count("o_totalprice")).alias("null_totalprice"),
+        F.count_distinct("o_totalprice").alias("nd_totalprice"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        (F.count("*") - F.count("o_orderdate")).alias("null_orderdate"),
+        F.count_distinct("o_orderdate").alias("nd_orderdate"),
+        F.unix_timestamp(F.min("o_orderdate")).cast("double").alias("min_od"),
+        F.unix_timestamp(F.max("o_orderdate")).cast("double").alias("max_od"),
+    )
+    prof = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n").alias("n"),
+                    F.col("null_custkey").alias("n_null"),
+                    F.col("nd_custkey").alias("n_distinct"),
+                    F.round("min_custkey", 6).alias("min_v"),
+                    F.round("max_custkey", 6).alias("max_v"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n").alias("n"),
+                    F.col("null_totalprice").alias("n_null"),
+                    F.col("nd_totalprice").alias("n_distinct"),
+                    F.round("min_totalprice", 6).alias("min_v"),
+                    F.round("max_totalprice", 6).alias("max_v"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate_epoch").alias("col"),
+                    F.col("n").alias("n"),
+                    F.col("null_orderdate").alias("n_null"),
+                    F.col("nd_orderdate").alias("n_distinct"),
+                    F.round("min_od", 6).alias("min_v"),
+                    F.round("max_od", 6).alias("max_v"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return prof.orderBy("col")
+
+
+@register(
+    "tpch_q15ish",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(4,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_rev AS DOUBLE), 2) AS total_revenue
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: argmax via scalar-max subquery against a
+    reused aggregate (the spec's CREATE VIEW). The rev aggregate is
+    computed once and persisted so the max probe and the final filter
+    don't recompute the lineitem scan; the 1-row max broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total_rev"))
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load(spark, sf_dir, "supplier")
+    best = rev.join(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("mx")
+    )
+    return (
+        supp.join(F.broadcast(best), supp["s_suppkey"] == best["l_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
