@@ -73,3 +73,44 @@ def test_filter_pushdown_on_level(spark):
     df = emb.filter(F.col("label") == 3).select("vec_id")
     assert X.has_pushed_filter(df, "label")
     assert X.reads_only_columns(df, {"vec_id", "label"})
+
+
+def test_tpch_q10_pushes_predicates_and_broadcasts(spark, registry):
+    df = registry["tpch_q10ish"](spark, SF_DIR)
+    assert X.has_pushed_filter(df, "l_returnflag")
+    assert X.has_pushed_filter(df, "o_orderdate")
+    assert X.uses_broadcast_join(df)
+    assert X.uses_take_ordered(df)
+
+
+def test_tpch_q19_derives_pushdown_from_disjunction(spark, registry):
+    # Catalyst must extract the per-side conjuncts of the OR branches
+    # and push them below the join — both scans get PushedFilters.
+    df = registry["tpch_q19ish"](spark, SF_DIR)
+    assert X.has_pushed_filter(df, "l_quantity")
+    assert X.has_pushed_filter(df, "p_brand")
+    assert X.uses_broadcast_join(df)
+
+
+def test_tpch_q22_anti_join_prunes_orders(spark, registry):
+    df = registry["tpch_q22ish"](spark, SF_DIR)
+    # the anti-join probe side must read only the join key + date filter
+    assert X.reads_only_columns(
+        df,
+        {"c_custkey", "c_acctbal", "c_mktsegment", "o_custkey", "o_orderdate"},
+    )
+
+
+def test_stratified_sample_no_preagg_shuffle(spark, registry):
+    # hash predicate evaluates in the scan stage; the only exchange is
+    # the reporting groupBy on lang (+ its tiny sort)
+    df = registry["stratified_sample"](spark, SF_DIR)
+    assert X.count_shuffles(df) <= 2
+
+
+def test_doc_packing_partitions_window_by_source(spark, registry):
+    # the cumulative-sum window must hash-partition on source, never
+    # collapse to a single partition (SinglePartition = 100 TB cliff)
+    df = registry["doc_packing"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
