@@ -110,3 +110,79 @@ class TestEmbedChunking:
         for i in range(0, len(texts), 200):
             recording(texts[i : i + 200])
         assert seen == [200, 200, 50]
+
+
+class TestCorpusIngestion:
+    """JSONL/CSV/text-dir → documents-schema normalization
+    (svs_spark.sources.corpus): explicit schemas, deterministic
+    xxhash64 ids, partitioned corpus layout with pruning."""
+
+    def test_jsonl_roundtrip(self, spark, tmp_path):
+        from svs_spark.sources.corpus import DOCUMENT_COLUMNS, ingest_jsonl
+
+        p = tmp_path / "dump.jsonl"
+        p.write_text(
+            '{"text": "alpha beta", "lang": "en"}\n'
+            '{"text": "gamma delta epsilon", "lang": "de"}\n'
+            "not json at all\n"            # malformed -> dropped
+            '{"lang": "fr"}\n'             # no text -> dropped
+            '{"text": "alpha beta", "lang": "en"}\n'  # exact dup -> 1 id
+        )
+        df = ingest_jsonl(spark, str(p), source="dump")
+        assert df.columns == DOCUMENT_COLUMNS
+        rows = {r["text"]: r for r in df.collect()}
+        assert set(rows) == {"alpha beta", "gamma delta epsilon"}
+        assert rows["alpha beta"]["n_chars"] == 10
+        assert rows["alpha beta"]["source"] == "dump"
+
+    def test_ids_deterministic_across_runs_and_layout(self, spark, tmp_path):
+        from svs_spark.sources.corpus import ingest_jsonl
+
+        p = tmp_path / "d.jsonl"
+        p.write_text('{"text": "same text", "lang": "en"}\n')
+        id1 = ingest_jsonl(spark, str(p), "s").collect()[0]["doc_id"]
+        id2 = (
+            ingest_jsonl(spark, str(p), "s").repartition(7).collect()[0]["doc_id"]
+        )
+        assert id1 == id2
+        # different source -> different id space
+        id3 = ingest_jsonl(spark, str(p), "other").collect()[0]["doc_id"]
+        assert id1 != id3
+
+    def test_csv_with_lang_column(self, spark, tmp_path):
+        from svs_spark.sources.corpus import ingest_csv
+
+        p = tmp_path / "c.csv"
+        p.write_text("body,language,junk\nhello world,en,1\nbonjour,fr,2\n")
+        df = ingest_csv(
+            spark, str(p), "csvsrc", text_col="body", lang_col="language"
+        )
+        got = {(r["text"], r["lang"]) for r in df.collect()}
+        assert got == {("hello world", "en"), ("bonjour", "fr")}
+
+    def test_text_dir_wholetext(self, spark, tmp_path):
+        from svs_spark.sources.corpus import ingest_text_dir
+
+        d = tmp_path / "txt"
+        d.mkdir()
+        (d / "a.txt").write_text("file one contents")
+        (d / "b.txt").write_text("file two")
+        df = ingest_text_dir(spark, str(d), "files")
+        texts = {r["text"] for r in df.collect()}
+        assert texts == {"file one contents", "file two"}
+        assert all(r["lang"] is None for r in df.collect())
+
+    def test_write_corpus_partition_pruning(self, spark, tmp_path):
+        from svs_spark.plans import explain as X
+        from svs_spark.sources.corpus import ingest_jsonl, write_corpus
+
+        p = tmp_path / "d.jsonl"
+        p.write_text(
+            '{"text": "one", "lang": "en"}\n{"text": "zwei", "lang": "de"}\n'
+        )
+        out = str(tmp_path / "corpus")
+        write_corpus(ingest_jsonl(spark, str(p), "s"), out, ("lang",))
+        back = spark.read.parquet(out).filter(F.col("lang") == "en")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "lang" in plan
+        assert back.count() == 1
