@@ -77,3 +77,31 @@ def check_unit_norm(a: Column | str, tolerance: float = 0.001) -> Column:
     """
     n = l2_norm(a)
     return (n >= 1.0 - tolerance) & (n <= 1.0 + tolerance)
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization of a unit-norm vector: component →
+    round(clamp(x, -1, 1) * 127) ∈ [-127, 127], as ARRAY<INT>.
+
+    4× smaller than float32 — at 100 TB of embeddings that is the
+    difference between the vector cache fitting executor memory or
+    spilling — and the quantized dot product is exact integer
+    arithmetic: no float summation-order drift across engines or
+    partition layouts."""
+    return F.transform(
+        _col(a),
+        lambda x: F.round(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x.cast("double")))
+            * 127
+        ).cast("int"),
+    )
+
+
+def dot_int8(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two ARRAY<INT> quantized vectors
+    (LONG). Rescale to cosine space by dividing by 127² = 16129."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

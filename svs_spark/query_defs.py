@@ -2603,3 +2603,59 @@ def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ===========================================================================
+# Embedding compression: int8 quantized retrieval (ANN widening)
+# ===========================================================================
+
+def _quantize_py(vec: list[float]) -> list[int]:
+    """Python-side half-away-from-zero int8 quantization (matches SQL
+    round() in both engines; Python's built-in round is banker's)."""
+    import math
+
+    out = []
+    for v in vec:
+        c = max(-1.0, min(1.0, float(v))) * 127
+        out.append(int(math.floor(c + 0.5)) if c >= 0 else int(math.ceil(c - 0.5)))
+    return out
+
+
+QVEC_INT8 = _quantize_py(QVEC)
+QVEC_INT8_SQL = "[" + ", ".join(str(v) for v in QVEC_INT8) + "]::DOUBLE[]"
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+    SELECT vec_id,
+           round(list_dot_product(
+             list_transform(embedding,
+               x -> round(greatest(-1.0, least(1.0, x::DOUBLE)) * 127)),
+             {QVEC_INT8_SQL}) / 16129.0, 6) AS qscore
+    FROM embeddings
+    ORDER BY qscore DESC, vec_id DESC
+    LIMIT 100
+    """,
+)
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over int8-quantized embeddings — the memory-
+    compression path for 100 TB vector search: 4× smaller scan/cache
+    than float32, exact integer dot products (no summation-order
+    drift), then rescale by 1/127² only for the k winners.
+
+    In a real deployment the quantized column is materialized once at
+    ingest (see functions.vector.quantize_int8) and the float column is
+    never scanned at query time; here quantization happens inline so
+    the oracle can apply the identical transform.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(v) for v in QVEC_INT8])
+    scored = emb.select(
+        "vec_id",
+        V.dot_int8(V.quantize_int8("embedding"), qlit).alias("iscore"),
+    )
+    top = scored.orderBy(F.desc("iscore"), F.desc("vec_id")).limit(100)
+    return top.select(
+        "vec_id", F.round(F.col("iscore") / F.lit(16129.0), 6).alias("qscore")
+    )

@@ -156,3 +156,45 @@ class TestEmbeddingSerde:
         assert all(
             abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9 for v in vecs
         )
+
+
+class TestQuantization:
+    def test_int8_recall_vs_exact(self, spark):
+        """int8 quantization must preserve the top-k set almost exactly
+        (unit-norm vectors, 64 dims: worst-case per-component error
+        1/254 ⇒ score error ~0.04 max, far under typical score gaps)."""
+        from tests.conftest import SF_DIR
+        from svs_spark.functions import vector as V
+        from svs_spark.query_defs import QVEC, QVEC_INT8
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        exact = {
+            r["vec_id"]
+            for r in emb.select(
+                "vec_id", V.dot_literal("embedding", QVEC).alias("s")
+            )
+            .orderBy(F.desc("s"), F.desc("vec_id"))
+            .limit(50)
+            .collect()
+        }
+        qlit = F.array(*[F.lit(v) for v in QVEC_INT8])
+        quant = {
+            r["vec_id"]
+            for r in emb.select(
+                "vec_id",
+                V.dot_int8(V.quantize_int8("embedding"), qlit).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.desc("vec_id"))
+            .limit(50)
+            .collect()
+        }
+        assert len(exact & quant) >= 45  # ≥90% recall@50
+
+    def test_quantize_bounds_and_roundtrip_error(self, spark):
+        from svs_spark.functions import vector as V
+
+        df = spark.createDataFrame(
+            [([0.6, -0.8, 0.0, 1.5, -2.0],)], "embedding: array<double>"
+        )
+        [row] = df.select(V.quantize_int8("embedding").alias("q")).collect()
+        assert row["q"] == [76, -102, 0, 127, -127]
