@@ -51,6 +51,13 @@ HEADLINE = [
     "tfidf_top_terms",
     "value_percentiles",
     "embed_and_retrieve",
+    # round-1 widening: OLAP joins/outer/semi + training-pipeline ops
+    "tpch_q13ish",
+    "tpch_q18ish",
+    "ann_quantized_topk",
+    "decontaminate_ngrams",
+    "doc_packing",
+    "data_profile",
 ]
 
 

@@ -2430,42 +2430,49 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-grams collide on every doc). Split = the same Knuth hash as
     train_test_split, so the check composes with it.
 
-    Scale shape: one shingle-key shuffle joins the exploded test side
-    against the distinct train-shingle index — the same inverted-index
-    layout as ngram_jaccard_pairs, but semi-bounded (train shingles are
-    deduped before the join, and only test rows explode into the probe
-    side). At 100 TB you'd hash the shingles to 64-bit (xxhash64)
-    before the shuffle to shrink exchange width.
+    Scale shape: the shingles are xxhash64'd to 64-bit longs BEFORE
+    anything shuffles — the exchange carries 8-byte keys instead of
+    ~40-byte strings, and the exploded (doc_id, is_test, h) frame is
+    persisted so the text is tokenized exactly once even though it
+    feeds both the train index and the test probe. One shingle-key
+    shuffle joins the probe side against the deduped train index (the
+    inverted-index layout of ngram_jaccard_pairs, semi-bounded).
+    Collisions at 64 bits are ~n²/2⁶⁵ — irrelevant below trillions of
+    distinct shingles; the DuckDB oracle compares the final counts, so
+    the internal representation is free to differ.
     """
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.concat_ws(
+    sh_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 5),
+        lambda i: F.xxhash64(
+            F.concat_ws(
                 " ",
                 F.element_at(toks, i + 1),
                 F.element_at(toks, i + 2),
                 F.element_at(toks, i + 3),
                 F.element_at(toks, i + 4),
                 F.element_at(toks, i + 5),
-            ),
-        )
+            )
+        ),
     )
     is_test = (
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
         >= 900
     )
-    sp = docs.filter(F.size(toks) >= 5).select(
-        "doc_id", is_test.alias("is_test"), sh.alias("sh")
+    ex = (
+        docs.filter(F.size(toks) >= 5)
+        .select(
+            "doc_id", is_test.alias("is_test"), F.explode(sh_hashes).alias("h")
+        )
+        .persist()
     )
-    ex = sp.select("doc_id", "is_test", F.explode("sh").alias("s"))
-    train_idx = ex.filter(~F.col("is_test")).select("s").distinct()
+    train_idx = ex.filter(~F.col("is_test")).select("h").distinct()
     return (
         ex.filter(F.col("is_test"))
-        .join(train_idx, "s")
+        .join(train_idx, "h")
         .groupBy("doc_id")
-        .agg(F.count_distinct("s").alias("n_shared_5grams"))
+        .agg(F.count_distinct("h").alias("n_shared_5grams"))
         .orderBy("doc_id")
     )
 

