@@ -2673,3 +2673,72 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "vec_id", F.round(F.col("iscore") / F.lit(16129.0), 6).alias("qscore")
     )
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH m AS (
+      SELECT n_chars,
+             {OG.ws_token_count_sql('text')} AS toks,
+             {OG.quality_score_sql('text')} AS q,
+             lang
+      FROM documents
+    ),
+    flags AS (
+      SELECT (n_chars >= 50) AS p1,
+             (n_chars >= 50 AND toks >= 20) AS p2,
+             (n_chars >= 50 AND toks >= 20 AND q >= 0.5) AS p3,
+             (n_chars >= 50 AND toks >= 20 AND q >= 0.5
+              AND lang IS NOT NULL) AS p4
+      FROM m
+    )
+    SELECT stage, n_surviving FROM (
+      SELECT 0 AS stage, count(*) AS n_surviving FROM flags
+      UNION ALL SELECT 1, count(*) FILTER (WHERE p1) FROM flags
+      UNION ALL SELECT 2, count(*) FILTER (WHERE p2) FROM flags
+      UNION ALL SELECT 3, count(*) FILTER (WHERE p3) FROM flags
+      UNION ALL SELECT 4, count(*) FILTER (WHERE p4) FROM flags
+    ) ORDER BY stage
+    """,
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: how many docs survive each cumulative
+    filter stage (min length → min tokens → quality score → known
+    lang) — the shape every pretraining-corpus cleaning pipeline
+    reports before committing to a filter config.
+
+    All five stage counts come from ONE scan: each stage is a
+    conditional count in a single aggregation (no per-stage passes —
+    at 100 TB re-scanning per stage is the difference between one job
+    and five). The tiny 5-row unpivot happens on the aggregated row.
+    """
+    from svs_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    toks = T.whitespace_token_count("text")
+    q = T.quality_score("text")
+    p1 = F.col("n_chars") >= 50
+    p2 = p1 & (toks >= 20)
+    p3 = p2 & (q >= 0.5)
+    p4 = p3 & F.col("lang").isNotNull()
+    agg = docs.agg(
+        F.count("*").alias("n0"),
+        F.count_if(p1).alias("n1"),
+        F.count_if(p2).alias("n2"),
+        F.count_if(p3).alias("n3"),
+        F.count_if(p4).alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"), F.col(f"n{i}").alias("n_surviving")
+            )
+            for i in range(5)
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.*")
+        .orderBy("stage")
+    )
