@@ -336,6 +336,68 @@ class KnowledgeBase:
             return add(text, parent_id=parent_id, meta=meta,
                        no_embedding=no_embedding)
 
+    def add_documents_df(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: Optional[str] = "doc_id",
+        meta_json_col: Optional[str] = None,
+        no_embedding: bool = False,
+    ) -> int:
+        """Distributed bulk ingest: add every row of ``df`` as a root
+        document (level 0, no parent), embeddings computed by the
+        chunked Arrow UDF pipeline, committed as one atomic write.
+
+        This is the 100 TB ingest path the reference cannot express —
+        its ``bulk_add_docs`` iterates rows on the driver
+        (``src/svs/kb.py:1486-1524``); here the whole frame (e.g. from
+        ``sources.corpus.ingest_jsonl``) stays distributed end-to-end.
+        Ids: ``id_col`` if given (corpus xxhash64 ids pass through),
+        else xxhash64(text); collisions with existing doc ids raise
+        before anything is written. Returns the number of docs added.
+        """
+        idc = (
+            F.col(id_col).cast("long")
+            if id_col is not None and id_col in df.columns
+            else F.xxhash64(F.col(text_col))
+        )
+        metac = (
+            F.col(meta_json_col).cast("string")
+            if meta_json_col is not None
+            else F.lit(None).cast("string")
+        )
+        new_rows = (
+            df.select(
+                idc.alias("id"),
+                F.lit(None).cast(LongType()).alias("parent_id"),
+                F.lit(0).cast(IntegerType()).alias("level"),
+                F.col(text_col).cast("string").alias("text"),
+                metac.alias("meta"),
+            )
+            .filter(F.col("text").isNotNull())
+            .dropDuplicates(["id"])
+        )
+        clash = self.docs.join(
+            new_rows.select("id"), on="id", how="left_semi"
+        ).count()
+        if clash:
+            raise ValueError(f"{clash} incoming doc ids already exist")
+        n_new = new_rows.count()
+        if no_embedding:
+            staged = new_rows.withColumn(
+                "embedding", F.lit(None).cast(ArrayType(FloatType()))
+            )
+        else:
+            staged = embed_df(new_rows, self.embedding_func, check=False)
+        staged = staged.select(
+            "id", "parent_id", "level", "text",
+            F.col("embedding").cast(ArrayType(FloatType())).alias("embedding"),
+            "meta",
+        )
+        self.wh.write("docs", self.docs.unionByName(staged))
+        self._invalidate()
+        return n_new
+
     # -- DML: bulk delete (M2) -------------------------------------------------
 
     @contextmanager

@@ -329,3 +329,50 @@ class TestSqlSurface:
         by_level = {r["level"]: (r["n"], r["n_edges_out"]) for r in out}
         assert by_level[0] == (2, 1)  # docs 1,3; doc 1 has the edge
         assert by_level[1] == (1, 0)
+
+
+class TestDistributedIngest:
+    """add_documents_df: the distributed (no driver loop) bulk ingest
+    path bridging sources.corpus frames into the KB."""
+
+    def test_ingest_corpus_df(self, kb, spark, tmp_path):
+        from svs_spark.sources.corpus import ingest_jsonl
+
+        p = tmp_path / "dump.jsonl"
+        p.write_text(
+            '{"text": "spark distributed ingest", "lang": "en"}\n'
+            '{"text": "second document body", "lang": "en"}\n'
+        )
+        n = kb.add_documents_df(ingest_jsonl(spark, str(p), "dump"))
+        assert n == 2
+        assert kb.count() == 2
+        # all root docs, embedded, retrievable
+        recs = kb.dfs_traversal()
+        assert {r["level"] for r in recs} == {0}
+        assert all(r["embedding"] is True for r in recs)
+        hits = kb.retrieve("anything", n=2)
+        assert len(hits) == 2
+
+    def test_ingest_id_collision_raises(self, kb, spark):
+        df = spark.createDataFrame(
+            [(1, "first"), (1, "dup id")], "doc_id: long, text: string"
+        )
+        kb.add_documents_df(df.limit(1))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already exist"):
+            kb.add_documents_df(
+                spark.createDataFrame([(1, "again")], "doc_id: long, text: string")
+            )
+
+    def test_ingest_mixes_with_driver_loop_docs(self, kb, spark):
+        root = kb.add_doc("manual root")
+        kb.add_doc("manual child", parent_id=root)
+        df = spark.createDataFrame(
+            [(9001, "bulk one"), (9002, "bulk two")],
+            "doc_id: long, text: string",
+        )
+        kb.add_documents_df(df, no_embedding=True)
+        assert kb.count() == 4
+        rec = kb.query_doc(9001)
+        assert rec["embedding"] is False and rec["level"] == 0
