@@ -2742,3 +2742,43 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("stage")
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_v,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate: hourly per-event-type stats
+    answered by MERGING a pre-built rollup of history (ts < Jan 24)
+    with an on-the-fly aggregation of the raw tail — the oracle
+    aggregates all raw rows directly, so a hash match proves the
+    split-and-merge path is exact, including the bucket the cutoff
+    splits. operators/rollup.py holds the build/refresh/query ops; at
+    100 TB the history side reads pre-aggregated rows only.
+    """
+    from svs_spark.operators.rollup import build_rollup, rollup_query
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = 1705968000  # 2024-01-23 00:00:00 UTC, inside every sf's range
+    hist = ev.filter((F.col("ts") / F.lit(1_000_000_000)).cast("long") < cutoff)
+    rollup = build_rollup(hist)
+    merged = rollup_query(rollup, ev, cutoff)
+    return merged.select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    ).orderBy("bucket_start", "event_type")
