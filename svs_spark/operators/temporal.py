@@ -75,3 +75,55 @@ def asof_join_backward(
             for c in payload_cols
         ],
     )
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    band: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join without a cross join: match
+    left rows whose ``left_point`` falls in a right row's
+    [``right_lo``, ``right_hi``) interval, same ``key``.
+
+    Naive inequality joins degenerate to per-key cross products (Spark
+    plans BroadcastNestedLoopJoin when the only equi-key is skewed or
+    absent). The banded rewrite makes the join an EQUI join: each
+    interval is exploded onto the fixed grid of ``band``-width bands it
+    overlaps, each probe point maps to exactly one band, and the hash
+    join on (key, band) bounds candidates to one grid cell before the
+    precise containment filter. Choose ``band`` ≈ typical interval
+    width: intervals then explode to ≤2 grid rows, and the exchange
+    stays O(|right| + |left|) instead of O(|left|×|right| per key).
+
+    All three range columns must be integer-typed (epoch seconds/us).
+    ``how='left'``: left rows with no containing interval survive with
+    NULL right payload (count with F.count of a right column).
+    """
+    r_bands = right.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / band).cast("long"),
+                # hi is exclusive: a hi exactly on a grid line adds no band
+                ((F.col(right_hi) - 1) / band).cast("long"),
+            )
+        ),
+    )
+    l_banded = left.withColumn("_band", (F.col(left_point) / band).cast("long"))
+    cond = (
+        (l_banded[key] == r_bands[key])
+        & (l_banded["_band"] == r_bands["_band"])
+        & (r_bands[right_lo] <= l_banded[left_point])
+        & (l_banded[left_point] < r_bands[right_hi])
+    )
+    joined = l_banded.join(r_bands, cond, how)
+    # drop the right key/band duplicates, keep left intact
+    return joined.drop(r_bands[key]).drop(r_bands["_band"]).drop(
+        l_banded["_band"]
+    )

@@ -2782,3 +2782,57 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 6).alias("min_v"),
         F.round("max_v", 6).alias("max_v"),
     ).orderBy("bucket_start", "event_type")
+
+
+@register(
+    "range_join_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS lo,
+             epoch_us(ts) + 3600000000 AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT v.event_id, count(p.lo) AS n_windows
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id AND p.lo <= v.t AND v.t < p.hi
+    GROUP BY 1
+    """,
+)
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval containment): for every non-purchase event,
+    how many 1-hour post-purchase attribution windows of the same user
+    contain it. The oracle spells the naive inequality join; the Spark
+    side runs the banded rewrite (operators/temporal.py::
+    banded_range_join) — an EQUI join on (user_id, time-band) instead
+    of a per-user nested loop, so the plan is a hash join whose
+    exchange is linear in input size at any scale.
+    """
+    from svs_spark.operators.temporal import banded_range_join
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("lo"),
+        (us + F.lit(3_600_000_000)).alias("hi"),
+    )
+    views = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", us.alias("t")
+    )
+    joined = banded_range_join(
+        views,
+        purchases,
+        key="user_id",
+        left_point="t",
+        right_lo="lo",
+        right_hi="hi",
+        band=3_600_000_000,
+        how="left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("lo").alias("n_windows")
+    )

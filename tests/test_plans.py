@@ -114,3 +114,12 @@ def test_doc_packing_partitions_window_by_source(spark, registry):
     df = registry["doc_packing"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, registry):
+    # the banded rewrite must plan a hash equi-join; a nested-loop join
+    # here means the rewrite regressed to the O(n*m)-per-key plan
+    df = registry["range_join_attribution"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "HashJoin" in plan

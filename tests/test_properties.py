@@ -223,3 +223,40 @@ def test_knuth_split_stable_and_bounded(doc_id):
     bucket = (doc_id * 2654435761) % 4294967296 % 1000
     assert 0 <= bucket < 1000
     assert bucket == (doc_id * 2654435761) % 4294967296 % 1000
+
+
+def test_banded_range_join_equals_naive(spark):
+    """banded_range_join must return exactly what the naive inequality
+    join returns, for every band width (including widths smaller and
+    larger than the intervals)."""
+    from svs_spark.operators.temporal import banded_range_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, 10 * i) for i in range(40)], "id: long, k: long, t: long"
+    )
+    right = spark.createDataFrame(
+        [(j, j % 3, 7 * j, 7 * j + 25) for j in range(25)],
+        "rid: long, k: long, lo: long, hi: long",
+    )
+    naive = (
+        left.join(
+            right,
+            (left["k"] == right["k"])
+            & (right["lo"] <= left["t"])
+            & (left["t"] < right["hi"]),
+            "inner",
+        )
+        .select("id", "rid")
+        .collect()
+    )
+    expected = sorted((r["id"], r["rid"]) for r in naive)
+    for band in (5, 25, 100):
+        got = (
+            banded_range_join(
+                left, right, key="k", left_point="t",
+                right_lo="lo", right_hi="hi", band=band,
+            )
+            .select("id", "rid")
+            .collect()
+        )
+        assert sorted((r["id"], r["rid"]) for r in got) == expected, band
