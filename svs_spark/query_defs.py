@@ -2836,3 +2836,115 @@ def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id").agg(
         F.count("lo").alias("n_windows")
     )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH und AS ({_ANALYSIS_UND_SQL}),
+    deg AS (SELECT a, count(*) AS c FROM und GROUP BY 1),
+    cn AS (
+      SELECT u1.a AS x, u2.a AS y, count(*) AS common
+      FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+      GROUP BY 1, 2
+    )
+    SELECT x, y, common,
+           round(common::DOUBLE / (da.c + db.c - common), 6) AS jaccard
+    FROM cn JOIN deg da ON da.a = cn.x JOIN deg db ON db.a = cn.y
+    WHERE common >= 2
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction via common neighbors + neighborhood Jaccard:
+    node pairs sharing ≥2 neighbors, scored |N(x)∩N(y)| / |N(x)∪N(y)|.
+
+    The wedge join (und ⋈ und on the shared neighbor) shuffles on the
+    neighbor id — the same inverted-index shape as the shingle joins,
+    so hot high-degree nodes are the skew risk; at scale drop hubs
+    above a degree cap first (standard link-prediction practice), then
+    AQE splits the rest. Degree table is tiny → broadcast twice.
+    """
+    und_ = _analysis_edges(spark, sf_dir)
+    und = (
+        und_.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(und_.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("c"))
+    u1 = und.select(F.col("a").alias("x"), F.col("b").alias("n"))
+    u2 = und.select(F.col("a").alias("y"), F.col("b").alias("n"))
+    cn = (
+        u1.join(u2, "n")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("a").alias("x"), F.col("c").alias("cx"))
+    db = deg.select(F.col("a").alias("y"), F.col("c").alias("cy"))
+    return (
+        cn.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("cx") + F.col("cy") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+      FROM events GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+           count(*) FILTER (WHERE t_signup IS NOT NULL
+                            AND t_view > t_signup) AS n_then_view,
+           count(*) FILTER (WHERE t_signup IS NOT NULL
+                            AND t_view > t_signup
+                            AND t_buy > t_view) AS n_then_buy
+    FROM f
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose FIRST signup precedes
+    their first view precedes their first purchase — the sequence-
+    matching shape of product analytics (and of multi-stage pipeline
+    auditing). One shuffle on user_id collapses each user to a single
+    row of first-occurrence timestamps; the ordered comparisons and the
+    four funnel counts all happen in that one pass (NULL comparisons
+    are false in both engines, so missing stages drop out identically).
+    """
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    stage1 = F.col("t_signup").isNotNull()
+    stage2 = stage1 & (F.col("t_view") > F.col("t_signup"))
+    stage3 = stage2 & (F.col("t_buy") > F.col("t_view"))
+    return f.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(stage1).alias("n_signup"),
+        F.count_if(stage2).alias("n_then_view"),
+        F.count_if(stage3).alias("n_then_buy"),
+    )
