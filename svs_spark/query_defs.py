@@ -2948,3 +2948,84 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(stage2).alias("n_then_view"),
         F.count_if(stage3).alias("n_then_buy"),
     )
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS chars_kept
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 10000
+          < least(n_chars, 5000)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: inclusion probability proportional
+    to document length (min(n_chars, 5000)/10000) — the
+    length-weighted subsampling used to build token-budget-bounded
+    corpus mixes. Pure integer arithmetic (same Knuth hash family as
+    train_test_split), so membership is reproducible on any engine,
+    run, or partitioning, and the predicate evaluates in the scan
+    stage with zero shuffle before the reporting groupBy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10000)
+    )
+    weight = F.least(F.col("n_chars"), F.lit(5000))
+    return (
+        docs.filter(bucket < weight)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "order_value_ntiles",
+    oracle="""
+    WITH t AS (
+      SELECT c.c_mktsegment AS seg,
+             o.o_totalprice,
+             ntile(4) OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice, o.o_orderkey) AS tile
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT seg, tile, count(*) AS n,
+           round(CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE), 2)
+             AS tile_total
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile (ntile) stats of order value per market segment —
+    window-function-family coverage beyond rank/lag/frames. The ntile
+    ORDER BY carries o_orderkey as a tiebreaker so tile assignment is
+    total and both engines split equal values identically. Window
+    partitions by segment: no global sort, one exchange reused by the
+    following groupBy on the same leading key.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    t = j.select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_totalprice",
+        F.ntile(4).over(w).alias("tile"),
+    )
+    return (
+        t.groupBy("seg", "tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "tile_total"
+            ),
+        )
+        .orderBy("seg", "tile")
+    )
