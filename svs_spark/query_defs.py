@@ -3029,3 +3029,41 @@ def q_order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "tile")
     )
+
+
+@register(
+    "children_agg",
+    oracle=f"""
+    WITH h AS ({_HIER_SQL})
+    SELECT parent_id, count(*) AS n_children,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS child_ids
+    FROM h WHERE parent_id IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy materialization: per parent, the ordered list of child
+    ids (collect_list + sort_array, surfaced as a CSV string so the
+    cross-engine hash is order- and type-exact). The nested-array
+    aggregation family — building adjacency lists, per-user event
+    sequences, per-doc chunk lists — all compiles to this same
+    single-shuffle collect shape; lists stay bounded by fan-out, not
+    table size, so no reducer materializes more than one parent's
+    children.
+    """
+    h = _hierarchy(spark, sf_dir)
+    return (
+        h.filter(F.col("parent_id").isNotNull())
+        .groupBy("parent_id")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("child_ids"),
+        )
+        .orderBy("parent_id")
+    )
