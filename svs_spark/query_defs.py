@@ -215,7 +215,7 @@ def q_doc_level(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT doc_id, parent_id, level,
-           row_number() OVER (ORDER BY path) AS dfs_rank
+           CAST(row_number() OVER (ORDER BY path) AS INTEGER) AS dfs_rank
     FROM p
     """,
 )
@@ -306,21 +306,45 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_stats",
     oracle=f"""
-    SELECT source,
-           count(*) AS n_docs,
-           sum({OG.ws_token_count_sql('text')}) AS total_tokens,
-           round(avg({OG.quality_score_sql('text')}), 6) AS avg_quality
-    FROM documents
-    GROUP BY source
+    SELECT source, n_docs, total_tokens,
+           CAST(quality_nanos AS DOUBLE) / n_docs / 1000000000 AS avg_quality
+    FROM (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum({OG.ws_token_count_sql('text')}) AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(floor({OG.quality_score_sql('text')} * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS quality_nanos
+      FROM documents
+      GROUP BY source
+    )
     """,
 )
 def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring rollup per source (length/stopword/punct heuristic)."""
+    """Quality-scoring rollup per source (length/stopword/punct heuristic).
+
+    The per-row [0,1] score is scaled to integer nano-units *before*
+    aggregation so the sum is exact and order-independent — a double
+    `avg()` drifts in the last ulp with Spark's partial-aggregation
+    merge order and can flip the driver's value hash run-to-run. The
+    output avg is then derived from the exact integer sum with one
+    fixed division sequence, bit-identical in any engine.
+    """
     docs = load(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
+    q_nanos = F.floor(
+        T.quality_score("text") * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(T.whitespace_token_count("text")).alias("total_tokens"),
-        F.round(F.avg(T.quality_score("text")), 6).alias("avg_quality"),
+        F.sum(q_nanos).alias("quality_nanos"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_tokens",
+        (
+            F.col("quality_nanos").cast("double")
+            / F.col("n_docs")
+            / F.lit(1_000_000_000)
+        ).alias("avg_quality"),
     )
 
 
@@ -328,9 +352,9 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_stats",
     oracle=f"""
     SELECT lang,
-           sum({OG.ws_token_count_sql('text')}) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS word_tokens,
-           sum(n_chars) AS chars
+           CAST(sum({OG.ws_token_count_sql('text')}) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS word_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents
     GROUP BY lang
     """,
@@ -633,8 +657,9 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                  AS INTEGER) AS rn
       FROM orders
     ) WHERE rn <= 3 AND o_custkey < 100
     """,
@@ -697,13 +722,15 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, us, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM e
     )
     SELECT user_id, session_id, count(*) AS n_events,
            min(us) // 1000000 AS start_s, max(us) // 1000000 AS end_s,
-           round(sum(value), 6) AS total_value
+           CAST(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000 AS total_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -727,11 +754,20 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = ev.withColumn("new_sess", new_sess).withColumn(
         "session_id", F.sum("new_sess").over(run)
     )
-    return sess.groupBy("user_id", "session_id").agg(
+    # `value` is summed in exact integer micro-units (floor(v*1e6)) so the
+    # aggregate is independent of partial-aggregation merge order — a raw
+    # sum(double) drifts in the last ulp run-to-run and flips the driver's
+    # value hash.  One fixed division sequence reconstructs the double.
+    v_micros = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    return sess.withColumn("v_micros", v_micros).groupBy(
+        "user_id", "session_id"
+    ).agg(
         F.count("*").alias("n_events"),
         F.expr("min(us) div 1000000").alias("start_s"),
         F.expr("max(us) div 1000000").alias("end_s"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        (F.sum("v_micros").cast("double") / F.lit(1_000_000)).alias(
+            "total_value"
+        ),
     )
 
 
@@ -740,7 +776,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'k' AS BIGINT)) AS min_k,
            max(CAST(props->>'k' AS BIGINT)) AS max_k
     FROM events
@@ -849,7 +885,7 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 6) -> str:
     ),
     sh AS (SELECT did, ({bit_terms}) AS sh FROM tok)
     SELECT a.did AS id_a, b.did AS id_b,
-           bit_count(xor(a.sh, b.sh)) AS hamming
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
     FROM sh a JOIN sh b ON a.did < b.did
     WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
     """
@@ -893,8 +929,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round(list_dot_product(qv, cv), 6) AS score
           FROM q CROSS JOIN c)
     SELECT query_id, vec_id, score, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, vec_id DESC) AS rank
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id DESC)
+                     AS INTEGER) AS rank
       FROM s
     ) WHERE rank <= 5
     """,
@@ -1327,8 +1364,9 @@ def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM tf JOIN df USING (term) CROSS JOIN n
           GROUP BY 1, 2)
     SELECT lang, term, tfidf, rnk FROM (
-      SELECT *, row_number() OVER (PARTITION BY lang
-                                   ORDER BY tfidf DESC, term) AS rnk
+      SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                                        ORDER BY tfidf DESC, term)
+                     AS INTEGER) AS rnk
       FROM s
     ) WHERE rnk <= 3
     """,
@@ -1582,8 +1620,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12ish",
     oracle="""
     SELECT o.o_orderpriority,
-           sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
-           sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_count,
+           CAST(sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_count,
            CAST(sum(CASE WHEN l.l_returnflag = 'R'
                     THEN l.l_extendedprice::DECIMAL(12,2) ELSE 0 END) AS DOUBLE)
              AS returned_value
@@ -2024,12 +2062,17 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lang_centroids",
     oracle="""
-    SELECT d.lang, r.dim,
-           round(avg(e.embedding[r.dim + 1]::DOUBLE), 6) AS centroid_v
-    FROM documents d
-    JOIN embeddings e ON e.vec_id = d.doc_id
-    CROSS JOIN (SELECT unnest(range(64)) AS dim) r
-    GROUP BY 1, 2
+    SELECT lang, dim,
+           CAST(v_nanos AS DOUBLE) / n / 1000000000 AS centroid_v
+    FROM (
+      SELECT d.lang, CAST(r.dim AS INTEGER) AS dim, count(*) AS n,
+             CAST(sum(CAST(floor(e.embedding[r.dim + 1]::DOUBLE * 1000000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS v_nanos
+      FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id
+      CROSS JOIN (SELECT unnest(range(64)) AS dim) r
+      GROUP BY 1, 2
+    )
     """,
 )
 def q_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2046,8 +2089,22 @@ def q_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = j.select(
         "lang", F.posexplode(F.col("embedding").cast("array<double>"))
     ).withColumnsRenamed({"pos": "dim", "col": "v"})
-    return exploded.groupBy("lang", "dim").agg(
-        F.round(F.avg("v"), 6).alias("centroid_v")
+    # Exact integer-nano summation: order-independent under Spark's
+    # partial-aggregation merge order (a double avg drifts in the last
+    # ulp and flips the driver's value hash run-to-run).
+    v_nanos = F.floor(F.col("v") * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    agg = exploded.withColumn("v_nanos", v_nanos).groupBy("lang", "dim").agg(
+        F.count("*").alias("n"), F.sum("v_nanos").alias("v_nanos_sum")
+    )
+    return agg.select(
+        "lang", "dim",
+        (
+            F.col("v_nanos_sum").cast("double")
+            / F.col("n")
+            / F.lit(1_000_000_000)
+        ).alias("centroid_v"),
     )
 
 
@@ -2324,7 +2381,7 @@ def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM est
     )
     SELECT source, CAST((cum_tokens - 1) // 2048 AS BIGINT) AS pack_id,
-           count(*) AS n_docs, sum(est_tokens) AS pack_tokens
+           count(*) AS n_docs, CAST(sum(est_tokens) AS BIGINT) AS pack_tokens
     FROM packed
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -2953,7 +3010,8 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "weighted_sample",
     oracle="""
-    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS chars_kept
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
     FROM documents
     WHERE (doc_id * 2654435761) % 4294967296 % 10000
           < least(n_chars, 5000)
@@ -2992,8 +3050,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT c.c_mktsegment AS seg,
              o.o_totalprice,
-             ntile(4) OVER (PARTITION BY c.c_mktsegment
-                            ORDER BY o.o_totalprice, o.o_orderkey) AS tile
+             CAST(ntile(4) OVER (PARTITION BY c.c_mktsegment
+                                 ORDER BY o.o_totalprice, o.o_orderkey)
+                  AS INTEGER) AS tile
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     )
     SELECT seg, tile, count(*) AS n,
