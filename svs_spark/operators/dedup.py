@@ -29,15 +29,41 @@ SIMHASH_BITS = 32
 SIMHASH_MOD = 1_000_003
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """splitmix64 finalizer (public-domain PRNG constants) — decorrelates
+    consecutive seeds into independent-looking 64-bit values."""
+    z = (x + 0x9E3779B97F4A7C15) & _MASK64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return z ^ (z >> 31)
+
+
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Affine permutation coefficients (a_j, b_j) for h'(x) = (a·x+b) mod P.
 
-    Derived from fixed multipliers so Spark and SQL use identical values.
+    Each pair is derived by splitmix64 mixing of the hash index, so the
+    permutations are pairwise independent in practice.  (The previous
+    family a_j = c·(j+1), b_j = d·(j+1)+17 was *linearly correlated
+    across j* — every permutation ordered small hash sets identically,
+    so the signature agreement rate collapsed to 0 or 1 instead of
+    estimating Jaccard; caught by
+    tests/test_properties.py::test_minhash_estimates_jaccard.)
+
+    The constants are materialized in Python and embedded as int64
+    literals in both the Spark expression and the DuckDB oracle SQL, so
+    cross-engine parity is exact by construction.  a_j ∈ [1, P-1]
+    (nonzero keeps the map a bijection mod P), b_j ∈ [0, P-1];
+    a_j·h + b_j < 2^31·2^30 + 2^31 fits int64 with room to spare.
     """
-    return [
-        ((2654435761 * (j + 1)) % MINHASH_PRIME, (40503 * (j + 1) + 17) % MINHASH_PRIME)
-        for j in range(num_hashes)
-    ]
+    out = []
+    for j in range(num_hashes):
+        a = _splitmix64(2 * j) % (MINHASH_PRIME - 1) + 1
+        b = _splitmix64(2 * j + 1) % MINHASH_PRIME
+        out.append((a, b))
+    return out
 
 
 def token_hashes(text: Column | str, split_on: str = " ") -> Column:

@@ -60,3 +60,64 @@ def test_approx_percentile_vs_exact(spark):
     spread = hi - lo
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) <= 0.01 * spread, (e, a)
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(spark):
+    """LSH recall gate: plant near-duplicate doc pairs with known exact
+    shingle Jaccard and require minhash_lsh_pairs to recover most of
+    them.  This is the check the cross-engine oracle CANNOT do (the
+    oracle mirrors the same signature arithmetic, so a biased hash
+    family stays parity-green while recall silently collapses — the
+    round-1 failure mode of the correlated affine coefficients)."""
+    import random
+
+    from svs_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(500)]
+    docs, planted = [], []
+    did = 0
+    for base in range(40):
+        toks = [rng.choice(vocab) for _ in range(30)]
+        docs.append((did, " ".join(toks)))
+        # near-dup: mutate one token near the end (high Jaccard ~0.8+)
+        mut = list(toks)
+        mut[-2] = rng.choice(vocab)
+        docs.append((did + 1, " ".join(mut)))
+        planted.append((did, did + 1))
+        did += 2
+    for _ in range(60):  # unrelated background docs
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(30))))
+        did += 1
+
+    def shingle_set(text, k=3):
+        t = text.split(" ")
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    def jac(a, b):
+        sa, sb = shingle_set(a), shingle_set(b)
+        return len(sa & sb) / len(sa | sb)
+
+    text_by_id = dict(docs)
+    truth = [
+        (a, b) for a, b in planted if jac(text_by_id[a], text_by_id[b]) >= 0.5
+    ]
+    assert len(truth) >= 30  # the planting really does make near-dups
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, num_hashes=16, bands=4, jaccard_threshold=0.5
+        ).collect()
+    }
+    recall = sum((a, b) in got for a, b in truth) / len(truth)
+    # banding s-curve at J≈0.8 with 16 hashes / 4 bands gives per-pair
+    # candidate probability ≈0.9; over ≥30 planted pairs recall ≥ 0.75
+    # holds with wide margin for an unbiased family (the correlated
+    # round-1 family scored ~0 here)
+    assert recall >= 0.75, recall
+    # precision is exact by construction: every returned pair passed the
+    # exact-Jaccard verification stage
+    for a, b in got:
+        assert jac(text_by_id[a], text_by_id[b]) >= 0.5, (a, b)
