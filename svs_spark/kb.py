@@ -405,7 +405,14 @@ class KnowledgeBase:
         """Transactional delete (kb.py:1526-1542) with the reference's
         order-sensitive parent guard (kb.py:360-414): deleting a doc that
         still has a child at that point in the sequence raises; edges
-        touching a deleted doc (as src, dst, or rel) cascade."""
+        touching a deleted doc (as src, dst, or rel) cascade.
+
+        Scale note: the two collects below are bounded by the *deletion
+        batch* (ids filtered by IN-list, children filtered by parent IN
+        deleted-ids — pushdown predicates, results ≤ batch × fan-out),
+        never by table size; the guard itself is inherently sequential
+        (delete order matters), which is why it runs on the driver over
+        that bounded set."""
         deletions: list[int] = []
 
         def del_doc(doc_id: int) -> None:
@@ -632,37 +639,75 @@ class KnowledgeBase:
     @contextmanager
     def bulk_graph_update(self):
         """kb.py:1673-1729: transactional edge mutations with (src, dst,
-        rel) uniqueness (kb.py:650-651) — duplicates raise RuntimeError."""
-        existing = {
-            (r["src"], r["dst"], r["rel"]): r["edge_id"]
-            for r in self.edges.collect()
-        }
-        next_id = (max(existing.values()) + 1) if existing else 1
+        rel) uniqueness (kb.py:650-651) — duplicates raise RuntimeError.
+
+        Validation is executor-side: every per-call check is a point
+        lookup whose equality/IN predicate pushes down to the parquet
+        scan and returns a bounded (≤ batch-sized) result — the driver
+        never collects the full edge or doc table, so the mutation path
+        has no driver-OOM ceiling at 100 TB.  Results are memoized per
+        bulk so repeated ids cost one job total; the commit itself is a
+        single del-filter + union write (atomic via the warehouse swap).
+        """
+        [max_id] = self.edges.agg(F.max("edge_id")).first()
+        counter = [(max_id or 0) + 1]
         adds: list[tuple] = []
         dels: set[int] = set()
-        counter = [next_id]
-        doc_ids = None  # lazily fetched validation set
+        batch_keys: dict[tuple, int] = {}  # (src, dst, rel) added this bulk
+        del_keys: set[tuple] = set()       # keys freed by in-bulk deletes
+        known_docs: set[int] = set()       # memoized FK lookups
 
         def _check_docs(*ids: int) -> None:
-            nonlocal doc_ids
-            if doc_ids is None:
-                doc_ids = {r["id"] for r in self.docs.select("id").collect()}
+            need = [i for i in dict.fromkeys(ids) if i not in known_docs]
+            if need:
+                known_docs.update(
+                    r["id"]
+                    for r in self.docs.filter(F.col("id").isin(need))
+                    .select("id").collect()
+                )
             for i in ids:
-                if i not in doc_ids:
+                if i not in known_docs:
                     raise ValueError(f"no such doc: {i}")
+
+        def _persisted_edge(src: int, dst: int, rel: int) -> bool:
+            return not self.edges.filter(
+                (F.col("src") == src)
+                & (F.col("dst") == dst)
+                & (F.col("rel") == rel)
+            ).isEmpty()
 
         def _add(src: int, dst: int, rel: int, weight: Optional[float],
                  directed: bool) -> int:
             _check_docs(src, dst, rel)
-            if (src, dst, rel) in existing:
+            key = (src, dst, rel)
+            if key in batch_keys or (
+                key not in del_keys and _persisted_edge(src, dst, rel)
+            ):
                 raise RuntimeError(
                     f"edge ({src}, {dst}, {rel}) already exists"
                 )
+            del_keys.discard(key)
             eid = counter[0]
             counter[0] += 1
-            existing[(src, dst, rel)] = eid
+            batch_keys[key] = eid
             adds.append((eid, src, dst, rel, weight, directed))
             return eid
+
+        def _del(edge_id: int) -> None:
+            # in-bulk add rolled back?
+            for key, eid in list(batch_keys.items()):
+                if eid == edge_id:
+                    del batch_keys[key]
+                    adds[:] = [a for a in adds if a[0] != edge_id]
+                    return
+            row = (
+                self.edges.filter(F.col("edge_id") == edge_id)
+                .select("src", "dst", "rel").first()
+            )
+            if row is None or edge_id in dels:
+                raise ValueError(f"no such edge: [{edge_id}]")
+            dels.add(edge_id)
+            del_keys.add((row["src"], row["dst"], row["rel"]))
 
         class GraphUpdater:
             def add_edge(self, doc1: int, doc2: int, relationship: int,
@@ -675,7 +720,7 @@ class KnowledgeBase:
                 return _add(from_doc, to_doc, relationship, weight, True)
 
             def del_edge(self, edge_id: int) -> None:
-                dels.add(edge_id)
+                _del(edge_id)
 
         yield GraphUpdater()
 
@@ -683,10 +728,6 @@ class KnowledgeBase:
             return
         df = self.edges
         if dels:
-            have = {r["edge_id"] for r in df.select("edge_id").collect()}
-            missing = dels - have
-            if missing:
-                raise ValueError(f"no such edge: {sorted(missing)}")
             df = df.filter(~F.col("edge_id").isin(list(dels)))
         if adds:
             df = df.unionByName(

@@ -240,6 +240,29 @@ class TestGraph:
         kb.del_doc(6)  # rel doc delete cascades the edge too
         assert kb.count_edges() == 0
 
+    def test_del_then_readd_same_triplet(self, kb):
+        """SQLite applies ops sequentially inside the transaction, so
+        deleting an edge frees its (src, dst, rel) key for re-adding in
+        the SAME bulk — the executor-side validation must honor in-bulk
+        deletes, not just persisted state."""
+        self._setup(kb)
+        e1 = kb.add_edge(2, 4, 6)
+        with kb.bulk_graph_update() as g:
+            g.del_edge(e1)
+            e2 = g.add_edge(2, 4, 6)  # must NOT raise duplicate
+        assert e2 != e1
+        assert kb.count_edges() == 1
+
+    def test_in_bulk_add_rollback(self, kb):
+        """del_edge of an id added earlier in the same bulk removes the
+        pending add (mirrors sequential SQLite execution)."""
+        self._setup(kb)
+        with kb.bulk_graph_update() as g:
+            eid = g.add_edge(1, 2, 6)
+            g.del_edge(eid)
+            g.add_edge(1, 2, 6)  # key is free again
+        assert kb.count_edges() == 1
+
 
 class TestKeyval:
     def test_kv_semantics(self, kb):
