@@ -546,13 +546,26 @@ class KnowledgeBase:
         rows = self.docs.filter(F.col("level") == level).orderBy("id").collect()
         return [self._to_record(r, include_embedding) for r in rows]
 
+    @staticmethod
+    def _ord_id(col: F.Column) -> F.Column:
+        """Order-preserving string form of a signed 64-bit id: id + 2^63
+        in DECIMAL(20,0), zero-padded to 20 digits — lexicographic order
+        equals numeric order for EVERY long, including the negative
+        xxhash64 ids produced by add_documents_df/corpus ingest.  (A
+        plain lpad(id, 12) truncates >12-digit ids and sorts negatives
+        after positives — ADVICE r1.)"""
+        import decimal
+
+        shifted = col.cast("decimal(20,0)") + F.lit(decimal.Decimal(2**63))
+        return F.lpad(shifted.cast("decimal(20,0)").cast("string"), 20, "0")
+
     def dfs_traversal(self, include_embedding: bool = False) -> List[dict]:
         """kb.py:1580-1593 golden order (tests/test_kb.py:1117-1153):
         roots ascending, children ascending, depth-first. Iterative
         frontier expansion building a zero-padded path, then one sort."""
         frontier = self.docs.filter(F.col("parent_id").isNull()).select(
             F.col("id").alias("cur"),
-            F.lpad(F.col("id").cast("string"), 12, "0").alias("path"),
+            self._ord_id(F.col("id")).alias("path"),
         )
         # localCheckpoint per level: truncates the iterated lineage so
         # deep hierarchies don't nest plans exponentially (same fix as
@@ -568,7 +581,7 @@ class KnowledgeBase:
                     F.concat_ws(
                         "/",
                         F.col("f.path"),
-                        F.lpad(F.col("d.id").cast("string"), 12, "0"),
+                        self._ord_id(F.col("d.id")),
                     ).alias("path"),
                 )
                 .localCheckpoint()

@@ -147,6 +147,210 @@ def build_two_level_index(
         json.dump(meta, f)
 
 
+def train_centroids_sample(
+    embeddings: DataFrame,
+    n_clusters: int,
+    vec_col: str = "embedding",
+    sample_rows: int = 50_000,
+    iters: int = 8,
+    seed: int = 7,
+):
+    """Spherical k-means trained on a driver-side sample (numpy), for
+    assigning IVF clusters distributed afterwards.
+
+    Train-on-sample + assign-distributed is the standard IVF recipe
+    (FAISS does exactly this): centroid quality needs only a
+    representative sample, while assignment is one full scan.  The
+    sample is bounded (``sample_rows`` × dim doubles), never the corpus.
+    Returns a unit-normalized (n_clusters × dim) float32 ndarray.
+    """
+    import numpy as np
+
+    n = embeddings.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
+    sample = (
+        embeddings.select(vec_col).sample(frac, seed=seed).limit(sample_rows)
+    ).collect()
+    mat = np.asarray([r[0] for r in sample], dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    # kmeans++-style init (D² sampling on 1-cos distance): random init
+    # frequently merges neighboring true clusters, which directly costs
+    # ANN recall (the probe set misses the merged-away cell)
+    first = int(rng.integers(len(mat)))
+    cent = np.empty((n_clusters, mat.shape[1]), dtype=np.float32)
+    cent[0] = mat[first]
+    best_sim = mat @ cent[0]
+    for c in range(1, n_clusters):
+        d2 = np.maximum(1.0 - best_sim, 0.0) ** 2
+        tot = float(d2.sum())
+        if tot <= 0:
+            idx = int(rng.integers(len(mat)))
+        else:
+            idx = int(rng.choice(len(mat), p=d2 / tot))
+        cent[c] = mat[idx]
+        best_sim = np.maximum(best_sim, mat @ cent[c])
+    for _ in range(iters):
+        # cosine assignment (unit vectors): argmax of dot
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF serving index: parquet partitioned by cluster
+    label with int8-quantized vectors stored as a packed BINARY column.
+
+    - assignment: one distributed scan; each Arrow batch does a single
+      (batch × clusters) float32 GEMM argmax — no per-row Python
+    - quantization: round(clamp(x,-1,1)·127) packed to bytes — 4× less
+      I/O per probe than float32, and integer dot products at query time
+    - layout: ``label=<c>/part-*.parquet`` → a probe reads only its
+      clusters' partitions (partition pruning, verified in tests)
+    - metadata: centroids + params in ``_index_meta/meta.json`` so the
+      query path ranks clusters without touching the corpus
+
+    At 100 TB: build is one scan + one shuffle-free partitioned write
+    (repartition by label first so each cluster writes one file run);
+    incremental update = dynamic partition overwrite of changed labels.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float32))
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_quantize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            labels = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            q = np.clip(np.rint(np.clip(mat, -1.0, 1.0) * 127), -127, 127)
+            q = q.astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "label": labels,
+                    "qemb": [row.tobytes() for row in q],
+                    "femb": [row.tobytes() for row in mat],
+                }
+            )
+
+    # both precisions live in the layout; parquet column pruning means a
+    # query pays only for the one it scores with (int8 = ¼ the bytes,
+    # float32 = exact within the probed cells)
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_quantize,
+        schema="vec_id long, label int, qemb binary, femb binary",
+    )
+    (
+        assigned.repartition(F.col("label"))
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(out_path)
+    )
+    meta = {
+        "kind": "ivf_int8",
+        "dim": int(cent.shape[1]),
+        "n_clusters": int(cent.shape[0]),
+        "centroids": [[float(x) for x in row] for row in cent],
+    }
+    meta_dir = os.path.join(out_path, "_index_meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def search_ivf_index(
+    df: DataFrame,
+    meta: dict,
+    qvec: Sequence[float],
+    k: int,
+    probes: int = 4,
+    precision: str = "float32",
+) -> DataFrame:
+    """Serve a top-k query from a ``build_ivf_index`` layout.
+
+    ``df`` is the (reusable) ``spark.read.parquet(index_path)`` handle —
+    callers keep it across queries so file listing isn't re-paid.
+    Cluster ranking runs driver-side over the metadata centroids; the
+    plan then reads ONLY the probed label partitions (partition
+    pruning) and ONLY the chosen precision's column (parquet column
+    pruning), streams the packed vectors through one NumPy GEMM kernel
+    that emits just its batch-local top-k, and finishes with a global
+    TakeOrderedAndProject.
+
+    precision='float32': exact scores within the probed cells — recall
+    is bounded only by probe coverage.  precision='int8': ¼ the bytes
+    per probe; the quantization noise σ≈3e-3 on unit-dot scores is fine
+    for coarse retrieval but reshuffles dense top-k tails (measured:
+    recall@100 0.46 vs 0.99+ at 1M×1536 in tools/million_bench.py), so
+    the int8 path is the candidate-generation/IO-bound option, not the
+    default.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    cent = np.asarray(meta["centroids"], dtype=np.float32)
+    q = np.asarray(qvec, dtype=np.float32)
+    ranked = np.argsort(-(cent @ q))[:probes]
+    probe_labels = [int(x) for x in ranked]
+    use_int8 = precision == "int8"
+    col = "qemb" if use_int8 else "femb"
+    qq = (
+        np.clip(np.rint(np.clip(q, -1.0, 1.0) * 127), -127, 127).astype(
+            np.int32
+        )
+        if use_int8
+        else q.astype(np.float64)
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            raw = b"".join(pdf[col].to_numpy())
+            if use_int8:
+                mat = np.frombuffer(raw, dtype=np.int8).reshape(len(pdf), -1)
+                s = mat.astype(np.int32) @ qq / np.float64(127 * 127)
+            else:
+                mat = np.frombuffer(raw, dtype=np.float32).reshape(
+                    len(pdf), -1
+                )
+                s = mat.astype(np.float64) @ qq
+            ids = pdf["vec_id"].to_numpy()
+            if len(s) > k:
+                part = np.argpartition(-s, k - 1)[:k]
+            else:
+                part = np.arange(len(s))
+            yield pd.DataFrame(
+                {"vec_id": ids[part], "score": s[part].astype(np.float64)}
+            )
+
+    hits = df.filter(F.col("label").isin(probe_labels)).select("vec_id", col)
+    return (
+        hits.mapInPandas(score, schema="vec_id long, score double")
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 def search_two_level_index(
     spark: SparkSession,
     index_path: str,

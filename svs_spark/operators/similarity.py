@@ -270,20 +270,22 @@ def knn_join_batch(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            scores = mat @ qmat  # (batch, q) — one GEMM
+            # round BEFORE local selection: the global window ranks by
+            # rounded score, so pruning on unrounded values could drop
+            # the id-desc tie winner at the k boundary (ADVICE r1)
+            scores = np.round(mat @ qmat, 6)  # (batch, q) — one GEMM
             take = min(k, len(ids))
-            # per-query local top-k (argpartition column-wise)
             part = np.argpartition(-scores, take - 1, axis=0)[:take]
-            out_ids = ids[part.ravel(order="F")]
-            out_qids = np.repeat(qid_arr, take)
-            out_scores = np.take_along_axis(scores, part, axis=0).ravel(
-                order="F"
-            )
+            # keep EVERY row tied with the kth score (argpartition's tie
+            # order is arbitrary); the global window resolves ties by
+            # id desc exactly like retrieve_topk
+            kth = np.take_along_axis(scores, part, axis=0).min(axis=0)
+            rows, cols = np.nonzero(scores >= kth[None, :])
             yield pd.DataFrame(
                 {
-                    "query_id": out_qids,
-                    id_col: out_ids,
-                    "score": np.round(out_scores, 6),
+                    "query_id": qid_arr[cols],
+                    id_col: ids[rows],
+                    "score": scores[rows, cols],
                 }
             )
 

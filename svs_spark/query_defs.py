@@ -3139,3 +3139,140 @@ def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("parent_id")
     )
+
+
+# ===========================================================================
+# KB mutation / KV / lifecycle semantics under the DRIVER's correctness
+# gate (round-1 verdict: M/K/S classes were pytest-only — the driver had
+# never independently checked them).  Each query builds a real
+# KnowledgeBase in a temp warehouse from the testdata, runs the actual
+# mutation machinery (bulk_graph_update, bulk_del_docs,
+# bulk_keyval_update, close/reopen), and returns the post-state as a
+# DataFrame that a pure-SQL DuckDB oracle reproduces independently.
+# Parity targets: reference kb.py:360-414 (parent guard + cascade),
+# kb.py:650-651 (edge uniqueness), kb.py:1731-1795 (typed KV),
+# kb.py:1437-1464 (close/vacuum) + kb.py:896-922 (stored embedding
+# params on reopen).
+# ===========================================================================
+
+
+def _kb_tmp(name: str, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(f"{name}:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"svs_kbq_{name}_{h}")
+
+
+@register(
+    "kb_delete_cascade",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS edge_id,
+             doc_id AS src,
+             (3 * doc_id + 1) % 140 AS dst,
+             doc_id % 5 AS rel
+      FROM documents WHERE doc_id < 140 AND doc_id % 7 = 0
+    )
+    SELECT edge_id, src, dst, rel FROM e
+    WHERE src % 10 <> 3 AND dst % 10 <> 3 AND rel % 10 <> 3
+    """,
+)
+def q_kb_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 edge-cascade as a data check: ingest 140 root docs, add a
+    deterministic edge set via bulk_graph_update (sequential edge ids,
+    executor-side validation), bulk-delete every doc ≡3 (mod 10), and
+    return the surviving edges.  The oracle reproduces the cascade rule
+    (reference kb.py:360-414: an edge dies with its src, dst, OR rel
+    doc) from the raw documents table — fully independent of the KB
+    machinery under test."""
+    from svs_spark.functions.embeddings import make_mock_embeddings_func
+    from svs_spark.kb import KnowledgeBase
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 140)
+    kb = KnowledgeBase(
+        spark, _kb_tmp("cascade", sf_dir),
+        embedding_func=make_mock_embeddings_func(), force_fresh_db=True,
+    )
+    kb.add_documents_df(docs, id_col="doc_id", no_embedding=True)
+    edge_srcs = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id").collect()
+    )
+    with kb.bulk_graph_update() as g:
+        for did in edge_srcs:
+            g.add_edge(did, (3 * did + 1) % 140, did % 5)
+    with kb.bulk_del_docs() as dd:
+        for did in range(3, 140, 10):
+            dd(did)
+    return kb.edges.select("edge_id", "src", "dst", "rel")
+
+
+@register(
+    "kb_keyval_typed",
+    oracle="""
+    SELECT event_type AS key, 'int' AS val_type,
+           CAST(count(*) AS VARCHAR) AS val
+    FROM events GROUP BY event_type
+    UNION ALL SELECT 'corpus', 'str', 'svs_spark'
+    UNION ALL SELECT 'threshold', 'float', '2.5'
+    """,
+)
+def q_kb_keyval_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-class typed-value round trip as a data check: per-event-type
+    counts stored as ints plus a str and a float via bulk_keyval_update,
+    then the raw keyval table (type tag + encoding) returned.  The
+    oracle recomputes the counts and the reference's SQLite-ANY-style
+    typed encoding (kb.py:74-78, 1731-1795) straight from events."""
+    from svs_spark.functions.embeddings import make_mock_embeddings_func
+    from svs_spark.kb import KnowledgeBase
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+        .collect()
+    )
+    kb = KnowledgeBase(
+        spark, _kb_tmp("keyval", sf_dir),
+        embedding_func=make_mock_embeddings_func(), force_fresh_db=True,
+    )
+    with kb.bulk_keyval_update() as kv:
+        for r in counts:
+            kv.set(r["event_type"], int(r["n"]))
+        kv.set("corpus", "svs_spark")
+        kv.set("threshold", 2.5)
+    return kb.wh.read("keyval")
+
+
+@register(
+    "kb_lifecycle_reload",
+    oracle="""
+    SELECT doc_id AS id, 0 AS level,
+           CAST(length(text) AS INTEGER) AS text_len
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def q_kb_lifecycle_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-class lifecycle as a data check: create a fresh KB with stored
+    embedding params (provider=mock), ingest 120 docs, close(vacuum) —
+    compaction must preserve content — then REOPEN with no embedding
+    func (exercising the stored-params rebuild path, reference
+    kb.py:896-922) and warm-load.  Returns (id, level, text length) of
+    every stored doc; the oracle reads the same slice of documents."""
+    from svs_spark.kb import KnowledgeBase
+
+    path = _kb_tmp("lifecycle", sf_dir)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    kb = KnowledgeBase(
+        spark, path, embedding_params={"provider": "mock"},
+        force_fresh_db=True,
+    )
+    kb.add_documents_df(docs, id_col="doc_id", no_embedding=True)
+    kb.close(vacuum=True)
+    kb2 = KnowledgeBase(spark, path)  # stored params rebuild the func
+    kb2.load()
+    return kb2.docs.select(
+        "id", "level", F.length("text").alias("text_len")
+    )

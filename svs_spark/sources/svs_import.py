@@ -138,29 +138,47 @@ def export_svs_sqlite(
     if os.path.exists(out_db):
         os.remove(out_db)
     con = sqlite3.connect(out_db)
+    # STRICT matters for value fidelity, not just parity with the
+    # reference DDL (src/svs/kb.py:68-111): without STRICT a `val ANY`
+    # column has NUMERIC affinity and silently coerces numeric-looking
+    # STRING keyvals ('123' → integer 123), breaking the lossless
+    # round-trip (regression test:
+    # tests/test_svs_import.py::test_numeric_looking_string_keyval).
     con.executescript(
         """
-        CREATE TABLE keyval (id INTEGER PRIMARY KEY, key TEXT UNIQUE, val ANY);
-        CREATE TABLE keyval_user (id INTEGER PRIMARY KEY, key TEXT UNIQUE, val ANY);
-        CREATE TABLE embeddings (id INTEGER PRIMARY KEY, embedding BLOB NOT NULL);
+        CREATE TABLE keyval (
+          id INTEGER PRIMARY KEY, key TEXT NOT NULL UNIQUE, val ANY NOT NULL
+        ) STRICT;
+        CREATE TABLE keyval_user (
+          id INTEGER PRIMARY KEY, key TEXT NOT NULL UNIQUE, val ANY NOT NULL
+        ) STRICT;
+        CREATE TABLE embeddings (
+          id INTEGER PRIMARY KEY, embedding BLOB NOT NULL
+        ) STRICT;
         CREATE TABLE docs (
           id INTEGER PRIMARY KEY,
           parent_id INTEGER REFERENCES docs(id),
           level INTEGER NOT NULL,
           text TEXT NOT NULL,
           embedding INTEGER REFERENCES embeddings(id),
-          meta TEXT);
-        CREATE INDEX docs_parent_id ON docs(parent_id);
-        CREATE INDEX docs_level ON docs(level);
-        CREATE INDEX docs_embedding ON docs(embedding);
+          meta TEXT
+        ) STRICT;
+        CREATE INDEX idx_docs_parent_id ON docs(parent_id);
+        CREATE INDEX idx_docs_level ON docs(level);
+        CREATE INDEX idx_docs_embedding ON docs(embedding);
         CREATE TABLE edges (
           id INTEGER PRIMARY KEY,
-          a INTEGER NOT NULL REFERENCES docs(id),
-          b INTEGER NOT NULL REFERENCES docs(id),
-          r INTEGER NOT NULL REFERENCES docs(id),
+          a INTEGER REFERENCES docs(id) NOT NULL,
+          b INTEGER REFERENCES docs(id) NOT NULL,
+          r INTEGER REFERENCES docs(id) NOT NULL,
           w REAL,
-          d INTEGER NOT NULL,
-          UNIQUE (a, b, r));
+          d INTEGER NOT NULL
+        ) STRICT;
+        CREATE UNIQUE INDEX idx_edges_abr ON edges(a, b, r);
+        CREATE INDEX idx_edges_a ON edges(a);
+        CREATE INDEX idx_edges_b ON edges(b);
+        CREATE INDEX idx_edges_r ON edges(r);
+        CREATE INDEX idx_edges_d ON edges(d);
         """
     )
     wh = Warehouse(spark, warehouse_path)

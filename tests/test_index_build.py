@@ -106,3 +106,86 @@ class TestTwoLevelIndex:
             ).collect()
         }
         assert len(got & exact) >= 3  # wide probe recovers real neighbors
+
+
+class TestIvfInt8Index:
+    """build_ivf_index / search_ivf_index: the serving layout (partition
+    pruning on label + packed int8 vectors + integer-GEMM scoring)."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        k, dim, per = 8, 16, 80
+        centers = rng.standard_normal((k, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(k):
+            pts = centers[c] + 0.25 * rng.standard_normal((per, dim)).astype(
+                np.float32
+            )
+            pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+            for p in pts:
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return df, centers
+
+    @pytest.fixture(scope="class")
+    def ivf_path(self, spark, clustered, tmp_path_factory):
+        df, _ = clustered
+        path = str(tmp_path_factory.mktemp("ivf") / "idx")
+        cent = IX.train_centroids_sample(
+            df, n_clusters=8, sample_rows=400, iters=6
+        )
+        IX.build_ivf_index(df, path, cent)
+        return path
+
+    def test_layout_and_meta(self, ivf_path):
+        labels = [d for d in os.listdir(ivf_path) if d.startswith("label=")]
+        assert len(labels) >= 6  # kmeans occasionally merges tiny clusters
+        meta = IX.read_index_meta(ivf_path)
+        assert meta["kind"] == "ivf_int8" and meta["dim"] == 16
+
+    def test_search_prunes_partitions(self, spark, clustered, ivf_path):
+        _, centers = clustered
+        meta = IX.read_index_meta(ivf_path)
+        df = spark.read.parquet(ivf_path)
+        q = [float(x) for x in centers[0]]
+        res = IX.search_ivf_index(df, meta, q, k=5, probes=2)
+        plan = X.plan_string(res)
+        assert "PartitionFilters" in plan and "label" in plan
+        assert res.count() == 5
+
+    def test_full_probe_matches_exact_topk(self, spark, clustered, ivf_path):
+        """probes = all clusters ⇒ the index scans everything; int8
+        quantization error is the only divergence from exact float
+        top-k, so overlap must be near-total."""
+        df, centers = clustered
+        meta = IX.read_index_meta(ivf_path)
+        idx = spark.read.parquet(ivf_path)
+        q = [float(x) for x in centers[3]]
+        exact = {r["vec_id"] for r in retrieve_topk(df, q, 20).collect()}
+        got = {
+            r["vec_id"]
+            for r in IX.search_ivf_index(
+                idx, meta, q, k=20, probes=meta["n_clusters"]
+            ).collect()
+        }
+        assert len(got & exact) >= 17
+
+    def test_narrow_probe_recall(self, spark, clustered, ivf_path):
+        """2 of 8 probes on well-clustered data: most true neighbors
+        live in the query's own cluster."""
+        df, centers = clustered
+        meta = IX.read_index_meta(ivf_path)
+        idx = spark.read.parquet(ivf_path)
+        q = [float(x) for x in centers[5]]
+        exact = {r["vec_id"] for r in retrieve_topk(df, q, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in IX.search_ivf_index(idx, meta, q, k=10, probes=2).collect()
+        }
+        assert len(got & exact) >= 7

@@ -111,6 +111,23 @@ class TestDocStore:
         order = [r["id"] for r in kb.dfs_traversal()]
         assert order == [1, 2, 4, 5, 3]
 
+    def test_dfs_order_with_hashed_ids(self, spark, tmp_path):
+        """ADVICE r1: xxhash64 corpus ingest produces negative and
+        >12-digit doc ids; DFS order must still be numeric-ascending
+        (the old lpad-12 path truncated long ids and sorted negatives
+        lexically after positives)."""
+        kb = KnowledgeBase(
+            spark, str(tmp_path / "hashed"),
+            embedding_params={"provider": "mock"}, force_fresh_db=True,
+        )
+        ids = [-9123456789012345678, -5, 3, 42, 8765432109876543210]
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+        )
+        kb.add_documents_df(df, no_embedding=True)
+        order = [r["id"] for r in kb.dfs_traversal()]
+        assert order == sorted(ids)
+
     def test_persistence_across_reopen(self, spark, tmp_path):
         path = str(tmp_path / "kb2")
         kb = KnowledgeBase(

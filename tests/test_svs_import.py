@@ -140,3 +140,52 @@ def test_roundtrip_export_import(spark, tmp_path):
     assert kb2.count_edges() == 1
     with kb2.bulk_keyval_update() as kv:
         assert kv.get("answer") == 42
+
+
+def test_numeric_looking_string_keyval_roundtrip(spark, tmp_path):
+    """STRICT regression (ADVICE r1): without STRICT, `val ANY` gets
+    NUMERIC affinity and SQLite silently coerces the STRING '123' to
+    integer 123 on insert — the re-imported KB would change the value's
+    type. The exported schema must preserve str/int/float/bytes exactly."""
+    from svs_spark.functions.embeddings import make_mock_embeddings_func
+    from svs_spark.sources.svs_import import (
+        export_svs_sqlite, import_svs_sqlite,
+    )
+
+    src_path = str(tmp_path / "src_kb")
+    kb = KnowledgeBase(
+        spark, src_path, embedding_func=make_mock_embeddings_func(),
+        embedding_params={"provider": "mock"}, force_fresh_db=True,
+    )
+    with kb.bulk_keyval_update() as kv:
+        kv.set("numeric_string", "123")
+        kv.set("float_string", "1.5")
+        kv.set("true_int", 123)
+        kv.set("true_float", 1.5)
+        kv.set("bin", b"\x00123")
+
+    db = str(tmp_path / "export.db")
+    export_svs_sqlite(spark, src_path, db)
+
+    con = sqlite3.connect(db)
+    vals = dict(con.execute("SELECT key, val FROM keyval_user").fetchall())
+    con.close()
+    assert vals["numeric_string"] == "123" and isinstance(
+        vals["numeric_string"], str
+    )
+    assert vals["float_string"] == "1.5" and isinstance(
+        vals["float_string"], str
+    )
+    assert vals["true_int"] == 123 and isinstance(vals["true_int"], int)
+    assert vals["true_float"] == 1.5 and isinstance(vals["true_float"], float)
+    assert vals["bin"] == b"\x00123"
+
+    back = str(tmp_path / "back_kb")
+    import_svs_sqlite(spark, db, back)
+    kb2 = KnowledgeBase(spark, back)
+    with kb2.bulk_keyval_update() as kv:
+        assert kv.get("numeric_string") == "123"
+        assert isinstance(kv.get("numeric_string"), str)
+        assert kv.get("true_int") == 123
+        assert kv.get("true_float") == 1.5
+        assert kv.get("bin") == b"\x00123"

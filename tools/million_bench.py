@@ -3,12 +3,18 @@ configuration (1M docs, dim-1536 float32 unit vectors, warm top-100;
 BASELINE.md: 0.24 s warm, ~98 s cold matrix build).
 
 Generates deterministic synthetic unit vectors distributed (no driver
-materialization), persists them (the "warm matrix" equivalent), and
-times top-100 retrieval via both scoring paths:
+materialization) as a mixture of cluster centers (real embedding
+corpora are clustered — and it is what makes IVF meaningful), persists
+them, and times top-100 retrieval via three paths:
 
 - `sql`:   codegen'd zip_with/aggregate fold (exact, oracle-grade)
 - `batch`: Arrow-batched NumPy matvec (the BLAS kernel the reference
            uses, sharded across executor threads)
+- `ivf`:   the serving index (operators/index_build.build_ivf_index):
+           label-partitioned parquet + packed int8 vectors; a query
+           reads probes/n_clusters × ¼ of the corpus bytes via
+           partition pruning and scores with one integer GEMM.
+           Approximate — recall@100 vs the exact path is reported.
 
 Usage: python tools/million_bench.py [n_docs] [dim]
 """
@@ -40,17 +46,43 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # deterministic synthetic unit vectors, generated executor-side
+    # deterministic synthetic unit vectors, generated executor-side as a
+    # mixture over N_CENTERS cluster centers (docs near centers, like
+    # real embedding corpora; center set regenerated per worker from the
+    # fixed seed — cheaper than broadcasting 6 MB)
     import numpy as np
     import pandas as pd
 
+    N_CENTERS = 512
+    NOISE = 0.35
+
+    def centers_matrix() -> np.ndarray:
+        c = np.random.default_rng(999).standard_normal(
+            (N_CENTERS, dim), dtype=np.float32
+        )
+        return c / np.linalg.norm(c, axis=1, keepdims=True)
+
     def gen(batches):
+        centers = centers_matrix()
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rng = np.random.default_rng(ids[0] if len(ids) else 0)
-            mat = rng.standard_normal((len(ids), dim), dtype=np.float32)
+            g = rng.standard_normal((len(ids), dim), dtype=np.float32)
+            # noise scaled to a FIXED vector norm (raw gaussian noise has
+            # norm ~sqrt(dim) and would drown the unit-norm center)
+            g *= NOISE / np.linalg.norm(g, axis=1, keepdims=True)
+            mat = centers[ids % N_CENTERS] + g
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             yield pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+
+    def make_query(seed: int) -> list:
+        centers = centers_matrix()
+        rng = np.random.default_rng(10_000 + seed)
+        g = rng.standard_normal(dim, dtype=np.float32)
+        g *= NOISE / np.linalg.norm(g)
+        q = centers[seed % N_CENTERS] + g
+        q /= np.linalg.norm(q)
+        return [float(x) for x in q]
 
     emb = (
         spark.range(n, numPartitions=64)
@@ -106,6 +138,54 @@ def main() -> None:
     bulk_s = time.perf_counter() - t0
     assert n_out == 64 * 100
 
+    # --- IVF int8 serving index: the single-query latency path --------
+    from svs_spark.operators import index_build as IX
+
+    idx_path = os.path.join(tempfile.gettempdir(), f"mb_ivf_{n}_{dim}")
+    t0 = time.perf_counter()
+    cent = IX.train_centroids_sample(
+        emb, n_clusters=min(N_CENTERS, max(8, n // 1000)),
+        sample_rows=min(10_000, n), iters=6,
+    )
+    train_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    IX.build_ivf_index(emb, idx_path, cent)
+    ivf_build_s = time.perf_counter() - t0
+    meta = IX.read_index_meta(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    probes = 8
+    n_eval = 5
+    qs = [make_query(i) for i in range(n_eval)]
+    exacts = []
+    for q in qs:
+        exacts.append(
+            {
+                r["vec_id"]
+                for r in with_scores_batch(emb, q)
+                .orderBy(F.desc("score"), F.desc("vec_id"))
+                .limit(100)
+                .collect()
+            }
+        )
+    results = {}
+    for prec in ("float32", "int8"):
+        IX.search_ivf_index(idx, meta, qs[0], 100, probes, prec).count()
+        lat, recalls = [], []
+        for q, exact in zip(qs, exacts):
+            t0 = time.perf_counter()
+            got = {
+                r["vec_id"]
+                for r in IX.search_ivf_index(
+                    idx, meta, q, 100, probes, prec
+                ).collect()
+            }
+            lat.append(time.perf_counter() - t0)
+            recalls.append(len(got & exact) / 100.0)
+        results[prec] = (sum(lat) / len(lat), sum(recalls) / len(recalls))
+    ivf_query_s, ivf_recall = results["float32"]
+    ivf8_query_s, ivf8_recall = results["int8"]
+
     print(
         json.dumps(
             {
@@ -119,6 +199,14 @@ def main() -> None:
                 "batch_path_sec": round(batch_s, 3),
                 "bulk_64q_sec": round(bulk_s, 3),
                 "bulk_queries_per_sec": round(64 / bulk_s, 2),
+                "ivf_train_sec": round(train_s, 3),
+                "ivf_build_sec": round(ivf_build_s, 3),
+                "ivf_probes": probes,
+                "ivf_clusters": meta["n_clusters"],
+                "ivf_warm_query_sec": round(ivf_query_s, 3),
+                "ivf_recall_at_100": round(ivf_recall, 4),
+                "ivf_int8_warm_query_sec": round(ivf8_query_s, 3),
+                "ivf_int8_recall_at_100": round(ivf8_recall, 4),
                 "reference_warm_sec": 0.24,
                 "reference_cold_sec": 98.7,
             }
