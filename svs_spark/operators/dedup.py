@@ -394,10 +394,12 @@ def connected_components(
     min-label propagation — turns pairwise matches into dedup clusters
     (doc_id, canonical_id = min id in component).
 
-    Each iteration is one join + groupBy (shuffle on node id); converges
-    in O(component diameter) rounds — near-dup graphs are shallow, so a
-    handful of rounds even at 100 TB. This is the standard large-graph
-    CC shape (label propagation), no driver-side graph materialization.
+    Each iteration is one neighbor join + one pointer-jumping join
+    (label-of-my-label), both shuffling on node id. Pointer jumping
+    (path doubling) makes label distance shrink geometrically, so
+    convergence is O(log diameter) rounds instead of O(diameter) — for
+    a 1000-node chain that is ~10 rounds, not 1000. No driver-side
+    graph materialization.
     """
     und = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
@@ -420,12 +422,24 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        # pointer jumping: adopt my label's label too (labels are always
+        # node ids, so the self-join resolves) — path doubling
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"), F.col("y.label").alias("jmin")
+            )
+        )
         new_labels = (
             labels.join(neighbor_min, "node", "left")
+            .join(jump, "node", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("nmin", F.col("label")),
+                    F.coalesce("jmin", F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint()

@@ -1395,14 +1395,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("term"),
     )
     tf = t.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
-    df_ = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    nd = docs.count()
+    # corpus size folded in as a 1-row broadcast cross join (the oracle's
+    # `n` CTE) instead of an eager driver-side docs.count() — keeps the
+    # whole query one lazy plan with no extra action
+    nd = docs.agg(F.count("*").cast("double").alias("nd"))
+    df_ = (
+        t.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+    )
     s = (
         tf.join(F.broadcast(df_), "term")
         .groupBy("lang", "term")
         .agg(
             F.round(
-                F.sum(F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))), 6
+                F.sum(F.col("tf") * F.log(F.col("nd") / F.col("df"))), 6
             ).alias("tfidf")
         )
     )

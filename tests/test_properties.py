@@ -260,3 +260,18 @@ def test_banded_range_join_equals_naive(spark):
             .collect()
         )
         assert sorted((r["id"], r["rid"]) for r in got) == expected, band
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node path graph: pointer jumping must converge well inside
+    max_iter (plain propagation needs 60 rounds; doubling needs ~6) and
+    label every node with the chain minimum."""
+    from svs_spark.operators.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(59)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(df, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
