@@ -49,6 +49,12 @@ from svs_spark.sources.warehouse import Warehouse, resolve_location
 
 SCHEMA_VERSION = 1  # kb.py:64
 
+# docs bucket count for point-update locality: a single-doc mutation
+# rewrites 1/DOCS_BUCKETS of the table (bucket chosen by pmod(id, n)),
+# not all of it.  At 100 TB you would raise this into the thousands so
+# each bucket is a few files; the layout and call sites are the same.
+DOCS_BUCKETS = 16
+
 DOCS_SCHEMA = StructType([
     StructField("id", LongType(), False),
     StructField("parent_id", LongType(), True),
@@ -247,6 +253,51 @@ class KnowledgeBase:
     def count_edges(self) -> int:
         return self.edges.count()
 
+    # -- docs write paths: bucketed point-update locality ---------------------
+
+    def _append_docs(self, new_df: DataFrame) -> None:
+        """Append new doc rows touching only their hash buckets.
+
+        First append converts the (plain, empty-at-init) docs table to
+        the bucketed layout; afterwards an append of rows hitting k
+        buckets rewrites k/DOCS_BUCKETS of the table — a single add_doc
+        touches ONE bucket.  The distinct-bucket probe collects ≤
+        DOCS_BUCKETS rows, never data."""
+        if self.wh.bucket_meta("docs") is None:
+            self.wh.write_bucketed(
+                "docs", self.docs.unionByName(new_df), "id", DOCS_BUCKETS
+            )
+        else:
+            pbs = [
+                r[0]
+                for r in new_df.select(
+                    F.pmod(F.col("id"), F.lit(DOCS_BUCKETS)).cast("int")
+                ).distinct().collect()
+            ]
+            post = self.wh.read_buckets("docs", pbs).unionByName(new_df)
+            self.wh.overwrite_buckets("docs", pbs, post)
+        self._invalidate()
+
+    def _point_update_docs(self, doc_id: int, column: str, value) -> None:
+        """Rewrite exactly one doc's column, touching only its bucket
+        (full-table fallback for pre-bucketed warehouses)."""
+        bmeta = self.wh.bucket_meta("docs")
+        patch = lambda df: df.withColumn(  # noqa: E731
+            column,
+            F.when(F.col("id") == doc_id, value).otherwise(F.col(column)),
+        )
+        if bmeta is not None:
+            pb = Warehouse.bucket_of(doc_id, bmeta["n_buckets"])
+            bucket = self.wh.read_buckets("docs", [pb])
+            if bucket.filter(F.col("id") == doc_id).first() is None:
+                raise ValueError(f"no such doc: {doc_id}")
+            self.wh.overwrite_buckets("docs", [pb], patch(bucket))
+        else:
+            if self.docs.filter(F.col("id") == doc_id).first() is None:
+                raise ValueError(f"no such doc: {doc_id}")
+            self.wh.write("docs", patch(self.docs))
+        self._invalidate()
+
     # -- DML: bulk add (M1) ---------------------------------------------------
 
     @contextmanager
@@ -327,8 +378,7 @@ class KnowledgeBase:
         skipped = skipped.select(
             "id", "parent_id", "level", "text", "embedding", "meta"
         )
-        self.wh.write("docs", self.docs.unionByName(embedded.unionByName(skipped)))
-        self._invalidate()
+        self._append_docs(embedded.unionByName(skipped))
 
     def add_doc(self, text: str, parent_id: Optional[int] = None,
                 meta: Optional[dict] = None, no_embedding: bool = False) -> int:
@@ -394,8 +444,7 @@ class KnowledgeBase:
             F.col("embedding").cast(ArrayType(FloatType())).alias("embedding"),
             "meta",
         )
-        self.wh.write("docs", self.docs.unionByName(staged))
-        self._invalidate()
+        self._append_docs(staged)
         return n_new
 
     # -- DML: bulk delete (M2) -------------------------------------------------
@@ -447,7 +496,20 @@ class KnowledgeBase:
                 )
             removed.add(doc_id)
         id_list = list(removed)
-        self.wh.write("docs", self.docs.filter(~F.col("id").isin(id_list)))
+        bmeta = self.wh.bucket_meta("docs")
+        if bmeta is not None:
+            # rewrite only the deleted ids' buckets (1..k of n, pruned read)
+            pbs = sorted(
+                {Warehouse.bucket_of(i, bmeta["n_buckets"]) for i in id_list}
+            )
+            post = self.wh.read_buckets("docs", pbs).filter(
+                ~F.col("id").isin(id_list)
+            )
+            self.wh.overwrite_buckets("docs", pbs, post)
+        else:
+            self.wh.write(
+                "docs", self.docs.filter(~F.col("id").isin(id_list))
+            )
         self.wh.write(
             "edges",
             self.edges.filter(
@@ -467,27 +529,17 @@ class KnowledgeBase:
     # -- DML: meta + embedding update (M3, M4) ---------------------------------
 
     def update_doc_meta(self, doc_id: int, new_meta: Optional[dict]) -> None:
-        """kb.py:347-358: replace (or NULL) one doc's JSON meta."""
-        if self.docs.filter(F.col("id") == doc_id).first() is None:
-            raise ValueError(f"no such doc: {doc_id}")
+        """kb.py:347-358: replace (or NULL) one doc's JSON meta —
+        rewrites only the doc's hash bucket (1/DOCS_BUCKETS of the
+        table), not the whole table."""
         enc = json.dumps(new_meta) if new_meta is not None else None
-        self.wh.write(
-            "docs",
-            self.docs.withColumn(
-                "meta",
-                F.when(F.col("id") == doc_id, F.lit(enc)).otherwise(
-                    F.col("meta")
-                ),
-            ),
-        )
-        self._invalidate()
+        self._point_update_docs(doc_id, "meta", F.lit(enc))
 
     def set_doc_embedding(
         self, doc_id: int, embedding: Optional[List[float]]
     ) -> None:
-        """kb.py:526-571: replace one doc's vector."""
-        if self.docs.filter(F.col("id") == doc_id).first() is None:
-            raise ValueError(f"no such doc: {doc_id}")
+        """kb.py:526-571: replace one doc's vector — bucket-local
+        rewrite like update_doc_meta."""
         lit = (
             F.array(*[F.lit(float(x)) for x in embedding]).cast(
                 ArrayType(FloatType())
@@ -495,16 +547,7 @@ class KnowledgeBase:
             if embedding is not None
             else F.lit(None).cast(ArrayType(FloatType()))
         )
-        self.wh.write(
-            "docs",
-            self.docs.withColumn(
-                "embedding",
-                F.when(F.col("id") == doc_id, lit).otherwise(
-                    F.col("embedding")
-                ),
-            ),
-        )
-        self._invalidate()
+        self._point_update_docs(doc_id, "embedding", lit)
 
     # -- queries (Q2-Q6) --------------------------------------------------------
 

