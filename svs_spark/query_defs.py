@@ -3283,3 +3283,181 @@ def q_kb_lifecycle_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kb2.docs.select(
         "id", "level", F.length("text").alias("text_len")
     )
+
+
+# ===========================================================================
+# Training-pipeline ops 3: corpus mixing, length profiling, dedup
+# application, RAG chunking — the remaining "assemble the training mix"
+# steps a 100 TB pipeline runs after dedup/quality filtering.
+# ===========================================================================
+
+
+@register(
+    "corpus_mix_allocation",
+    oracle="""
+    WITH tot AS (
+      SELECT source,
+             CAST(sum((n_chars + 3) // 4) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, src_tokens, sqrt(CAST(src_tokens AS DOUBLE)) AS w,
+             sum(sqrt(CAST(src_tokens AS DOUBLE))) OVER () AS wsum
+      FROM tot
+    ),
+    quota AS (
+      SELECT source, src_tokens,
+             CAST(floor(1000000 * w / wsum) AS BIGINT) AS base_alloc,
+             1000000 * w / wsum - floor(1000000 * w / wsum) AS rem
+      FROM wts
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+                     AS INTEGER) AS rr,
+             CAST(1000000 - sum(base_alloc) OVER () AS BIGINT) AS leftover
+      FROM quota
+    )
+    SELECT source, src_tokens,
+           base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+             AS alloc_tokens
+    FROM ranked
+    """,
+)
+def q_corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token allocation: a 1M-token budget split across
+    sources proportional to sqrt(source tokens) — the standard
+    sub-linear upsampling of small sources — made to sum EXACTLY to the
+    budget by largest-remainder rounding (ties by source name).
+
+    All the heavy work is one scan + tiny per-source aggregates; the
+    windowed remainder ranking runs over n_sources rows. Integer quotas
+    are exact in any engine; the only doubles (sqrt weights) feed a
+    floor, mirrored operation-for-operation in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    budget = 1_000_000
+    tot = docs.groupBy("source").agg(
+        F.sum(((F.col("n_chars") + 3) / 4).cast("long")).alias("src_tokens")
+    )
+    w = F.sqrt(F.col("src_tokens").cast("double"))
+    wts = tot.withColumn("w", w).withColumn(
+        "wsum", F.sum("w").over(Window.partitionBy())
+    )
+    exact = F.lit(budget) * F.col("w") / F.col("wsum")
+    quota = wts.withColumn(
+        "base_alloc", F.floor(exact).cast("long")
+    ).withColumn("rem", exact - F.floor(exact))
+    ranked = quota.withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))),
+    ).withColumn(
+        "leftover",
+        (F.lit(budget) - F.sum("base_alloc").over(Window.partitionBy())).cast(
+            "long"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "src_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+    )
+
+
+@register(
+    "token_histogram",
+    oracle="""
+    SELECT source,
+           CAST(length(printf('%b', n_chars)) - 1 AS INTEGER) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS bucket_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1, 2
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 doc-length histogram per source (dataset profiling).
+
+    The bucket is computed with pure INTEGER arithmetic — the length of
+    the binary representation (Spark ``bin()``, DuckDB ``printf('%b')``)
+    — because floating log2() is NOT cross-engine-exact at powers of
+    two. Single scan, codegen'd, partial-agg combine."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = (F.length(F.expr("bin(n_chars)")) - 1).cast("int")
+    return docs.groupBy("source", bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("bucket_chars"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+    WITH canon AS (
+      SELECT min(doc_id) AS keeper
+      FROM documents
+      GROUP BY md5(substr(text, 1, 40))
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d JOIN canon ON d.doc_id = canon.keeper
+    GROUP BY d.lang
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY exact dedup (not just list the dup pairs): keep the lowest
+    doc_id of every normalized-key group, report the surviving corpus
+    per language. The canonical-keeper set is a groupBy + min on the
+    hash key — one shuffle — then a semi-ish join back (broadcast at
+    these sizes, shuffle-hash at 100 TB where AQE picks the side)."""
+    docs = load(spark, sf_dir, "documents")
+    canon = (
+        docs.select(
+            F.md5(F.substring("text", 1, 40)).alias("key_hash"), "doc_id"
+        )
+        .groupBy("key_hash")
+        .agg(F.min("doc_id").alias("keeper"))
+        .select("keeper")
+    )
+    return (
+        docs.join(canon, docs["doc_id"] == canon["keeper"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "rag_chunk_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_chars <= 500 THEN 1
+                    ELSE 1 + (n_chars - 500 + 399) // 400 END) AS BIGINT)
+             AS n_chunks,
+           CAST(sum(n_chars) AS BIGINT) AS covered_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_rag_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking plan: 500-char windows with 100-char overlap
+    (stride 400). Chunk count per doc is the closed integer form
+    ``1 + ceil((n-500)/400)`` for n>500 — no explode needed for the
+    planning stats, so this is a pure single-scan aggregate; the
+    chunk-materializing twin (used by an indexer) is the same formula
+    under a sequence+transform."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    chunks = F.when(n <= 500, F.lit(1)).otherwise(
+        1 + F.floor((n - 500 + 399) / 400).cast("long")
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(chunks).alias("n_chunks"),
+        F.sum(n).alias("covered_chars"),
+    )
