@@ -3461,3 +3461,130 @@ def q_rag_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(chunks).alias("n_chunks"),
         F.sum(n).alias("covered_chars"),
     )
+
+
+# ===========================================================================
+# OLAP widening 3: Q4/Q7/Q16 analogues — EXISTS-per-order, nation-pair
+# trade volume (two dimension broadcasts on one fact), and
+# distinct-supplier stats per part group.
+# ===========================================================================
+
+
+@register(
+    "tpch_q4ish",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: orders with at least one LATE lineitem
+    (shipped >60 days after the order date), counted per priority.
+
+    The correlated EXISTS compiles to a LEFT SEMI join on l_orderkey
+    with the lateness predicate in the join condition — no row
+    multiplication, one fact shuffle, order-date filter pushed to the
+    orders scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q7ish",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                    * (1 - l.l_discount::DECIMAL(4,2))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: trade volume between (customer nation,
+    supplier nation) pairs per ship year.
+
+    Join graph: the lineitem fact joins orders (fact-fact, the one real
+    shuffle pair) then FOUR dimension hops — customer, supplier, and
+    nation twice — all broadcast, so the physical plan is one
+    sort-merge/shuffle join plus broadcast hash joins and a single
+    partial-aggregated groupBy. Money goes through DECIMAL so the sum
+    is order-independent."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["cnk"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["snk"])
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(F.sum(vol).cast("double").alias("volume"))
+
+
+@register(
+    "tpch_q16ish",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 2, 3, 4, 5)
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: distinct suppliers per (brand, size) for
+    small part sizes — the part filter pushes into the broadcast side's
+    scan, and the distinct count is Spark's two-phase partial-distinct
+    aggregate (no naive global distinct)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 2, 3, 4, 5)
+    ).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )

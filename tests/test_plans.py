@@ -144,3 +144,18 @@ def test_ivf_probe_single_corpus_scan(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan[:3000]
     assert X.has_pushed_filter(df, "label"), "probe filter must push down"
+
+
+def test_tpch_q7_broadcasts_all_dims(spark, registry):
+    """Q7ish: four dimension hops (customer, supplier, nation ×2) must
+    all broadcast — only the lineitem⋈orders fact join may shuffle."""
+    df = registry["tpch_q7ish"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_tpch_q4_is_semi_join(spark, registry):
+    """Q4ish EXISTS must plan as a semi join (no row multiplication)."""
+    df = registry["tpch_q4ish"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
