@@ -266,6 +266,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
@@ -288,10 +289,10 @@ def simhash_pairs(
     """
     sh = docs.select(
         F.col(id_col).alias("did"),
-        simhash(token_hashes(text_col)).alias("sh"),
+        simhash(token_hashes(text_col), bits=bits).alias("sh"),
     ).persist()
 
-    segs = simhash_segments(SIMHASH_BITS, max_hamming + 1)
+    segs = simhash_segments(bits, max_hamming + 1)
     seg_rows = sh.select(
         "did",
         "sh",
