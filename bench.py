@@ -58,6 +58,11 @@ HEADLINE = [
     "decontaminate_ngrams",
     "doc_packing",
     "data_profile",
+    # round-2 widening: banded 48-bit simhash (the fixed O(N²)
+    # scale-killer, at its web-scale width/threshold) and the
+    # four-dimension-broadcast join graph
+    "simhash48_pairs",
+    "tpch_q7ish",
 ]
 
 

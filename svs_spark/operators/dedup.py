@@ -261,6 +261,50 @@ def simhash_segments(bits: int, n_segments: int) -> list[tuple[int, int]]:
     return out
 
 
+def _simhash_batch_kernel(id_col: str, text_col: str, bits: int):
+    """Arrow-batched SimHash signatures: identical integers to the
+    ``simhash()`` Column spec (token poly-hash → per-bit affine parity
+    votes) but one vectorized (tokens × bits) NumPy pass per doc instead
+    of ``bits`` interpreted HigherOrderFunction folds — the Column form
+    is ~10× slower because per-token lambda folds never enter
+    whole-stage codegen (DEVNOTES invariant #5)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    i_arr = np.arange(bits, dtype=np.int64)
+    mult = 2 * i_arr + 3
+    weights = (1 << i_arr.astype(np.uint64)).astype(np.int64)
+
+    def poly_hash(token: str) -> int:
+        acc = 0
+        for ch in token:
+            acc = (acc * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+        return acc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids_out, sh_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = dict.fromkeys(text.lower().split(" "))
+                hs = []
+                for t in toks:
+                    h = cache.get(t)
+                    if h is None:
+                        h = poly_hash(t)
+                        cache[t] = h
+                    hs.append(h)
+                harr = np.asarray(hs, dtype=np.int64)[:, None]
+                votes = ((harr * mult + i_arr) % SIMHASH_MOD) % 2 * 2 - 1
+                sh = int(weights[votes.sum(axis=0) > 0].sum())
+                ids_out.append(did)
+                sh_out.append(sh)
+            yield pd.DataFrame({"did": ids_out, "sh": sh_out})
+
+    return run
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -287,9 +331,9 @@ def simhash_pairs(
     65536 buckets/segment), which this function supports via
     ``simhash(..., bits=64)`` + the same pigeonhole argument.
     """
-    sh = docs.select(
-        F.col(id_col).alias("did"),
-        simhash(token_hashes(text_col), bits=bits).alias("sh"),
+    sh = docs.select(id_col, text_col).mapInPandas(
+        _simhash_batch_kernel(id_col, text_col, bits),
+        schema="did long, sh long",
     ).persist()
 
     segs = simhash_segments(bits, max_hamming + 1)

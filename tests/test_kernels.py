@@ -198,3 +198,34 @@ class TestQuantization:
         )
         [row] = df.select(V.quantize_int8("embedding").alias("q")).collect()
         assert row["q"] == [76, -102, 0, 127, -127]
+
+
+def test_simhash_kernel_matches_column_spec(spark):
+    """The Arrow kernel must produce byte-identical signatures to the
+    simhash() Column spec (which is the oracle-parity form)."""
+    from pyspark.sql import functions as F
+
+    from svs_spark.operators.dedup import (
+        _simhash_batch_kernel, simhash, token_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with five dozen"),
+         (3, "a a b  c"), (4, "z")],
+        "doc_id long, text string",
+    )
+    for bits in (32, 48):
+        spec = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", simhash(token_hashes("text"), bits=bits).alias("sh")
+            ).collect()
+        }
+        got = {
+            r["did"]: r["sh"]
+            for r in docs.mapInPandas(
+                _simhash_batch_kernel("doc_id", "text", bits),
+                schema="did long, sh long",
+            ).collect()
+        }
+        assert got == spec, bits
