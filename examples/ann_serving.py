@@ -1,0 +1,59 @@
+"""Build-once / query-fast ANN serving over an embedding corpus.
+
+Demonstrates the IVF serving index (operators/index_build.py):
+
+1. TRAIN   — spherical kmeans++ on a bounded sample (driver numpy)
+2. BUILD   — one distributed scan assigns clusters + quantizes, writes
+             parquet partitioned by label with packed float32 AND int8
+             vector columns; centroids land in index metadata
+3. QUERY   — rank centroids driver-side (no scan), read ONLY the probed
+             label partitions and ONLY the chosen precision column,
+             score with one NumPy GEMM per Arrow batch, global top-k
+
+At 1M docs × dim 1536 this serves a warm top-100 in ~0.5 s at
+recall@100 = 1.00 vs 5-8 s for an exact full scan (MILLION_BENCH_r02).
+
+Usage:
+    python examples/ann_serving.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from svs_spark import get_session
+from svs_spark.operators import index_build as IX
+
+
+def main(sf_dir: str) -> None:
+    spark = get_session("ann_serving")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    print(f"corpus: {n} vectors")
+
+    idx_path = os.path.join(tempfile.gettempdir(), "ann_serving_idx")
+    cent = IX.train_centroids_sample(
+        emb, n_clusters=max(8, n // 250), sample_rows=min(20_000, n)
+    )
+    IX.build_ivf_index(emb, idx_path, cent)
+    meta = IX.read_index_meta(idx_path)
+    print(f"index: {meta['n_clusters']} clusters, dim {meta['dim']}")
+
+    # keep ONE reader handle across queries (file listing paid once)
+    idx = spark.read.parquet(idx_path)
+    qvec = [float(x) for x in emb.first()["embedding"]]
+
+    for precision in ("float32", "int8"):
+        rows = IX.search_ivf_index(
+            idx, meta, qvec, k=5, probes=4, precision=precision
+        ).collect()
+        print(f"top-5 ({precision}):",
+              [(r["vec_id"], round(r["score"], 4)) for r in rows])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
