@@ -3599,3 +3599,69 @@ def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("p_brand", "p_size").agg(
         F.count_distinct("l_suppkey").alias("supplier_cnt")
     )
+
+
+# ===========================================================================
+# Skew rewrites under the driver gate: salted two-phase aggregation and
+# salted replicated join must be RESULT-identical to the plain forms —
+# the oracle computes the plain form, so the gate proves the rewrite is
+# semantics-preserving, not just tested against itself.
+# ===========================================================================
+
+from svs_spark.operators import skew as SK  # noqa: E402
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_v_micros,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (few, giant) event_type
+    groups — the rewrite for aggregation skew AQE cannot split (one
+    giant GROUP). Phase 1 aggregates on (key, salt) so the hot group
+    spreads over 16 reducers; phase 2 merges partials. Values sum in
+    exact integer micro-units so the salted merge order cannot drift."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("v_micros"),
+    )
+    out = SK.salted_agg(ev, ["event_type"], sum_cols=["v_micros"], count=True)
+    return out.select(
+        "event_type",
+        F.col("sum_v_micros").cast("long").alias("sum_v_micros"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_type, n.n_name, count(*) AS n_events
+    FROM events e
+    JOIN nation n ON n.n_nationkey = CAST(e.user_id % 25 AS INTEGER)
+    GROUP BY 1, 2
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join: events (hot user_ids) against a small-
+    but-not-broadcast side, joined on (key, salt) with the right side
+    replicated 16× — result-identical to the plain join (the oracle IS
+    the plain join). The derived nation key stands in for any
+    low-cardinality skewed dimension key."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 25).cast("int").alias("n_nationkey")
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = SK.salted_join(ev, nat, key="n_nationkey", salt=16)
+    return joined.groupBy("event_type", "n_name").agg(
+        F.count("*").alias("n_events")
+    )
