@@ -3665,3 +3665,137 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type", "n_name").agg(
         F.count("*").alias("n_events")
     )
+
+
+@register(
+    "tpch_q8ish",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             n.n_name AS supp_nation,
+             l.l_extendedprice::DECIMAL(12,2)
+               * (1 - l.l_discount::DECIMAL(4,2)) AS v
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN v
+                         ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+                / CAST(sum(v) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue: one nation's market share of a region's trade
+    volume per order year — conditional-numerator / total-denominator in
+    a single aggregation pass (no self-join), with the region filter
+    pushed through two broadcast dimension hops. DECIMAL sums keep both
+    numerator and denominator order-independent; the single final
+    division is bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    v = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("n_name").alias("supp_nation"),
+            v.alias("v"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "CHINA", F.col("v")).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("num"),
+        F.sum("v").alias("den"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("num").cast("double") / F.col("den").cast("double"))
+        .cast("double")
+        .alias("mkt_share"),
+    )
+
+
+@register(
+    "tpch_q21ish",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order — the classic EXISTS + NOT-EXISTS pair
+    correlated to the same fact table. Both subqueries compile to
+    left-semi / left-anti joins on l_orderkey (no row multiplication),
+    with the lateness cutoff carried alongside the correlation key."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cutoff = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    with_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    only_late = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_anti",
+    )
+    return (
+        only_late.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

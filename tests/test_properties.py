@@ -275,3 +275,54 @@ def test_connected_components_long_chain(spark):
         for r in connected_components(df, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(60)}
+
+
+@given(
+    st.integers(min_value=0, max_value=2**48 - 1),
+    st.sets(st.integers(min_value=0, max_value=47), max_size=4),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_pigeonhole_lossless(sig, flip_bits, max_hamming):
+    """For ANY pair within Hamming distance ≤ max_hamming, at least one
+    of the max_hamming+1 contiguous segments must be bit-identical —
+    the invariant that makes the banded candidate join lossless."""
+    from svs_spark.operators.dedup import simhash_segments
+
+    other = sig
+    for b in list(flip_bits)[:max_hamming]:  # ≤ max_hamming flips
+        other ^= 1 << b
+    segs = simhash_segments(48, max_hamming + 1)
+    assert any(
+        (sig >> off) & ((1 << w) - 1) == (other >> off) & ((1 << w) - 1)
+        for off, w in segs
+    )
+    # segments tile the signature exactly
+    assert sum(w for _, w in segs) == 48
+    assert segs[0][0] == 0
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1,
+             max_size=30),
+    st.integers(min_value=1, max_value=10**7),
+)
+@settings(max_examples=200, deadline=None)
+def test_largest_remainder_allocation_invariants(weights, budget):
+    """Largest-remainder rounding (the corpus_mix_allocation rule):
+    integer allocations sum EXACTLY to the budget and each differs from
+    the exact proportional share by < 1 token."""
+    import math
+
+    wsum = sum(weights)
+    exact = [budget * w / wsum for w in weights]
+    base = [math.floor(x) for x in exact]
+    rem = [x - b for x, b in zip(exact, base)]
+    leftover = budget - sum(base)
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    for a, x in zip(alloc, exact):
+        assert a - x < 1 + 1e-9 and x - a < 1 + 1e-9
