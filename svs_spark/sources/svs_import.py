@@ -102,7 +102,15 @@ def import_svs_sqlite(
                 (r["id"], r["parent_id"], r["level"], r["text"], vec,
                  r["meta"])
             )
-    wh.write("docs", spark.createDataFrame(doc_rows, DOCS_SCHEMA))
+    docs_df = spark.createDataFrame(doc_rows, DOCS_SCHEMA)
+    if doc_rows:
+        # imported KBs get the bucketed layout up front so point DML is
+        # bucket-local from the first mutation (kb.DOCS_BUCKETS)
+        from svs_spark.kb import DOCS_BUCKETS
+
+        wh.write_bucketed("docs", docs_df, "id", DOCS_BUCKETS)
+    else:
+        wh.write("docs", docs_df)
 
     cur = con.execute("SELECT id, a, b, r, w, d FROM edges ORDER BY id")
     edge_rows = [
