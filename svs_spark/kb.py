@@ -567,8 +567,22 @@ class KnowledgeBase:
             "meta": json.loads(row["meta"]) if row["meta"] is not None else None,
         }
 
+    def _point_read(self, doc_id: int):
+        """Point lookup routed through the bucketed layout: the partition
+        filter prunes the scan to 1/DOCS_BUCKETS of the table (plus
+        parquet row-group min/max pruning on id inside the bucket)."""
+        bmeta = self.wh.bucket_meta("docs")
+        src = (
+            self.wh.read_buckets(
+                "docs", [Warehouse.bucket_of(doc_id, bmeta["n_buckets"])]
+            )
+            if bmeta is not None
+            else self.docs
+        )
+        return src.filter(F.col("id") == doc_id).first()
+
     def query_doc(self, doc_id: int, include_embedding: bool = False) -> dict:
-        row = self.docs.filter(F.col("id") == doc_id).first()
+        row = self._point_read(doc_id)
         if row is None:
             raise KeyError(f"no such doc: {doc_id}")
         return self._to_record(row, include_embedding)
