@@ -1,0 +1,80 @@
+"""Sweep every registered query's executed plan for scale anti-patterns.
+
+Flags:
+- CartesianProduct / BroadcastNestedLoopJoin nodes whose build side is
+  not a known 1-row/broadcast-tiny construct (the quadratic-join smell)
+- row-at-a-time Python UDFs (BatchEvalPython) — everything Python-side
+  must be Arrow-batched (ArrowEvalPython / mapInPandas)
+
+Allowlist: queries that intentionally crossJoin a 1-row aggregate
+(count/total broadcasts) — the nested-loop there multiplies by ONE row.
+
+Usage: python tools/plan_audit.py   (exit 1 on unexpected findings)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SVS_PLAN_SF_DIR", "/root/testdata/sf0.001")
+
+# (query, node) pairs where a nested-loop/cross join is a deliberate
+# 1-row broadcast (scalar count / total / max folded into the plan)
+ONE_ROW_CROSS_OK = {
+    "graph_edge_stats", "graph_degree", "graph_pagerank", "dedup_exact",
+    "tfidf_top_terms", "winnow_pairs", "tpch_q14ish", "tpch_q15ish",
+    "data_profile", "corpus_mix_allocation", "train_test_split",
+    "decontaminate_ngrams", "tpch_q22ish", "conversion_funnel",
+    "graph_common_neighbors", "quality_filter_funnel",
+}
+
+# Deliberately quadratic EXACT baselines: the nested loop is over GEMM
+# *blocks* (N/2048 per side) or a handful of query rows, never row×row,
+# and each has a sub-quadratic scale alternative in the registry
+# (minhash_lsh_dedup / ann_lsh_bucket / ann_ivf_probe / knn batch).
+QUADRATIC_BY_DESIGN = {
+    "pairwise_topk",        # blocked-GEMM strict-upper-triangle top-k
+    "embedding_near_dup",   # blocked-GEMM threshold pairs (oracle form)
+    "knn_bruteforce",       # 10 query rows × corpus, the recall baseline
+}
+ONE_ROW_CROSS_OK |= QUADRATIC_BY_DESIGN
+
+
+def main() -> int:
+    from svs_spark.queries import queries
+    from svs_spark.session import get_session
+
+    spark = get_session("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = []
+    for name, fn in sorted(queries().items()):
+        try:
+            plan = (
+                fn(spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"plan build error: {e}"))
+            continue
+        findings = []
+        if "CartesianProduct" in plan and name not in ONE_ROW_CROSS_OK:
+            findings.append("CartesianProduct")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in ONE_ROW_CROSS_OK
+        ):
+            findings.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            findings.append("row-at-a-time Python UDF")
+        if findings:
+            bad.append((name, ", ".join(findings)))
+            print(f"{name}: {', '.join(findings)}")
+    print(f"\n{len(bad)} queries flagged: {[n for n, _ in bad]}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
