@@ -283,6 +283,7 @@ def search_ivf_index(
     k: int,
     probes: int = 4,
     precision: str = "float32",
+    rerank_mult: int = 4,
 ) -> DataFrame:
     """Serve a top-k query from a ``build_ivf_index`` layout.
 
@@ -301,7 +302,15 @@ def search_ivf_index(
     for coarse retrieval but reshuffles dense top-k tails (measured:
     recall@100 0.46 vs 0.99+ at 1M×1536 in tools/million_bench.py), so
     the int8 path is the candidate-generation/IO-bound option, not the
-    default.
+    default.  precision='int8_rerank' closes that gap: the int8 pass
+    generates ``rerank_mult``·k candidates (reading ONLY the ¼-size
+    qemb column), then a second pass re-scores just those candidate
+    rows against the float32 column and takes the exact top-k.  At
+    cluster scale the screen pass is the I/O-bound one (¼ the bytes of
+    a float32 probe) while the rerank reads femb for a candidate set of
+    a few hundred rows — pushed down as a ``vec_id IN (...)`` filter,
+    so row-group stats bound what gets decoded.  Measured at 1M×1536:
+    recall@100 back to 1.00 (tools/million_bench.py).
     """
     import numpy as np
     import pandas as pd
@@ -311,6 +320,42 @@ def search_ivf_index(
     q = np.asarray(qvec, dtype=np.float32)
     ranked = np.argsort(-(cent @ q))[:probes]
     probe_labels = [int(x) for x in ranked]
+
+    if precision == "int8_rerank":
+        # screen: int8 over-fetch of rerank_mult·k candidate ids (only
+        # the packed qemb column is read); ids are tiny (≤ a few KB) so
+        # collecting them to drive the rerank filter is bounded.
+        cand = search_ivf_index(
+            df, meta, qvec, max(k, rerank_mult * k), probes, "int8"
+        )
+        cand_ids = [int(r["vec_id"]) for r in cand.select("vec_id").collect()]
+        exact = df.filter(
+            F.col("label").isin(probe_labels) & F.col("vec_id").isin(cand_ids)
+        ).select("vec_id", "femb")
+
+        def rescore(it):
+            qq = q.astype(np.float64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                raw = b"".join(pdf["femb"].to_numpy())
+                mat = np.frombuffer(raw, dtype=np.float32).reshape(
+                    len(pdf), -1
+                )
+                s = mat.astype(np.float64) @ qq
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "score": s.astype(np.float64),
+                    }
+                )
+
+        return (
+            exact.mapInPandas(rescore, schema="vec_id long, score double")
+            .orderBy(F.desc("score"), F.desc("vec_id"))
+            .limit(k)
+        )
+
     use_int8 = precision == "int8"
     col = "qemb" if use_int8 else "femb"
     qq = (

@@ -3799,3 +3799,281 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ===========================================================================
+# TPC-H analogue tail: Q2 / Q9 / Q11 / Q20 — the correlated-subquery
+# family. No partsupp table exists in the testdata, so lineitem plays the
+# part-supplier relation (unit cost = min(l_extendedprice/l_quantity) per
+# (part, supplier)); the decorrelation shapes are the point: argmin-per-
+# group as aggregate+rejoin (Q2), scalar global aggregate as a 1-row
+# broadcast (Q11), nested IN chains as stacked semi-joins (Q20).
+# ===========================================================================
+
+
+@register(
+    "tpch_q2ish",
+    oracle="""
+    WITH eu_supp AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT c.* FROM cost c JOIN eu_supp s ON c.l_suppkey = s.s_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+           round(pc.unit_cost, 6) AS unit_cost
+    FROM part p
+    JOIN pc ON pc.l_partkey = p.p_partkey
+    JOIN eu_supp s ON pc.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+      AND pc.unit_cost = (SELECT min(pc2.unit_cost) FROM pc pc2
+                          WHERE pc2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 min-cost supplier (reference has no OLAP tail; TPC-H Q2
+    spec shape). The correlated min subquery decorrelates into a
+    per-part aggregate joined back on (partkey, cost) equality; the
+    region-filtered supplier dim broadcasts into both the cost build
+    and the final projection, so the only wide shuffle is the
+    (part, supplier) cost aggregation over lineitem.
+
+    min() is order-independent, so the double division is hash-safe.
+    """
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(
+            F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    pc = cost.join(
+        F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"]
+    ).select("l_partkey", "l_suppkey", "unit_cost")
+    parts = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    best = pc.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        pc.join(
+            best,
+            (pc["l_partkey"] == best["l_partkey"])
+            & (pc["unit_cost"] == best["min_cost"]),
+        )
+        .drop(best["l_partkey"])
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9ish",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                    * (1 - l.l_discount::DECIMAL(4,2))
+                    - p.p_retailprice::DECIMAL(12,2)
+                      * l.l_quantity::DECIMAL(12,2) * 0.5::DECIMAL(3,2))
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit by nation and year. Cost side uses
+    p_retailprice·quantity/2 in place of the absent ps_supplycost. The
+    part filter ('red%') and supplier→nation dims broadcast; orders is
+    the one big-big join (shuffle on orderkey); profit sums in DECIMAL
+    so partial aggregation is order-independent.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+        - _dec("p_retailprice")
+        * _dec("l_quantity")
+        * F.lit(0.5).cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11ish",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice::DECIMAL(12,2)) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value AS DOUBLE)
+          > (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: per-part value restricted to one
+    nation's suppliers, kept only where it exceeds a fraction of the
+    GLOBAL total — the scalar subquery becomes a 1-row aggregate
+    broadcast-crossed into the filter (no second lineitem scan: the
+    per-part aggregate is persisted and reused for both the threshold
+    and the output). DECIMAL sums keep both the values and the global
+    threshold order-independent.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    nat_sup = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        li.join(
+            F.broadcast(nat_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+        .persist()
+    )
+    thresh = val.agg(
+        (F.sum("value").cast("double") * F.lit(0.001)).alias("thresh")
+    )
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("value").cast("double") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "tpch_q20ish",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l.l_partkey, l.l_suppkey
+        HAVING sum(l.l_quantity::DECIMAL(12,2)) > 30
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion: the nested IN chain
+    (supplier ∈ {shipped enough of ∈ {small parts}}) decorrelates into
+    stacked semi-joins — part filter broadcast-semi into lineitem, the
+    qualifying (part, supplier) aggregate, then a distinct-supplier
+    left-semi into the nation-filtered supplier dim. No correlated
+    execution anywhere; one lineitem shuffle on (partkey, suppkey).
+    """
+    parts = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(
+            F.broadcast(parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        sup.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            qualifying,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -176,6 +176,36 @@ class TestIvfInt8Index:
         }
         assert len(got & exact) >= 17
 
+    def test_int8_rerank_matches_float32_exactly(
+        self, spark, clustered, ivf_path
+    ):
+        """int8_rerank screens with the quantized column, then re-scores
+        candidates against float32 — with full probes its top-k must
+        equal the float32 path's top-k exactly (same scores, same tie
+        order), restoring exactness the raw int8 path loses."""
+        df, centers = clustered
+        meta = IX.read_index_meta(ivf_path)
+        idx = spark.read.parquet(ivf_path)
+        q = [float(x) for x in centers[1]]
+        f32 = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in IX.search_ivf_index(
+                idx, meta, q, k=15, probes=meta["n_clusters"], precision="float32"
+            ).collect()
+        ]
+        rr = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in IX.search_ivf_index(
+                idx,
+                meta,
+                q,
+                k=15,
+                probes=meta["n_clusters"],
+                precision="int8_rerank",
+            ).collect()
+        ]
+        assert rr == f32
+
     def test_narrow_probe_recall(self, spark, clustered, ivf_path):
         """2 of 8 probes on well-clustered data: most true neighbors
         live in the query's own cluster."""

@@ -169,7 +169,7 @@ def main() -> None:
             }
         )
     results = {}
-    for prec in ("float32", "int8"):
+    for prec in ("float32", "int8", "int8_rerank"):
         IX.search_ivf_index(idx, meta, qs[0], 100, probes, prec).count()
         lat, recalls = [], []
         for q, exact in zip(qs, exacts):
@@ -185,6 +185,7 @@ def main() -> None:
         results[prec] = (sum(lat) / len(lat), sum(recalls) / len(recalls))
     ivf_query_s, ivf_recall = results["float32"]
     ivf8_query_s, ivf8_recall = results["int8"]
+    ivfr_query_s, ivfr_recall = results["int8_rerank"]
 
     print(
         json.dumps(
@@ -207,6 +208,8 @@ def main() -> None:
                 "ivf_recall_at_100": round(ivf_recall, 4),
                 "ivf_int8_warm_query_sec": round(ivf8_query_s, 3),
                 "ivf_int8_recall_at_100": round(ivf8_recall, 4),
+                "ivf_int8_rerank_warm_query_sec": round(ivfr_query_s, 3),
+                "ivf_int8_rerank_recall_at_100": round(ivfr_recall, 4),
                 "reference_warm_sec": 0.24,
                 "reference_cold_sec": 98.7,
             }
