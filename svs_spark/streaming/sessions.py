@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # nanos-as-long (see queries.load)
+    StructField("ts", LongType()),  # normalized to nanos-long (see queries.load)
     StructField("user_id", LongType()),
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
@@ -54,6 +54,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/events.parquet"
     if os.path.isfile(src):
         stage = os.path.join(
@@ -65,7 +66,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(src, link)
         src = stage
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    # The file's physical ts type has varied across testdata generations
+    # (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); take the schema from a
+    # driver-side metadata read so readStream declares what is actually
+    # on disk, then normalize to the engine's nanos-long form.
+    from svs_spark.queries import normalize_events_ts
+
+    file_schema = spark.read.parquet(src).schema
+    raw = normalize_events_ts(spark.readStream.schema(file_schema).parquet(src))
     return raw.withColumn(
         "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
