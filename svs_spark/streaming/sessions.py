@@ -30,17 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType, LongType, StructField, StructType,
 )
-
-EVENT_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # normalized to nanos-long (see queries.load)
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

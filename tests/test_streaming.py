@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from svs_spark.queries import load
 from svs_spark.streaming.sessions import (
     run_to_memory,
     running_user_totals,
@@ -19,10 +20,11 @@ from svs_spark.streaming.sessions import (
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    # load() normalizes ts to nanos-long regardless of the file's physical
+    # timestamp type (NANOS vs MICROS testdata generations), exactly like
+    # the streaming source does — so the parity holds on either.
+    return load(spark, SF_DIR, "events").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -81,10 +83,9 @@ def test_running_user_totals_state(spark):
         r["user_id"]: (r["n_events"], r["total_value"])
         for r in got.collect()  # update mode: one row per user per batch
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = {
         r["user_id"]: (r["n"], r["t"])
-        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        for r in load(spark, SF_DIR, "events")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
@@ -108,8 +109,7 @@ def test_streaming_dedup(spark):
     deduped = dedup_stream(doubled, keys=["event_id"])
     run_to_memory(deduped, "dedup_out", output_mode="append")
     n = spark.table("dedup_out").count()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    expected = load(spark, SF_DIR, "events").count()
     assert n == expected
 
 
@@ -124,10 +124,8 @@ def test_stream_stream_attribution_join(spark):
     got = spark.table("attrib")
 
     # batch twin: plain interval join over the same data
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = load(spark, SF_DIR, "events").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
     bc = batch.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
