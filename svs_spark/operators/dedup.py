@@ -364,15 +364,39 @@ def simhash_pairs(
     b = seg_rows.select(
         F.col("did").alias("id_b"), F.col("sh").alias("sh_b"), "seg", "segval"
     )
+
+    # A pair within the Hamming bound can agree on several segments and
+    # would surface once per agreeing segment. Instead of a .distinct()
+    # shuffle over the (large) matched set, emit each pair only at its
+    # FIRST agreeing segment: keep a candidate matched on segment i iff
+    # no earlier segment also agrees — a pure per-row codegen'd filter.
+    def seg_of(col: str, off: int, width: int) -> F.Column:
+        return F.shiftrightunsigned(F.col(col), off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    first_match = F.lit(True)
+    for i in range(len(segs) - 1, -1, -1):
+        off, width = segs[i]
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            joff, jwidth = segs[j]
+            earlier_differ = earlier_differ & (
+                seg_of("sh_a", joff, jwidth) != seg_of("sh_b", joff, jwidth)
+            )
+        first_match = F.when(F.col("seg") == i, earlier_differ).otherwise(
+            first_match
+        )
+
     pairs = (
         a.join(b, ["seg", "segval"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match)
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
     return pairs
 

@@ -910,6 +910,30 @@ def q_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash48_stats",
+    oracle=f"""
+    WITH pairs AS ({_simhash_oracle(bits=48, max_hamming=4)})
+    SELECT hamming, count(*) AS n_pairs
+    FROM pairs GROUP BY hamming
+    """,
+)
+def q_simhash48_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the 48-bit SimHash near-dup pairs.
+
+    Runs the full banded candidate join + exact xor/popcount verify of
+    ``simhash48_pairs`` but reduces to (max_hamming+1) rows, so the
+    benched time measures the engine (signature kernel, pigeonhole
+    equi-join, first-match dedup filter) rather than driver transfer of
+    the ~1.1M-row pair set that the synthetic corpus produces at sf0.1."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        D.simhash_pairs(docs, max_hamming=4, bits=48)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
     "embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
