@@ -55,6 +55,12 @@ SCHEMA_VERSION = 1  # kb.py:64
 # each bucket is a few files; the layout and call sites are the same.
 DOCS_BUCKETS = 16
 
+# same point-update locality for the edges table: keyed by edge_id, so a
+# point del_edge/add_edge rewrites 1/EDGES_BUCKETS of the table. The
+# (src, dst, rel) uniqueness probe stays a pushed-down predicate scan
+# (its key is not the bucket key), which is bounded work either way.
+EDGES_BUCKETS = 16
+
 DOCS_SCHEMA = StructType([
     StructField("id", LongType(), False),
     StructField("parent_id", LongType(), True),
@@ -510,16 +516,24 @@ class KnowledgeBase:
             self.wh.write(
                 "docs", self.docs.filter(~F.col("id").isin(id_list))
             )
-        self.wh.write(
-            "edges",
-            self.edges.filter(
-                ~(
-                    F.col("src").isin(id_list)
-                    | F.col("dst").isin(id_list)
-                    | F.col("rel").isin(id_list)
-                )
-            ),
+        surviving_edges = self.edges.filter(
+            ~(
+                F.col("src").isin(id_list)
+                | F.col("dst").isin(id_list)
+                | F.col("rel").isin(id_list)
+            )
         )
+        # the cascade predicate keys on src/dst/rel, not the bucket key,
+        # so every bucket may be touched — but keep the point-update
+        # layout for the edges table if it has one
+        ebmeta = self.wh.bucket_meta("edges")
+        if ebmeta is not None:
+            self.wh.write_bucketed(
+                "edges", surviving_edges,
+                ebmeta["key_col"], ebmeta["n_buckets"],
+            )
+        else:
+            self.wh.write("edges", surviving_edges)
         self._invalidate()
 
     def del_doc(self, doc_id: int) -> None:
@@ -770,8 +784,17 @@ class KnowledgeBase:
                     del batch_keys[key]
                     adds[:] = [a for a in adds if a[0] != edge_id]
                     return
+            bmeta = self.wh.bucket_meta("edges")
+            src_df = (
+                self.wh.read_buckets(
+                    "edges",
+                    [Warehouse.bucket_of(edge_id, bmeta["n_buckets"])],
+                )
+                if bmeta is not None
+                else self.edges
+            )
             row = (
-                self.edges.filter(F.col("edge_id") == edge_id)
+                src_df.filter(F.col("edge_id") == edge_id)
                 .select("src", "dst", "rel").first()
             )
             if row is None or edge_id in dels:
@@ -796,14 +819,32 @@ class KnowledgeBase:
 
         if not adds and not dels:
             return
-        df = self.edges
-        if dels:
-            df = df.filter(~F.col("edge_id").isin(list(dels)))
-        if adds:
-            df = df.unionByName(
-                self.spark.createDataFrame(adds, EDGES_SCHEMA)
+        adds_df = (
+            self.spark.createDataFrame(adds, EDGES_SCHEMA) if adds else None
+        )
+        bmeta = self.wh.bucket_meta("edges")
+        if bmeta is None:
+            # first mutation upgrades the layout (one full rewrite, same
+            # as the docs table at its first point mutation) so every
+            # later bulk touches only its edge_ids' buckets
+            df = self.edges
+            if dels:
+                df = df.filter(~F.col("edge_id").isin(list(dels)))
+            if adds_df is not None:
+                df = df.unionByName(adds_df)
+            self.wh.write_bucketed("edges", df, "edge_id", EDGES_BUCKETS)
+        else:
+            nb = bmeta["n_buckets"]
+            pbs = sorted(
+                {Warehouse.bucket_of(a[0], nb) for a in adds}
+                | {Warehouse.bucket_of(e, nb) for e in dels}
             )
-        self.wh.write("edges", df)
+            post = self.wh.read_buckets("edges", pbs)
+            if dels:
+                post = post.filter(~F.col("edge_id").isin(list(dels)))
+            if adds_df is not None:
+                post = post.unionByName(adds_df)
+            self.wh.overwrite_buckets("edges", pbs, post)
 
     def add_edge(self, doc1: int, doc2: int, relationship: int,
                  weight: Optional[float] = None) -> int:

@@ -283,7 +283,7 @@ def search_ivf_index(
     k: int,
     probes: int = 4,
     precision: str = "float32",
-    rerank_mult: int = 4,
+    rerank_mult: int = 16,
 ) -> DataFrame:
     """Serve a top-k query from a ``build_ivf_index`` layout.
 
@@ -308,9 +308,19 @@ def search_ivf_index(
     rows against the float32 column and takes the exact top-k.  At
     cluster scale the screen pass is the I/O-bound one (¼ the bytes of
     a float32 probe) while the rerank reads femb for a candidate set of
-    a few hundred rows — pushed down as a ``vec_id IN (...)`` filter,
-    so row-group stats bound what gets decoded.  Measured at 1M×1536:
-    recall@100 back to 1.00 (tools/million_bench.py).
+    a few thousand rows — pushed down as a ``vec_id IN (...)`` filter,
+    so row-group stats bound what gets decoded.
+
+    Measured at 1M×1536, 8/512 probes (MILLION_BENCH_r03.json):
+    float32 0.49 s recall@100 1.00; int8 0.47 s recall 0.46 (the dense
+    score tail reshuffles under σ≈3e-3 quantization noise — mult·k
+    candidates recover it); int8_rerank with rerank_mult=16 1.65 s
+    recall 1.00 (two sequential jobs; pays off only when probe I/O
+    dominates, i.e. cold/remote storage, not a warm local page cache).
+    int8 scoring casts to float64 for the GEMM: every product/sum is an
+    exact integer < 2^53, so scores are bit-identical to integer
+    arithmetic but run through BLAS (NumPy integer matmul is a scalar
+    loop, measured ~2× slower end-to-end on the probe scan).
     """
     import numpy as np
     import pandas as pd
@@ -373,7 +383,13 @@ def search_ivf_index(
             raw = b"".join(pdf[col].to_numpy())
             if use_int8:
                 mat = np.frombuffer(raw, dtype=np.int8).reshape(len(pdf), -1)
-                s = mat.astype(np.int32) @ qq / np.float64(127 * 127)
+                # float64 GEMM over the int8 values: every product and
+                # partial sum stays an exact integer (< 2^53), so scores
+                # are bit-identical to integer arithmetic — but it runs
+                # through BLAS, where NumPy's int32 matmul is a scalar
+                # loop (~5-10× slower for these shapes)
+                s = mat.astype(np.float64) @ qq.astype(np.float64)
+                s /= np.float64(127 * 127)
             else:
                 mat = np.frombuffer(raw, dtype=np.float32).reshape(
                     len(pdf), -1

@@ -128,6 +128,15 @@ class Warehouse:
             .partitionBy("_pb")
             .parquet(staging)
         )
+        if not any(
+            d.startswith("_pb=") for d in os.listdir(staging)
+        ):
+            # empty df: a partitioned write leaves no readable files, so
+            # degrade to a plain empty table (same as overwrite_buckets
+            # when every bucket empties); schema is preserved from df
+            shutil.rmtree(staging)
+            self.write(name, df.limit(0))
+            return
         with open(os.path.join(staging, BUCKET_META_FILE), "w") as f:
             json.dump({"key_col": key_col, "n_buckets": n_buckets}, f)
         if os.path.exists(path):
