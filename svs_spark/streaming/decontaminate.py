@@ -1,0 +1,129 @@
+"""Streaming decontamination + quality filtering — the continuous twins
+of the batch training-data ops (``decontaminate_ngrams`` and
+``quality_filter_funnel`` in query_defs).
+
+Use case: documents stream in from a landing zone; before they are
+admitted to a training corpus they must pass the same quality gates as
+the batch pipeline AND be screened against a *static* benchmark/test-set
+n-gram index so evaluation data never leaks into training.
+
+Scale shape (100 TB/day):
+- The n-gram screen is a stream-static LEFT SEMI join keyed on the
+  64-bit xxhash of the shingle — Structured Streaming broadcasts or
+  shuffle-joins the static index per micro-batch; no streaming state.
+  The static side is the *test-set* shingle index (benchmark suites:
+  thousands-to-millions of shingles), typically broadcast-sized; the
+  unbounded training stream stays on the stream side.
+- ``dropDuplicates`` on doc_id bounds per-batch flag output; its state
+  is bounded by the optional watermark (pass an event-time column for
+  continuous jobs; the availableNow drain in tests needs none).
+- The quality gate is pure Column arithmetic — stateless, fuses into
+  the scan stage of each micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_docs(spark, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (file source needs a
+    directory; the single-file testdata is staged via symlink — in
+    production the landing zone is already a directory)."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        stage = os.path.join(
+            tempfile.gettempdir(), "svs_stream_" + src.replace("/", "_")
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = stage
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def ngram_hashes(text_col: str = "text", n: int = 5) -> F.Column:
+    """Distinct xxhash64'd word n-gram shingles of ``text_col`` — the
+    exact arithmetic of the batch ``decontaminate_ngrams`` query, so a
+    static index built by the batch job screens the stream correctly."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j + 1) for j in range(n)],
+                )
+            ),
+        )
+    )
+
+
+def build_test_index(docs: DataFrame, text_col: str = "text",
+                     n: int = 5) -> DataFrame:
+    """Static contamination index: one row per distinct shingle hash of
+    the protected (test/benchmark) corpus. Batch job; persist or write
+    once, reuse across streams."""
+    return (
+        docs.filter(F.size(F.split(F.lower(F.col(text_col)), " ")) >= n)
+        .select(F.explode(ngram_hashes(text_col, n)).alias("h"))
+        .distinct()
+    )
+
+
+def contaminated_ids_stream(
+    stream: DataFrame,
+    test_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    watermark: Optional[tuple[str, str]] = None,
+) -> DataFrame:
+    """Streaming doc_ids that share ≥1 word n-gram with the static
+    test index (append-mode safe: explode → stream-static left-semi
+    join → stateful doc_id dedup).
+
+    ``watermark=(col, delay)`` bounds the dedup state for continuous
+    jobs; leave None for availableNow drains."""
+    exploded = stream.select(
+        id_col, F.explode(ngram_hashes(text_col, n)).alias("h")
+    )
+    if watermark is not None:
+        exploded = exploded.withWatermark(*watermark)
+    hits = exploded.join(test_index, "h", "left_semi")
+    return hits.select(id_col).dropDuplicates([id_col])
+
+
+def quality_gate_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 50,
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+    require_lang: bool = True,
+) -> DataFrame:
+    """Stateless quality gate: the streaming twin of the batch
+    ``quality_filter_funnel`` stages (min length → min tokens →
+    composite quality score → known lang), identical Column arithmetic,
+    so a stream drained through this gate admits exactly the batch
+    funnel's final-stage survivors. Stateless ⇒ fuses into each
+    micro-batch's scan; no watermark or state store involved."""
+    from svs_spark.functions import text as T
+
+    c = F.col(text_col)
+    pred = (
+        (F.length(c) >= min_chars)
+        & (T.whitespace_token_count(text_col) >= min_tokens)
+        & (T.quality_score(text_col) >= min_quality)
+    )
+    if require_lang:
+        pred = pred & F.col("lang").isNotNull()
+    return stream.filter(pred)

@@ -1,0 +1,64 @@
+"""Streaming decontamination / quality gate validated against batch
+twins over the same documents parquet (availableNow drain → memory
+sink, then compare with the equivalent batch computation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from svs_spark.streaming.decontaminate import (
+    build_test_index,
+    contaminated_ids_stream,
+    ngram_hashes,
+    quality_gate_stream,
+    stream_docs,
+)
+from svs_spark.streaming.sessions import run_to_memory
+
+
+def test_contaminated_ids_match_batch(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # protect every 10th doc as the "benchmark" set; screen the rest
+    protected = docs.filter(F.col("doc_id") % 10 == 0)
+    candidates_batch = docs.filter(F.col("doc_id") % 10 != 0)
+    index = build_test_index(protected).persist()
+    index.count()
+
+    stream = stream_docs(spark, SF_DIR).filter(F.col("doc_id") % 10 != 0)
+    flagged = contaminated_ids_stream(stream, index)
+    run_to_memory(flagged, "contaminated", output_mode="append")
+    got = {r["doc_id"] for r in spark.table("contaminated").collect()}
+
+    expected = {
+        r["doc_id"]
+        for r in candidates_batch.select(
+            "doc_id", F.explode(ngram_hashes()).alias("h")
+        )
+        .join(index, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == expected
+    # sanity: the synthetic corpus shares templates, so some but not
+    # all candidates must be flagged
+    assert 0 < len(got) < candidates_batch.count()
+
+
+def test_quality_gate_matches_batch_funnel_tail(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from svs_spark.functions import text as T
+
+    p = (
+        (F.length(F.col("text")) >= 50)
+        & (T.whitespace_token_count("text") >= 20)
+        & (T.quality_score("text") >= 0.5)
+        & F.col("lang").isNotNull()
+    )
+    expected = {r["doc_id"] for r in docs.filter(p).select("doc_id").collect()}
+
+    gated = quality_gate_stream(stream_docs(spark, SF_DIR)).select("doc_id")
+    run_to_memory(gated, "quality_gate", output_mode="append")
+    got = {r["doc_id"] for r in spark.table("quality_gate").collect()}
+    assert got == expected and 0 < len(got) < docs.count()
