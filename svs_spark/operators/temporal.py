@@ -20,6 +20,123 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    direction: str = "backward",
+    strict: bool = True,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """As-of join, all three directions, via one union+window pass.
+
+    - ``backward``: greatest ``right_ts`` < (≤ when not strict) left_ts
+    - ``forward``: smallest ``right_ts`` > (≥ when not strict) left_ts
+    - ``nearest``: whichever of the two is closer in |Δt| (tie → the
+      earlier/backward row, pandas ``merge_asof`` convention)
+    - ``tolerance``: matches farther than this (in ts units) become
+      NULL, keeping left-join semantics
+
+    Returns the left DataFrame plus ``asof_ts`` and ``asof_<payload>``
+    columns (NULL when no qualifying right row exists).
+
+    Scale shape: both sides union into one frame shuffled once on the
+    key; the backward carry is ``last(payload, ignorenulls)`` over the
+    preceding frame and the forward carry is ``first(...)`` over the
+    following frame — two window functions over the same partitioning
+    (one exchange; at most one extra local sort when both directions'
+    equal-time orderings differ). No range explosion, O(n log n) per
+    key vs the O(n·m) naive inequality join.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
+    payload_struct = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in payload_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_sb"),
+        F.lit(1).alias("_sf"),
+        payload_struct.alias("_payload"),
+    )
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        # equal-time visibility is an ordering choice per direction:
+        # backward strict ⇒ left (0) sorts before the same-instant
+        # right (1), which then falls outside the preceding frame;
+        # forward strict ⇒ left (2) sorts after it, pushing it out of
+        # the following frame. Non-strict flips each.
+        F.lit(0 if strict else 2).alias("_sb"),
+        F.lit(2 if strict else 0).alias("_sf"),
+        left_struct.alias("_left"),
+    ).withColumn("_payload", F.lit(None).cast(rt.schema["_payload"].dataType))
+    rt = rt.withColumn(
+        "_left", F.lit(None).cast(lt.schema["_left"].dataType)
+    ).select("_k", "_t", "_sb", "_sf", "_left", "_payload")
+
+    carried = lt.unionByName(rt)
+    cols = []
+    if direction in ("backward", "nearest"):
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_sb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = carried.withColumn(
+            "_back", F.last("_payload", ignorenulls=True).over(wb)
+        )
+        cols.append("_back")
+    if direction in ("forward", "nearest"):
+        wf = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_sf")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = carried.withColumn(
+            "_fwd", F.first("_payload", ignorenulls=True).over(wf)
+        )
+        cols.append("_fwd")
+
+    def _within(c: str) -> F.Column:
+        ok = F.col(c).isNotNull()
+        if tolerance is not None:
+            ok = ok & (
+                F.abs(F.col(f"{c}._rts") - F.col("_t")) <= F.lit(tolerance)
+            )
+        return ok
+
+    if direction == "nearest":
+        back_ok, fwd_ok = _within("_back"), _within("_fwd")
+        back_d = F.abs(F.col("_back._rts") - F.col("_t"))
+        fwd_d = F.abs(F.col("_fwd._rts") - F.col("_t"))
+        chosen = (
+            F.when(back_ok & (~fwd_ok | (back_d <= fwd_d)), F.col("_back"))
+            .when(fwd_ok, F.col("_fwd"))
+            .otherwise(F.lit(None).cast(rt.schema["_payload"].dataType))
+        )
+    else:
+        c = cols[0]
+        chosen = F.when(_within(c), F.col(c)).otherwise(
+            F.lit(None).cast(rt.schema["_payload"].dataType)
+        )
+
+    out = carried.filter(F.col("_left").isNotNull()).withColumn(
+        "_chosen", chosen
+    )
+    return out.select(
+        F.col("_left.*"),
+        F.col("_chosen._rts").alias("asof_ts"),
+        *[F.col(f"_chosen.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -29,51 +146,10 @@ def asof_join_backward(
     payload_cols: list[str],
     strict: bool = True,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_ts`` < (or <= when not strict) ``left_ts``, same key.
-
-    Returns the left DataFrame plus ``asof_ts`` and ``asof_<payload>``
-    columns (NULL when no prior right row exists — left-join semantics).
-    """
-    payload_struct = F.struct(
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c) for c in payload_cols],
-    )
-    rt = right.select(
-        F.col(key).alias("_k"),
-        F.col(right_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        payload_struct.alias("_payload"),
-    )
-    left_struct = F.struct(*[F.col(c) for c in left.columns])
-    lt = left.select(
-        F.col(key).alias("_k"),
-        F.col(left_ts).alias("_t"),
-        # at equal time: strict ⇒ left (0) sorts before right (1) so the
-        # same-instant right row is invisible; non-strict ⇒ left (2)
-        # sorts after and sees it
-        F.lit(0 if strict else 2).alias("_side"),
-        left_struct.alias("_left"),
-    ).withColumn("_payload", F.lit(None).cast(rt.schema["_payload"].dataType))
-    rt = rt.withColumn(
-        "_left", F.lit(None).cast(lt.schema["_left"].dataType)
-    ).select("_k", "_t", "_side", "_left", "_payload")
-
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = lt.unionByName(rt).withColumn(
-        "_last_payload", F.last("_payload", ignorenulls=True).over(w)
-    )
-    return carried.filter(F.col("_left").isNotNull()).select(
-        F.col("_left.*"),
-        F.col("_last_payload._rts").alias("asof_ts"),
-        *[
-            F.col(f"_last_payload.{c}").alias(f"asof_{c}")
-            for c in payload_cols
-        ],
+    """Backward as-of join (see ``asof_join``)."""
+    return asof_join(
+        left, right, key, left_ts, right_ts, payload_cols,
+        direction="backward", strict=strict,
     )
 
 

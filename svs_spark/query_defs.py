@@ -1305,7 +1305,9 @@ def q_descendants_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics (svs_spark side: union+window carry-forward).
 # ===========================================================================
 
-from svs_spark.operators.temporal import asof_join_backward  # noqa: E402
+from svs_spark.operators.temporal import (  # noqa: E402
+    asof_join, asof_join_backward,
+)
 
 
 @register(
@@ -1334,6 +1336,47 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join_backward(
         ev, purchases, key="user_id", left_ts="us", right_ts="pus",
         payload_cols=["value"], strict=True,
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type",
+        F.col("asof_ts").alias("asof_us"),
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+@register(
+    "asof_next_purchase",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts, event_type FROM events),
+    p AS (SELECT user_id, ts AS pts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, e.event_type,
+           CASE WHEN epoch_us(p.pts) - epoch_us(e.ts) <= 3600000000
+                THEN epoch_us(p.pts) END AS asof_us,
+           CASE WHEN epoch_us(p.pts) - epoch_us(e.ts) <= 3600000000
+                THEN round(p.value, 6) END AS asof_value
+    FROM e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts < p.pts
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the next strictly-later purchase by the same
+    user, but only within a 1-hour tolerance (forward as-of join —
+    "did this click convert?" attribution). The oracle is DuckDB's
+    native forward ASOF JOIN (``ON e.ts < p.pts``) with the tolerance
+    as a post-CASE — an independent implementation of the same
+    semantics."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    purchases = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.expr("ts div 1000").alias("pus"), "value")
+    joined = asof_join(
+        ev, purchases, key="user_id", left_ts="us", right_ts="pus",
+        payload_cols=["value"], direction="forward", strict=True,
+        tolerance=3_600_000_000,
     )
     return joined.select(
         "event_id", "user_id", "event_type",

@@ -170,6 +170,67 @@ def test_asof_join_matches_python_reference(spark):
             assert got[lid] == exp
 
 
+def test_asof_join_directions_match_python_reference(spark):
+    """asof_join forward/nearest (+tolerance, +non-strict) vs
+    brute-force python on a random dataset, including equal-timestamp
+    collisions (ts ranges overlap densely)."""
+    from svs_spark.operators.temporal import asof_join
+
+    rng = random.Random(11)
+    left = [(i, rng.randrange(4), rng.randrange(100)) for i in range(150)]
+    # distinct rts per right row: equal-(key, rts) duplicates make the
+    # winner tie-nondeterministic in ANY asof implementation
+    rts_pool = rng.sample(range(100), 50)
+    right = [(j, rng.randrange(4), rts_pool[j], float(j))
+             for j in range(50)]
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "rid long, k long, rts long, val double")
+
+    def brute(key, ts, direction, strict, tol):
+        def ok_back(rts):
+            return rts < ts if strict else rts <= ts
+
+        def ok_fwd(rts):
+            return rts > ts if strict else rts >= ts
+
+        back = [(rts, val) for (_, k, rts, val) in right
+                if k == key and ok_back(rts)]
+        fwd = [(rts, val) for (_, k, rts, val) in right
+               if k == key and ok_fwd(rts)]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if tol is not None:
+            b = b if b and abs(b[0] - ts) <= tol else None
+            f = f if f and abs(f[0] - ts) <= tol else None
+        if direction == "backward":
+            return b
+        if direction == "forward":
+            return f
+        if b and f:
+            return b if abs(b[0] - ts) <= abs(f[0] - ts) else f
+        return b or f
+
+    for direction in ("backward", "forward", "nearest"):
+        for strict in (True, False):
+            for tol in (None, 10):
+                got = {
+                    r["lid"]: (r["asof_ts"], r["asof_val"])
+                    for r in asof_join(
+                        ldf, rdf, key="k", left_ts="ts", right_ts="rts",
+                        payload_cols=["val"], direction=direction,
+                        strict=strict, tolerance=tol,
+                    ).collect()
+                }
+                assert len(got) == len(left)
+                for lid, key, ts in left:
+                    exp = brute(key, ts, direction, strict, tol)
+                    want = exp if exp is not None else (None, None)
+                    assert got[lid] == want, (
+                        f"{direction} strict={strict} tol={tol} lid={lid}: "
+                        f"{got[lid]} != {want}"
+                    )
+
+
 @given(
     st.lists(
         st.floats(min_value=-1.2, max_value=1.2, allow_nan=False),
