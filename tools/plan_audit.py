@@ -29,6 +29,7 @@ ONE_ROW_CROSS_OK = {
     "data_profile", "corpus_mix_allocation", "train_test_split",
     "decontaminate_ngrams", "tpch_q22ish", "conversion_funnel",
     "graph_common_neighbors", "quality_filter_funnel",
+    "tpch_q11ish",  # 1-row global-threshold aggregate crossed into filter
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
