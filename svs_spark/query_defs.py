@@ -3054,6 +3054,117 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_motif_stats",
+    oracle=f"""
+    WITH arcs AS ({_ANALYSIS_GRAPH_SQL}),
+    recip AS (
+      SELECT count(*) AS n FROM arcs a JOIN arcs b
+      ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+    ),
+    wed AS (
+      SELECT a.src AS s, a.dst AS m, b.dst AS t
+      FROM arcs a JOIN arcs b ON a.dst = b.src AND a.src <> b.dst
+    ),
+    closed AS (
+      SELECT count(*) AS n FROM wed JOIN arcs c
+      ON wed.s = c.src AND wed.t = c.dst
+    )
+    SELECT (SELECT count(*) FROM arcs) AS n_arcs,
+           (SELECT n FROM recip) AS n_reciprocal,
+           (SELECT count(*) FROM wed) AS n_wedges,
+           (SELECT n FROM closed) AS n_closed
+    """,
+)
+def q_graph_motif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed motif census over the analysis graph: arc count,
+    reciprocal pairs (a⇄b), open wedges (a→b→c, a≠c), and transitive
+    closures (wedge + closing arc a→c) — the building blocks of triad
+    significance profiles.
+
+    Scale shape: every stage is an equi-join on a node key (the wedge
+    join shuffles on the shared middle node, same inverted-index shape
+    as common-neighbors; the closure probe joins the wedge set against
+    the arc set on the (s, t) pair). High-degree hubs are the skew
+    risk — cap or salt them at web scale; no theta join anywhere.
+    """
+    arcs = _analysis_edges(spark, sf_dir).persist()
+    a = arcs.select(F.col("src").alias("s"), F.col("dst").alias("m"))
+    b = arcs.select(F.col("src").alias("m"), F.col("dst").alias("t"))
+    wedges = a.join(b, "m").filter(F.col("s") != F.col("t"))
+    closing = arcs.select(
+        F.col("src").alias("s"), F.col("dst").alias("t")
+    )
+    n_closed = (
+        wedges.join(closing, ["s", "t"]).agg(F.count("*").alias("n_closed"))
+    )
+    r1 = arcs.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    r2 = arcs.select(F.col("dst").alias("x"), F.col("src").alias("y"))
+    n_recip = (
+        r1.join(r2, ["x", "y"])
+        .filter(F.col("x") < F.col("y"))
+        .agg(F.count("*").alias("n_reciprocal"))
+    )
+    return (
+        arcs.agg(F.count("*").alias("n_arcs"))
+        .crossJoin(F.broadcast(n_recip))
+        .crossJoin(F.broadcast(wedges.agg(F.count("*").alias("n_wedges"))))
+        .crossJoin(F.broadcast(n_closed))
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+    SELECT f.first_day AS cohort_day,
+           (e.day - f.first_day) // 7 AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-purchase day,
+    counted distinct in each subsequent week offset of purchase
+    activity — the standard product-analytics retention matrix, on
+    integer day arithmetic (epoch micros // 86400e6) so both engines
+    bucket identically. (Cohorting on the sparse purchase event, not
+    any activity: the synthetic users are all active from day one, so
+    an any-event cohort would collapse to a single row.)
+
+    Scale shape: one user_id shuffle computes first_day; the join back
+    is user_id-keyed (co-partitioned with the aggregate, exchange
+    reused), and the final count-distinct shuffles (cohort, offset,
+    user) with partial aggregation. No window over the full history —
+    min-per-user then join beats a running-min window at 100 TB because
+    the aggregate side is |users|, not |events|.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (F.expr("ts div 1000") / F.lit(86400000000)).cast("long").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("first_day").alias("cohort_day"),
+            ((F.col("day") - F.col("first_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+@register(
     "conversion_funnel",
     oracle="""
     WITH f AS (
