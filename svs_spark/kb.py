@@ -516,24 +516,33 @@ class KnowledgeBase:
             self.wh.write(
                 "docs", self.docs.filter(~F.col("id").isin(id_list))
             )
-        surviving_edges = self.edges.filter(
-            ~(
-                F.col("src").isin(id_list)
-                | F.col("dst").isin(id_list)
-                | F.col("rel").isin(id_list)
-            )
+        cascade_pred = (
+            F.col("src").isin(id_list)
+            | F.col("dst").isin(id_list)
+            | F.col("rel").isin(id_list)
         )
-        # the cascade predicate keys on src/dst/rel, not the bucket key,
-        # so every bucket may be touched — but keep the point-update
-        # layout for the edges table if it has one
         ebmeta = self.wh.bucket_meta("edges")
         if ebmeta is not None:
-            self.wh.write_bucketed(
-                "edges", surviving_edges,
-                ebmeta["key_col"], ebmeta["n_buckets"],
-            )
+            # the cascade predicate keys on src/dst/rel, not the bucket
+            # key, so finding victims needs a full scan — but the WRITE
+            # doesn't: collect the (≤ n_buckets) distinct _pb values of
+            # matching edges and rewrite only those buckets. A delete
+            # with no incident edges rewrites nothing.
+            touched = [
+                r["_pb"]
+                for r in self.spark.read.parquet(self.wh.table_path("edges"))
+                .filter(cascade_pred)
+                .select("_pb")
+                .distinct()
+                .collect()
+            ]
+            if touched:
+                post = self.wh.read_buckets("edges", touched).filter(
+                    ~cascade_pred
+                )
+                self.wh.overwrite_buckets("edges", touched, post)
         else:
-            self.wh.write("edges", surviving_edges)
+            self.wh.write("edges", self.edges.filter(~cascade_pred))
         self._invalidate()
 
     def del_doc(self, doc_id: int) -> None:

@@ -54,11 +54,15 @@ _GREEN_IN_R02 = frozenset({
     "token_stats", "fingerprint_docs", "dedup_exact",
     "ngram_jaccard_pairs", "tpch_q1", "tpch_q3", "tpch_q5ish",
     "window_top_orders", "order_priority_rollup", "sessionize_events",
-    "kv_json_extract", "minhash_lsh_dedup", "simhash_pairs",
-    "simhash48_pairs", "embedding_near_dup", "knn_bruteforce",
+    # simhash_pairs / simhash48_pairs / asof_last_purchase were green in
+    # r02 but their implementations were REWRITTEN in round 3 (first-
+    # match dedup filter; generalized asof_join) — deliberately left out
+    # of this set so the driver re-verifies the new code paths.
+    "kv_json_extract", "minhash_lsh_dedup",
+    "embedding_near_dup", "knn_bruteforce",
     "ann_lsh_bucket", "ann_ivf_probe", "graph_edge_stats",
     "graph_degree", "multimodal_features", "windowed_event_counts",
-    "dedup_clusters", "descendants_recursive", "asof_last_purchase",
+    "dedup_clusters", "descendants_recursive",
     "value_percentiles", "set_ops_users", "tfidf_top_terms",
     "winnow_pairs", "embed_and_retrieve", "tpch_q6", "tpch_q12ish",
     "semi_anti_customers", "order_status_cube", "graph_triangles",

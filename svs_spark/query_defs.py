@@ -2603,21 +2603,13 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles; the DuckDB oracle compares the final counts, so
     the internal representation is free to differ.
     """
+    # the 5-gram shingle arithmetic is the SHARED helper also used by
+    # the streaming decontamination screen — one definition keeps the
+    # batch-built index and the stream bit-identical by construction
+    from svs_spark.streaming.decontaminate import ngram_hashes
+
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    sh_hashes = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 5),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-                F.element_at(toks, i + 4),
-                F.element_at(toks, i + 5),
-            )
-        ),
-    )
     is_test = (
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
         >= 900
@@ -2625,7 +2617,8 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         docs.filter(F.size(toks) >= 5)
         .select(
-            "doc_id", is_test.alias("is_test"), F.explode(sh_hashes).alias("h")
+            "doc_id", is_test.alias("is_test"),
+            F.explode(ngram_hashes("text", 5)).alias("h"),
         )
         .persist()
     )

@@ -30,41 +30,39 @@ from pyspark.sql import DataFrame, functions as F
 
 def stream_docs(spark, sf_dir: str) -> DataFrame:
     """readStream over the documents parquet (file source needs a
-    directory; the single-file testdata is staged via symlink — in
-    production the landing zone is already a directory)."""
-    import os
-    import tempfile
+    directory; see ``stage_single_file_dir``)."""
+    from svs_spark.streaming import stage_single_file_dir
 
-    src = f"{sf_dir}/documents.parquet"
-    if os.path.isfile(src):
-        stage = os.path.join(
-            tempfile.gettempdir(), "svs_stream_" + src.replace("/", "_")
-        )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "documents.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = stage
+    src = stage_single_file_dir(
+        f"{sf_dir}/documents.parquet", "documents.parquet"
+    )
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(src)
 
 
 def ngram_hashes(text_col: str = "text", n: int = 5) -> F.Column:
     """Distinct xxhash64'd word n-gram shingles of ``text_col`` — the
-    exact arithmetic of the batch ``decontaminate_ngrams`` query, so a
-    static index built by the batch job screens the stream correctly."""
+    exact arithmetic of the batch ``decontaminate_ngrams`` query (which
+    imports this same helper), so a static index built by the batch job
+    screens the stream correctly. Documents shorter than ``n`` tokens
+    yield an empty array (F.sequence(0, negative) would otherwise build
+    a descending index range and element_at would read past the end)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, i + j + 1) for j in range(n)],
-                )
-            ),
-        )
-    )
+    empty = F.array().cast("array<long>")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j + 1) for j in range(n)],
+                    )
+                ),
+            )
+        ),
+    ).otherwise(empty)
 
 
 def build_test_index(docs: DataFrame, text_col: str = "text",
@@ -91,14 +89,21 @@ def contaminated_ids_stream(
     test index (append-mode safe: explode → stream-static left-semi
     join → stateful doc_id dedup).
 
-    ``watermark=(col, delay)`` bounds the dedup state for continuous
-    jobs; leave None for availableNow drains."""
+    ``watermark=(event_time_col, delay)`` bounds the dedup state for
+    continuous jobs: the event-time column is threaded through the
+    explode/join and the dedup becomes ``dropDuplicatesWithinWatermark``
+    (state evicted once the watermark passes, without needing the
+    event-time column in the dedup key). Leave None for availableNow
+    drains, where unbounded-state ``dropDuplicates`` is fine."""
+    carry = [id_col] + ([watermark[0]] if watermark else [])
     exploded = stream.select(
-        id_col, F.explode(ngram_hashes(text_col, n)).alias("h")
+        *carry, F.explode(ngram_hashes(text_col, n)).alias("h")
     )
     if watermark is not None:
         exploded = exploded.withWatermark(*watermark)
     hits = exploded.join(test_index, "h", "left_semi")
+    if watermark is not None:
+        return hits.dropDuplicatesWithinWatermark([id_col]).select(id_col)
     return hits.select(id_col).dropDuplicates([id_col])
 
 

@@ -36,27 +36,13 @@ from pyspark.sql.types import (
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with a proper event-time
-    timestamp column derived from the nanos long.
-
-    The file streaming source requires a *directory*; the testdata ships
-    a single file, so it is staged into a temp dir via symlink (in
-    production the source is already a directory/Kafka topic)."""
-    import os
-    import tempfile
+    timestamp column derived from the nanos long (single-file staging:
+    see ``svs_spark.streaming.stage_single_file_dir``)."""
+    from svs_spark.streaming import stage_single_file_dir
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    src = f"{sf_dir}/events.parquet"
-    if os.path.isfile(src):
-        stage = os.path.join(
-            tempfile.gettempdir(),
-            "svs_stream_" + src.replace("/", "_"),
-        )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = stage
+    src = stage_single_file_dir(f"{sf_dir}/events.parquet", "events.parquet")
     # The file's physical ts type has varied across testdata generations
     # (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); take the schema from a
     # driver-side metadata read so readStream declares what is actually

@@ -46,6 +46,25 @@ def test_contaminated_ids_match_batch(spark):
     assert 0 < len(got) < candidates_batch.count()
 
 
+def test_ngram_hashes_short_docs_yield_empty_not_crash(spark):
+    """Docs with fewer than n tokens must produce an empty shingle
+    array — F.sequence(0, negative) would otherwise build a descending
+    index range and element_at reads past the array (regression:
+    real landing-zone streams contain short docs even though the
+    synthetic corpus doesn't)."""
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, "a b c d e f"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(ngram_hashes("text", 5)).alias("n")
+        ).collect()
+    }
+    assert rows[1] == 0 and rows[3] == 0 and rows[2] == 2
+
+
 def test_quality_gate_matches_batch_funnel_tail(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     from svs_spark.functions import text as T

@@ -30,6 +30,7 @@ ONE_ROW_CROSS_OK = {
     "decontaminate_ngrams", "tpch_q22ish", "conversion_funnel",
     "graph_common_neighbors", "quality_filter_funnel",
     "tpch_q11ish",  # 1-row global-threshold aggregate crossed into filter
+    "graph_motif_stats",  # three 1-row motif counts crossed into one row
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
