@@ -285,21 +285,31 @@ def _simhash_batch_kernel(id_col: str, text_col: str, bits: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
         for pdf in batches:
-            ids_out, sh_out = [], []
+            if not len(pdf):
+                continue
+            # flatten the whole batch to one (Σ|tokens|,) hash vector +
+            # per-doc offsets: ONE (pairs × bits) vote matrix and a
+            # segment-sum (reduceat) replace the per-doc Python loop —
+            # the loop's small-matrix dispatch overhead dominated at
+            # ~100 tokens/doc
+            all_hs: list[int] = []
+            offsets = [0]
+            ids_out = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = dict.fromkeys(text.lower().split(" "))
-                hs = []
-                for t in toks:
+                for t in dict.fromkeys(text.lower().split(" ")):
                     h = cache.get(t)
                     if h is None:
                         h = poly_hash(t)
                         cache[t] = h
-                    hs.append(h)
-                harr = np.asarray(hs, dtype=np.int64)[:, None]
-                votes = ((harr * mult + i_arr) % SIMHASH_MOD) % 2 * 2 - 1
-                sh = int(weights[votes.sum(axis=0) > 0].sum())
+                    all_hs.append(h)
+                offsets.append(len(all_hs))
                 ids_out.append(did)
-                sh_out.append(sh)
+            harr = np.asarray(all_hs, dtype=np.int64)[:, None]
+            votes = ((harr * mult + i_arr) % SIMHASH_MOD) % 2 * 2 - 1
+            # empty docs (offsets[i] == offsets[i+1]) would break
+            # reduceat; the split guarantees ≥1 token ('' splits to [''])
+            sums = np.add.reduceat(votes, np.asarray(offsets[:-1]), axis=0)
+            sh_out = (weights * (sums > 0)).sum(axis=1)
             yield pd.DataFrame({"did": ids_out, "sh": sh_out})
 
     return run
