@@ -228,6 +228,48 @@ class TestGraph:
         with pytest.raises(ValueError):
             kb.del_edge(99)
 
+    def test_point_edge_mutation_touches_only_its_bucket(self, kb):
+        """After the first mutation upgrades the edges table to the
+        bucketed layout, a point del_edge rewrites only its edge_id's
+        _pb partition — other buckets' files stay byte-identical
+        (mtime+inode untouched)."""
+        import os
+
+        from svs_spark.kb import EDGES_BUCKETS
+        from svs_spark.sources.warehouse import Warehouse
+
+        self._setup(kb)
+        with kb.bulk_graph_update() as g:
+            for i in range(1, 7):
+                g.add_edge(i, 7, i % 3 + 1)
+        meta = kb.wh.bucket_meta("edges")
+        assert meta == {"key_col": "edge_id", "n_buckets": EDGES_BUCKETS}
+
+        path = kb.wh.table_path("edges")
+
+        def inventory():
+            out = {}
+            for d in os.listdir(path):
+                if not d.startswith("_pb="):
+                    continue
+                sub = os.path.join(path, d)
+                out[d] = {
+                    (f, os.stat(os.path.join(sub, f)).st_mtime_ns)
+                    for f in os.listdir(sub)
+                }
+            return out
+
+        before = inventory()
+        victim = 3  # edge_id 3
+        kb.del_edge(victim)
+        after = inventory()
+        touched = Warehouse.bucket_of(victim, EDGES_BUCKETS)
+        for d in set(before) | set(after):
+            if d == f"_pb={touched}":
+                continue
+            assert before.get(d) == after.get(d), f"{d} was rewritten"
+        assert kb.count_edges() == 5
+
     def test_networkx_export(self, kb):
         pytest.importorskip("networkx")
         self._setup(kb)
