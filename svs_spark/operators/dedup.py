@@ -159,10 +159,31 @@ def _signature_batch_kernel(
                 yield pd.DataFrame({"did": [], "hs": [], "sig": []})
                 continue
             harr = np.asarray(all_hs, dtype=np.int64)
-            mat = (a_vec * harr + b_vec) % MINHASH_PRIME
-            sig = np.minimum.reduceat(
-                mat, np.asarray(offsets[:-1]), axis=1
-            )
+            # chunk on doc boundaries so the (num_hashes × span)
+            # permutation matrix stays ~tens of MB regardless of batch
+            # size / doc length (the whole-batch matrix is O(batch ×
+            # tokens) and can reach GBs on long-doc corpora)
+            sig_parts = []
+            max_span = max(1, 4_000_000 // num_hashes)
+            lo_doc = 0
+            while lo_doc < len(ids_out):
+                hi_doc = lo_doc
+                while (
+                    hi_doc < len(ids_out)
+                    and offsets[hi_doc + 1] - offsets[lo_doc] <= max_span
+                ):
+                    hi_doc += 1
+                hi_doc = max(hi_doc, lo_doc + 1)  # ≥1 doc per chunk
+                span = harr[offsets[lo_doc] : offsets[hi_doc]]
+                mat = a_vec * span
+                mat += b_vec
+                mat %= MINHASH_PRIME
+                cuts = np.asarray(
+                    [o - offsets[lo_doc] for o in offsets[lo_doc:hi_doc]]
+                )
+                sig_parts.append(np.minimum.reduceat(mat, cuts, axis=1))
+                lo_doc = hi_doc
+            sig = np.concatenate(sig_parts, axis=1)
             yield pd.DataFrame(
                 {"did": ids_out, "hs": hs_out, "sig": sig.T.tolist()}
             )
@@ -319,11 +340,35 @@ def _simhash_batch_kernel(id_col: str, text_col: str, bits: int):
                 offsets.append(len(all_hs))
                 ids_out.append(did)
             harr = np.asarray(all_hs, dtype=np.int64)[:, None]
-            votes = ((harr * mult + i_arr) % SIMHASH_MOD) % 2 * 2 - 1
-            # empty docs (offsets[i] == offsets[i+1]) would break
+            # chunk on doc boundaries: the (span × bits) vote matrix
+            # stays ~tens of MB regardless of batch size / doc length.
+            # Empty docs (offsets[i] == offsets[i+1]) would break
             # reduceat; the split guarantees ≥1 token ('' splits to [''])
-            sums = np.add.reduceat(votes, np.asarray(offsets[:-1]), axis=0)
-            sh_out = (weights * (sums > 0)).sum(axis=1)
+            sh_parts = []
+            max_span = max(1, 4_000_000 // bits)
+            lo_doc = 0
+            while lo_doc < len(ids_out):
+                hi_doc = lo_doc
+                while (
+                    hi_doc < len(ids_out)
+                    and offsets[hi_doc + 1] - offsets[lo_doc] <= max_span
+                ):
+                    hi_doc += 1
+                hi_doc = max(hi_doc, lo_doc + 1)
+                span = harr[offsets[lo_doc] : offsets[hi_doc]]
+                votes = span * mult
+                votes += i_arr
+                votes %= SIMHASH_MOD
+                votes %= 2
+                votes *= 2
+                votes -= 1
+                cuts = np.asarray(
+                    [o - offsets[lo_doc] for o in offsets[lo_doc:hi_doc]]
+                )
+                sums = np.add.reduceat(votes, cuts, axis=0)
+                sh_parts.append((weights * (sums > 0)).sum(axis=1))
+                lo_doc = hi_doc
+            sh_out = np.concatenate(sh_parts)
             yield pd.DataFrame({"did": ids_out, "sh": sh_out})
 
     return run

@@ -50,37 +50,53 @@ def register(
 # tools/parity_debug.py (exact values, no rounding) every round.
 
 # Queries whose IMPLEMENTATION was rewritten after their last green
-# driver row — force them back into the checked-first window until the
-# round artifact that re-verified them lands. (Round 3: simhash pair
-# dedup rewritten to the first-match filter; asof_last_purchase rerouted
-# through the generalized asof_join.)
-_FORCE_RECHECK = frozenset({
-    "simhash_pairs", "simhash48_pairs", "asof_last_purchase",
-})
+# driver row, mapped to the first round whose artifact exercises the
+# NEW code: green rows from EARLIER rounds don't count for them, so
+# they sort back into the checked-first window until a round ≥ the
+# mapped number re-verifies them (then the entry is inert and can be
+# dropped). (Round 3: simhash pair dedup rewritten to the first-match
+# filter; asof_last_purchase rerouted through the generalized
+# asof_join.)
+_FORCE_RECHECK = {
+    "simhash_pairs": 3,
+    "simhash48_pairs": 3,
+    "asof_last_purchase": 3,
+}
 
 
 def _driver_green() -> frozenset[str]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    # latest-round-wins per query: a later artifact that records a
+    # regression (hash_match false) un-greens the query so it rotates
+    # back into the driver's checked-first window
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if (
+            ok = bool(
                 isinstance(row, dict)
                 and row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
-            ):
-                green.add(name)
-    return frozenset(green - _FORCE_RECHECK)
+            )
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, ok)
+    return frozenset(
+        name
+        for name, (rnd, ok) in latest.items()
+        if ok and rnd >= _FORCE_RECHECK.get(name, 0)
+    )
 
 
 def _driver_order(d: dict) -> dict:

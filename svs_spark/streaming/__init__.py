@@ -22,5 +22,8 @@ def stage_single_file_dir(src: str, fname: str) -> str:
     if os.path.islink(link) and not os.path.exists(link):
         os.unlink(link)  # dangling: source was re-created elsewhere
     if not os.path.exists(link):
-        os.symlink(src, link)
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass  # concurrent stager won the race; target is identical
     return stage
