@@ -66,6 +66,12 @@ HEADLINE = [
     # not the engine (the candidate join + verify work is identical).
     "simhash48_stats",
     "tpch_q7ish",
+    # round-3 widening: driver-gated GEMM batch retrieval, forward
+    # as-of with tolerance, motif census, retention cohorts
+    "knn_batch_topk",
+    "asof_next_purchase",
+    "graph_motif_stats",
+    "user_retention_cohorts",
 ]
 
 
