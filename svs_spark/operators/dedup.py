@@ -267,6 +267,14 @@ def minhash_lsh_pairs(
     )
 
 
+def bit_weight(i: int) -> int:
+    """Signed-64 weight of bit i: 2^i for i<63; bit 63 is the sign bit,
+    so its weight is -2^63 (the int64 two's-complement value with only
+    that bit set) — this is what lets a 64-bit SimHash signature live in
+    a BIGINT in both engines."""
+    return 2**i if i < 63 else -(2**63)
+
+
 def simhash(tok_hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over a token-hash array: per bit i, each token votes
     ±1 via an affine hash; bit set iff the vote sum is positive."""
@@ -280,7 +288,9 @@ def simhash(tok_hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     total = F.lit(0).cast("long")
     for i in range(bits):
         vote = F.aggregate(tok_hashes, F.lit(0).cast("long"), voter(i))
-        total = total + F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(0)
+        total = total + F.when(
+            vote > 0, F.lit(bit_weight(i)).cast("long")
+        ).otherwise(0)
     return total
 
 
@@ -309,7 +319,9 @@ def _simhash_batch_kernel(id_col: str, text_col: str, bits: int):
 
     i_arr = np.arange(bits, dtype=np.int64)
     mult = 2 * i_arr + 3
-    weights = (1 << i_arr.astype(np.uint64)).astype(np.int64)
+    # bit-reinterpret uint64 powers as int64 so bit 63 becomes -2^63
+    # (matches bit_weight(); astype would be UB for out-of-range values)
+    weights = (np.uint64(1) << i_arr.astype(np.uint64)).view(np.int64)
 
     def poly_hash(token: str) -> int:
         acc = 0

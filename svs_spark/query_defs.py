@@ -870,10 +870,12 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_oracle(bits: int = 32, max_hamming: int = 6) -> str:
     th = OG.token_hash_sql("t")
     mod = D.SIMHASH_MOD
+    # bit 63 weighs -2^63 (sign bit) so a 64-bit signature fits BIGINT
+    # in both engines — see dedup.bit_weight
     bit_terms = " + ".join(
         f"CASE WHEN list_sum(list_transform(hs, h -> "
         f"((h * {2 * i + 3} + {i}) % {mod}) % 2 * 2 - 1)) > 0 "
-        f"THEN {2**i}::BIGINT ELSE 0 END"
+        f"THEN ({D.bit_weight(i)})::BIGINT ELSE 0 END"
         for i in range(bits)
     )
     return f"""
@@ -907,6 +909,30 @@ def q_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint. Same lossless pigeonhole argument, same plan shape."""
     docs = load(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=4, bits=48)
+
+
+@register(
+    "simhash64_stats",
+    oracle=f"""
+    WITH pairs AS ({_simhash_oracle(bits=64, max_hamming=3)})
+    SELECT hamming, count(*) AS n_pairs
+    FROM pairs GROUP BY hamming
+    """,
+)
+def q_simhash64_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup histogram at Hamming ≤ 3 — the web-scale
+    configuration from the 48-bit docstring made real: 4 pigeonhole
+    segments × 16 bits ⇒ 65,536 bucket values per segment, so candidate
+    pruning is ~64× tighter than the 48-bit/1024-value banding while
+    the wider fingerprint raises precision. Bit 63 rides the BIGINT
+    sign (weight -2^63, dedup.bit_weight) so the signature stays a
+    plain long in Spark, DuckDB, and parquet alike."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        D.simhash_pairs(docs, max_hamming=3, bits=64)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
 
 
 @register(

@@ -214,7 +214,9 @@ def test_simhash_kernel_matches_column_spec(spark):
          (3, "a a b  c"), (4, "z")],
         "doc_id long, text string",
     )
-    for bits in (32, 48):
+    # 64 bits exercises the sign-bit weight (-2^63, dedup.bit_weight)
+    saw_negative = False
+    for bits in (32, 48, 64):
         spec = {
             r["doc_id"]: r["sh"]
             for r in docs.select(
@@ -229,3 +231,8 @@ def test_simhash_kernel_matches_column_spec(spark):
             ).collect()
         }
         assert got == spec, bits
+        if bits == 64:
+            saw_negative = any(v < 0 for v in got.values())
+    # at least one 4-doc signature should set bit 63 (sanity that the
+    # sign-bit path actually ran; affine voters make this deterministic)
+    assert saw_negative
