@@ -276,6 +276,62 @@ def build_ivf_index(
         json.dump(meta, f)
 
 
+def update_ivf_index(
+    new_embeddings: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a ``build_ivf_index`` layout.
+
+    New vectors are assigned to clusters by the INDEX's stored centroids
+    (metadata read — no corpus scan, no retraining) and appended to
+    their label partitions; untouched labels' files are not rewritten.
+    This is the 100 TB ingest shape: update cost scales with the delta,
+    not the index. Centroid drift under sustained ingest is handled by
+    a periodic rebuild (standard IVF practice — FAISS does the same).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    meta = read_index_meta(index_path)
+    cent = np.ascontiguousarray(
+        np.asarray(meta["centroids"], dtype=np.float32)
+    )
+    spark = new_embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_quantize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            labels = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            q = np.clip(np.rint(np.clip(mat, -1.0, 1.0) * 127), -127, 127)
+            q = q.astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "label": labels,
+                    "qemb": [row.tobytes() for row in q],
+                    "femb": [row.tobytes() for row in mat],
+                }
+            )
+
+    assigned = new_embeddings.select(id_col, vec_col).mapInPandas(
+        assign_quantize,
+        schema="vec_id long, label int, qemb binary, femb binary",
+    )
+    (
+        assigned.repartition(F.col("label"))
+        .write.mode("append")
+        .partitionBy("label")
+        .parquet(index_path)
+    )
+
+
 def search_ivf_index(
     df: DataFrame,
     meta: dict,

@@ -206,6 +206,54 @@ class TestIvfInt8Index:
         ]
         assert rr == f32
 
+    def test_incremental_update_append_only_touched_labels(
+        self, spark, clustered, tmp_path
+    ):
+        """update_ivf_index assigns new vectors by the stored centroids
+        (no retraining, no corpus scan) and appends to their label
+        partitions; untouched labels' existing files stay byte-identical,
+        and a search immediately finds the new vector as its own top
+        hit."""
+        import numpy as np
+
+        df, centers = clustered
+        path = str(tmp_path / "idx")
+        cent = IX.train_centroids_sample(
+            df, n_clusters=8, sample_rows=400, iters=6
+        )
+        IX.build_ivf_index(df, path, cent)
+        meta = IX.read_index_meta(path)
+
+        def inventory():
+            out = {}
+            for d in os.listdir(path):
+                if not d.startswith("label="):
+                    continue
+                sub = os.path.join(path, d)
+                out[d] = {
+                    (f, os.stat(os.path.join(sub, f)).st_mtime_ns)
+                    for f in os.listdir(sub)
+                }
+            return out
+
+        before = inventory()
+        # a new vector sitting exactly on centroid 2 of the INDEX
+        newv = [float(x) for x in np.asarray(meta["centroids"][2])]
+        delta = spark.createDataFrame(
+            [(10_000, newv)], "vec_id long, embedding array<float>"
+        )
+        IX.update_ivf_index(delta, path)
+        after = inventory()
+        # exactly one label partition gained a file; no existing file
+        # was rewritten anywhere
+        changed = [d for d in after if before.get(d, set()) != after[d]]
+        assert len(changed) == 1
+        assert before[changed[0]] <= after[changed[0]]
+
+        idx = spark.read.parquet(path)
+        top = IX.search_ivf_index(idx, meta, newv, k=1, probes=2).first()
+        assert top["vec_id"] == 10_000
+
     def test_narrow_probe_recall(self, spark, clustered, ivf_path):
         """2 of 8 probes on well-clustered data: most true neighbors
         live in the query's own cluster."""
