@@ -47,6 +47,24 @@ def main(jsonl_path: str, out_dir: str) -> None:
         "split", F.when(bucket < 900, "train").otherwise("test")
     )
 
+    # decontaminate: drop train docs sharing any 5-gram with the test
+    # split (the shared ngram_hashes helper also powers the streaming
+    # screen in svs_spark.streaming.decontaminate, so a live ingest
+    # applies the identical filter)
+    from svs_spark.streaming.decontaminate import (
+        build_test_index, ngram_hashes,
+    )
+
+    test_idx = build_test_index(final.filter(F.col("split") == "test"))
+    tainted = (
+        final.filter(F.col("split") == "train")
+        .select("doc_id", F.explode(ngram_hashes()).alias("h"))
+        .join(test_idx, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    final = final.join(tainted, "doc_id", "left_anti")
+
     write_corpus(final, out_dir, partition_by=("split",))
     final.groupBy("split").count().show()
 
