@@ -72,6 +72,11 @@ HEADLINE = [
     "asof_next_purchase",
     "graph_motif_stats",
     "user_retention_cohorts",
+    # round-3 widening (late): per-doc NN assignment, bag-of-words
+    # dedup, repetition-quality histogram
+    "knn_self_top1",
+    "dedup_bag_of_words",
+    "doc_repetition_stats",
 ]
 
 

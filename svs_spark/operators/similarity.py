@@ -301,3 +301,97 @@ def knn_join_batch(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def self_knn(
+    embeddings: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Every vector's k nearest neighbors within the corpus (self
+    excluded) — the near-dup *assignment* operator: where
+    ``block_pairwise_topk`` keeps the globally best pairs and
+    ``embedding_near_dup_pairs`` keeps pairs over a threshold, this
+    keeps the best match **per document**, the form a training pipeline
+    needs to pick a canonical representative for every record.
+
+    Same blocked-GEMM decomposition as ``block_pairwise_topk``
+    (reference single-node kernel: ``np.dot(matrix, matrix.T)``,
+    ``src/svs/kb.py:1651``): block pairs (bi <= bj) each compute one
+    (bs × bs) gram block, but here BOTH directions of every block pair
+    emit local per-row top-k candidates (rows of A scored over B and
+    rows of B over A), so each vector's true neighbor is among its
+    ≤ k·nblocks shuffled candidates. The final per-id ranked window
+    resolves globally. Shuffle volume is O(N·k·nblocks), never N².
+
+    Exact by construction; at 100 TB the same per-row-top-k shape runs
+    over IVF/LSH candidates instead of all blocks (operators/ann.py)
+    — this is the oracle-grade exact form.
+
+    Rounding before local pruning keeps the local total order (rounded
+    score desc, id desc) identical to the global window — the k-boundary
+    tie rule every GEMM operator here follows (DEVNOTES invariant 16).
+    """
+    import numpy as np
+
+    blocked = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.floor(F.col(id_col) / block_size).alias("blk"),
+    )
+    mats = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("vid", "vec")).alias("items")
+    )
+    a = mats.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    b = mats.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        F.col("blk_a"), F.col("blk_b")
+    )
+
+    def local_topk(
+        ids_q: "np.ndarray", ids_c: "np.ndarray", gram: "np.ndarray"
+    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+        # per-row top-k of gram (rows = queries, cols = candidates),
+        # self matches already masked to -inf
+        take = min(k, gram.shape[1])
+        part = np.argpartition(-gram, take - 1, axis=1)[:, :take]
+        kth = np.take_along_axis(gram, part, axis=1).min(axis=1)
+        rows, cols = np.nonzero(gram >= kth[:, None])
+        return ids_q[rows], ids_c[cols], gram[rows, cols]
+
+    def score_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            for items_a, items_b in zip(pdf["items_a"], pdf["items_b"]):
+                ia = np.fromiter((x["vid"] for x in items_a), dtype=np.int64)
+                ma = np.vstack([x["vec"] for x in items_a]).astype(np.float64)
+                ib = np.fromiter((x["vid"] for x in items_b), dtype=np.int64)
+                mb = np.vstack([x["vec"] for x in items_b]).astype(np.float64)
+                gram = np.round(ma @ mb.T, round_decimals)  # one BLAS GEMM
+                gram[ia[:, None] == ib[None, :]] = -np.inf  # mask self
+                for q, c, s in (
+                    local_topk(ia, ib, gram),
+                    # the transposed direction only when the blocks differ
+                    # (bi == bj would emit every candidate twice)
+                    *([local_topk(ib, ia, gram.T)] if ia[0] != ib[0] else []),
+                ):
+                    ok = np.isfinite(s)
+                    if ok.any():
+                        yield pd.DataFrame(
+                            {"vec_id": q[ok], "nn_id": c[ok], "score": s[ok]}
+                        )
+
+    partials = pairs.mapInPandas(
+        score_blocks, schema="vec_id long, nn_id long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.desc("nn_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

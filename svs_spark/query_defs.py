@@ -4315,3 +4315,139 @@ def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ===========================================================================
+# Round-3 widening: per-document near-dup assignment, bag-of-words
+# canonicalization, and within-document repetition quality (Gopher-style)
+# ===========================================================================
+
+@register(
+    "knn_self_top1",
+    oracle="""
+    SELECT vec_id, nn_id, score FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             round(list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS score,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_dot_product(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                        DESC, b.vec_id DESC) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def q_knn_self_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's single nearest neighbor (self excluded) — the
+    near-dup *assignment* form: one canonical match per record, the
+    precursor to picking a representative per duplicate cluster. Blocked
+    GEMM block-pair sweep, per-row local top-1 in each block, O(N·
+    nblocks) shuffle (never N²), global per-id window resolves — see
+    ``operators/similarity.py:self_knn`` for the decomposition and the
+    IVF-candidates variant that replaces the exact sweep at 100 TB.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        sim.self_knn(emb, k=1, block_size=256)
+        .select("vec_id", "nn_id", "score")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "dedup_bag_of_words",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id,
+           count(*) AS group_size
+    FROM (
+      SELECT doc_id,
+             array_to_string(list_sort(string_split(text, ' ')), ' ') AS bag
+      FROM documents
+    )
+    GROUP BY bag
+    HAVING count(*) > 1
+    ORDER BY canonical_id
+    """,
+)
+def q_dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: documents whose sorted token
+    multisets coincide form a group (catches word-order shuffles that
+    byte-exact dedup misses — a common template/near-dup class in web
+    corpora). The canonical representative is the minimum doc_id.
+
+    Scale shape: tokens sort per-row inside codegen (`array_sort` over
+    the split — no explode, no shuffle of token rows), and the groupBy
+    key is `xxhash64` of the canonical token string, so the exchange
+    carries an 8-byte key instead of the full document text (DEVNOTES
+    invariant 7; collision odds at 2^-64 per pair are negligible and
+    the oracle's exact-string grouping guards it at sf0.01).
+    """
+    docs = load(spark, sf_dir, "documents")
+    bag = F.array_join(F.array_sort(F.split(F.col("text"), " ")), " ")
+    return (
+        docs.select("doc_id", F.xxhash64(bag).alias("bag_key"))
+        .groupBy("bag_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select("canonical_id", "group_size")
+        .orderBy("canonical_id")
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    )
+    SELECT CAST(((n_tokens - n_distinct) * 10) // n_tokens AS INTEGER)
+             AS rep_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM t
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition histogram — the Gopher-style quality
+    signal (fraction of tokens that are repeats of an earlier token;
+    high repetition marks boilerplate/spam for corpus filtering).
+    Bucketed by integer arithmetic ((t-d)*10 floor-div t) so both
+    engines bin identically with no float boundary risk: IEEE division
+    of exact small ints is correctly rounded, so floor only lands on a
+    bucket edge when the true quotient is integral in both engines.
+
+    Scale shape: token counting and distinct-counting happen per-row
+    inside the scan projection (split + array_distinct are codegen'd
+    collection ops — no explode), so the only exchange is the 11-bucket
+    partial-aggregated groupBy. The scan reads exactly one column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    bucket = (
+        F.floor(
+            (F.col("n_tokens") - F.col("n_distinct"))
+            * 10
+            / F.col("n_tokens")
+        )
+    ).cast("int")
+    return (
+        t.groupBy(bucket.alias("rep_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("rep_bucket")
+    )

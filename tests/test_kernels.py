@@ -236,3 +236,48 @@ def test_simhash_kernel_matches_column_spec(spark):
     # at least one 4-doc signature should set bit 63 (sanity that the
     # sign-bit path actually ran; affine voters make this deterministic)
     assert saw_negative
+
+
+class TestSelfKnn:
+    """self_knn: per-row NN assignment vs a NumPy brute-force oracle."""
+
+    def test_matches_bruteforce_k3(self, spark):
+        import numpy as np
+
+        from svs_spark.operators.similarity import self_knn
+        from svs_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        emb = load(spark, SF_DIR, "embeddings")
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        gram = np.round(mat @ mat.T, 6)
+        np.fill_diagonal(gram, -np.inf)
+
+        got = {
+            (r.vec_id, r.rank): (r.nn_id, r.score)
+            for r in self_knn(emb, k=3, block_size=16).collect()
+        }
+        # small block size forces a multi-block sweep (id range ⇒ >3 blocks)
+        for i, vid in enumerate(ids):
+            # brute-force top-3 under the same (score desc, id desc) order
+            order = sorted(
+                ((gram[i, j], ids[j]) for j in range(len(ids)) if j != i),
+                key=lambda t: (-t[0], -t[1]),
+            )[:3]
+            for rank, (score, nn) in enumerate(order, start=1):
+                assert got[(int(vid), rank)] == (int(nn), pytest.approx(score))
+
+    def test_equal_block_no_double_emit(self, spark):
+        from svs_spark.operators.similarity import self_knn
+
+        rows = [(i, [float(i == j) for j in range(4)]) for i in range(6)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # one block holds everything: each id must still get exactly k rows
+        out = self_knn(df, k=2, block_size=64).collect()
+        per_id = {}
+        for r in out:
+            per_id.setdefault(r.vec_id, []).append(r.rank)
+        assert all(sorted(v) == [1, 2] for v in per_id.values())
+        assert len(per_id) == 6
