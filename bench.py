@@ -77,6 +77,7 @@ HEADLINE = [
     "knn_self_top1",
     "dedup_bag_of_words",
     "doc_repetition_stats",
+    "ann_pq_topk",
 ]
 
 

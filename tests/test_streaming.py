@@ -198,3 +198,41 @@ def test_streaming_ingest_into_kb(spark, tmp_path):
     assert kb.wh.bucket_meta("docs") is not None
     some_id = kb.docs.first()["id"]
     assert kb.query_doc(some_id)["level"] == 0
+
+
+def test_query_stream_matches_bulk_retrieval(spark, tmp_path):
+    """streaming/retrieval.py: a drained query stream produces exactly
+    the rows knn_join_batch gives for the same queries (per-batch one
+    corpus scan; stateless, so availableNow drains in one trigger)."""
+    from svs_spark.queries import fixed_query_vec
+    from svs_spark.operators.similarity import knn_join_batch
+    from svs_spark.streaming.retrieval import serve_query_stream, stream_queries
+
+    corpus = load(spark, SF_DIR, "embeddings")
+    qbatch = [(i, fixed_query_vec(64, seed=50 + i)) for i in range(6)]
+
+    src = str(tmp_path / "qdrop")
+    spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in qbatch],
+        "query_id long, embedding array<float>",
+    ).write.parquet(src)
+
+    sink = str(tmp_path / "answers")
+    q = serve_query_stream(
+        stream_queries(spark, src),
+        corpus,
+        k=5,
+        sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 6))
+        for r in spark.read.parquet(sink).collect()
+    }
+    expected = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 6))
+        for r in knn_join_batch(corpus, qbatch, 5).collect()
+    }
+    assert got == expected
