@@ -54,6 +54,27 @@ def main(sf_dir: str) -> None:
         print(f"top-5 ({precision}):",
               [(r["vec_id"], round(r["score"], 4)) for r in rows])
 
+    # IVF-PQ: m-byte codes next to the float column; the ADC screen
+    # reads 1/64th the bytes of a float probe, the rerank restores the
+    # exact top-k (operators/index_build.py: search_pq_index)
+    import numpy as np
+
+    rows = sorted(
+        emb.select("vec_id", "embedding").limit(20_000).collect(),
+        key=lambda r: r.vec_id,
+    )
+    books = IX.train_pq_codebooks_residual(
+        np.array([r.embedding for r in rows], dtype=np.float32),
+        cent, m=8, ksub=64,
+    )
+    pq_path = os.path.join(tempfile.gettempdir(), "ann_serving_pq")
+    IX.build_pq_index(emb, pq_path, cent, books)
+    pq_meta = IX.read_index_meta(pq_path)
+    pq_idx = spark.read.parquet(pq_path)
+    rows = IX.search_pq_index(pq_idx, pq_meta, qvec, k=5, probes=4).collect()
+    print("top-5 (ivf-pq + rerank):",
+          [(r["vec_id"], round(r["score"], 4)) for r in rows])
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")

@@ -4507,3 +4507,44 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(10)
     )
+
+
+def _lsh_near_dup_oracle(
+    threshold: float = 0.4, bands: int = 8, nbits: int = 4, dim: int = 64
+) -> str:
+    from svs_spark.queries import vec_sql_literal as _vlit
+
+    band_cols = []
+    for j in range(bands):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{_vlit(A.hyperplane(j * nbits + i, dim))}) > 0 "
+            f"THEN {2**i} ELSE 0 END"
+            for i in range(nbits)
+        )
+        band_cols.append(f"({terms}) AS b{j}")
+    any_band = " OR ".join(f"a.b{j} = b.b{j}" for j in range(bands))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {", ".join(band_cols)}
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v), 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id AND ({any_band})
+    WHERE list_dot_product(a.v, b.v) >= {threshold}
+    """
+
+
+@register("embedding_near_dup_lsh", oracle=_lsh_near_dup_oracle())
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-projection LSH near-dup (Charikar 2002): candidates
+    from 8 bucket equi-joins (4 sign bits each) instead of the exact
+    operator's all-blocks sweep — candidate volume ~N²·bands/2^nbits,
+    tunable to the threshold (see operators/dedup.py:
+    embedding_near_dup_lsh_pairs). The oracle mirrors the banding
+    exactly (OR over band-bucket equalities), so the driver verifies the
+    approximate operator's own semantics, and the recall-vs-exact gate
+    lives in tests/test_properties.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_lsh_pairs(emb, threshold=0.4)

@@ -305,7 +305,9 @@ class TestIvfPqIndex:
         )
         rows = sorted(df.collect(), key=lambda r: r.vec_id)
         mat = np.array([r.embedding for r in rows], dtype=np.float32)
-        books = IX.train_pq_codebooks(mat, m=4, ksub=32, iters=8)
+        # residual codebooks (the build default): codes approximate
+        # x − c_label, the screen adds q·c_label back per row
+        books = IX.train_pq_codebooks_residual(mat, cent, m=4, ksub=32, iters=8)
         IX.build_pq_index(df, path, cent, books)
         return path
 
@@ -369,12 +371,18 @@ class TestIvfPqIndex:
         meta = IX.read_index_meta(pq_path)
         idx = spark.read.parquet(pq_path)
         books = np.asarray(meta["codebooks"], dtype=np.float32)
+        cent = np.asarray(meta["centroids"], dtype=np.float64)
         q = [float(x) for x in centers[2]]
+        consts = {
+            lab: float(cent[lab] @ np.asarray(q, dtype=np.float64))
+            for lab in range(meta["n_clusters"])
+        }
         exact = {r["vec_id"] for r in retrieve_topk(df, q, 10).collect()}
         cand = {
             r["vec_id"]
             for r in IX.pq_adc_topk(
-                idx.select("vec_id", "code"), books, q, 100
+                idx.select("vec_id", "code", "label"), books, q, 100,
+                label_consts=consts,
             ).collect()
         }
         assert len(exact & cand) >= 8

@@ -159,3 +159,14 @@ def test_tpch_q4_is_semi_join(spark, registry):
     df = registry["tpch_q4ish"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_embedding_lsh_candidates_equi_join_not_all_pairs(spark, registry):
+    """Every band of the embedding-LSH near-dup must plan as a bucket
+    equi-join (hash or sort-merge); a NestedLoop/Cartesian would mean
+    Catalyst failed to extract the band-bucket equality as a join key
+    and the operator regressed to all-pairs."""
+    df = registry["embedding_near_dup_lsh"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]

@@ -387,3 +387,33 @@ def test_largest_remainder_allocation_invariants(weights, budget):
     assert sum(alloc) == budget
     for a, x in zip(alloc, exact):
         assert a - x < 1 + 1e-9 and x - a < 1 + 1e-9
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """Banded sign-projection LSH must recover a healthy fraction of the
+    exact near-dup pairs, and ALL of the really-close ones (the oracle
+    mirrors the banding, so only this test would catch a recall
+    collapse — the failure mode the driver gate cannot see)."""
+    from svs_spark.operators.dedup import (
+        embedding_near_dup_lsh_pairs,
+        embedding_near_dup_pairs,
+    )
+    from svs_spark.queries import load
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = load(spark, SF_DIR_ORACLE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    assert got <= set(exact)  # LSH pairs are a verified subset
+    recall = len(got) / max(len(exact), 1)
+    assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
+    close = {p for p, s in exact.items() if s >= 0.7}
+    if close:
+        close_recall = len(got & close) / len(close)
+        assert close_recall >= 0.9, f"close-pair recall {close_recall:.2f}"

@@ -41,6 +41,7 @@ QUADRATIC_BY_DESIGN = {
     "pairwise_topk",        # blocked-GEMM strict-upper-triangle top-k
     "embedding_near_dup",   # blocked-GEMM threshold pairs (oracle form)
     "knn_bruteforce",       # 10 query rows × corpus, the recall baseline
+    "knn_self_top1",        # blocked-GEMM self-kNN block-pair sweep
 }
 ONE_ROW_CROSS_OK |= QUADRATIC_BY_DESIGN
 
