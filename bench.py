@@ -78,6 +78,14 @@ HEADLINE = [
     "dedup_bag_of_words",
     "doc_repetition_stats",
     "ann_pq_topk",
+    # round-3 widening (training-export tail): span-level substring
+    # dedup, PII scrub, boilerplate line removal, and the two-level
+    # global-rank/cumsum shard dealers
+    "dup_substring_spans",
+    "pii_scrub",
+    "boilerplate_lines",
+    "balanced_shards",
+    "token_budget_shards",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -1,0 +1,161 @@
+"""Corpus sharding / global-ordering utilities for training-data export.
+
+A training pipeline's last mile is deterministic: shuffle the corpus
+reproducibly, then deal documents into shards — either round-robin by
+descending length (balanced shard sizes) or contiguously by a token
+budget (fixed ~N-token shard files). All three need a GLOBAL total
+order, and the naive Spark form (`row_number() OVER (ORDER BY ...)`
+with no PARTITION BY) collapses the whole table into one partition —
+a single-task sort that dies long before 100 TB.
+
+The scalable decomposition used here is the classic two-level rank:
+
+1. bucket every row by an ORDER-ALIGNED bucket expression (every row
+   of bucket i sorts before every row of bucket i+1 — e.g. the leading
+   bits of the sort key);
+2. rank/cumsum WITHIN each bucket (hash-partitioned window — parallel);
+3. compute per-bucket offsets on the tiny bucket-aggregate table (one
+   row per bucket; the only single-partition window runs over ≤ a few
+   thousand rows) and broadcast-join them back.
+
+`global_rn = bucket_offset + within_bucket_rank` is then exactly the
+single-window answer, with the corpus shuffled once by bucket and never
+concentrated on one task. Equivalence to the naive window is pinned by
+``tests/test_sharding.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Knuth multiplicative hash, portable across Spark and DuckDB (pure
+# BIGINT arithmetic — same form as query_defs.q_train_test_split; for
+# ids beyond ~2^32 swap for xxhash64, which no longer needs to be
+# SQL-portable once the oracle only checks aggregates).
+SHUFFLE_MULT = 2654435761
+SHUFFLE_MOD = 4294967296
+
+
+def shuffle_hash(id_col: Column | str, seed: int = 12345) -> Column:
+    """Deterministic pseudo-random sort key in [0, 2^32)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c * F.lit(SHUFFLE_MULT) + F.lit(seed)) % F.lit(SHUFFLE_MOD)
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column],
+    rank_name: str = "global_rn",
+) -> DataFrame:
+    """Global 1-based row_number over ``order_cols`` without a global
+    sort. ``bucket`` MUST be order-aligned: rows in a smaller bucket
+    value sort strictly before rows in a larger one (pass e.g. the
+    leading bits of the primary sort key, or its negation for DESC).
+    """
+    b = df.withColumn("_bucket", bucket)
+    w_in = Window.partitionBy("_bucket").orderBy(*order_cols)
+    counts = b.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    # one row per bucket — the single-partition window is bounded by the
+    # bucket count, not the table size
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_bucket", "_off")
+    return (
+        b.join(F.broadcast(offs), "_bucket")
+        .withColumn(
+            rank_name, (F.col("_off") + F.row_number().over(w_in)).cast("long")
+        )
+        .drop("_bucket", "_off")
+    )
+
+
+def bucketed_global_cumsum(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column],
+    val_col: str,
+    cum_name: str = "cum",
+) -> DataFrame:
+    """Global running sum of ``val_col`` in ``order_cols`` order (the
+    row's own value included), decomposed the same two-level way."""
+    b = df.withColumn("_bucket", bucket)
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = b.groupBy("_bucket").agg(F.sum(val_col).alias("_tot"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_bucket", "_off")
+    return (
+        b.join(F.broadcast(offs), "_bucket")
+        .withColumn(
+            cum_name,
+            (F.col("_off") + F.sum(val_col).over(w_in)).cast("long"),
+        )
+        .drop("_bucket", "_off")
+    )
+
+
+def round_robin_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    tiebreak_col: str = "doc_id",
+    shard_name: str = "shard",
+) -> DataFrame:
+    """Deal rows into ``n_shards`` round-robin in DESCENDING weight
+    order (longest-first card dealing — the standard near-balanced
+    token-budget heuristic: shard totals differ by at most one max-row
+    weight). Bucket = negated weight, so each bucket is one weight value
+    and ascending bucket order IS descending weight order.
+    """
+    ranked = bucketed_global_rank(
+        df,
+        bucket=-F.col(weight_col),
+        order_cols=[F.col(tiebreak_col)],
+    )
+    return ranked.withColumn(
+        shard_name, ((F.col("global_rn") - 1) % n_shards).cast("int")
+    ).drop("global_rn")
+
+
+def token_budget_shards(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 12345,
+    n_buckets_log2: int = 6,
+    shard_name: str = "shard",
+) -> DataFrame:
+    """Contiguous ~``budget``-token shards in deterministic shuffle
+    order: shuffle-hash each id, take the global running token sum, and
+    cut a new shard every time it crosses the budget
+    (``shard = (cum - w) div budget`` — each shard holds ≥ budget -
+    max_row tokens, ≤ budget + max_row). Bucket = leading bits of the
+    32-bit shuffle hash (order-aligned by construction, uniformly
+    sized).
+    """
+    h = shuffle_hash(id_col, seed)
+    with_h = df.withColumn("_h", h)
+    cum = bucketed_global_cumsum(
+        with_h,
+        bucket=F.expr(f"_h div {1 << (32 - n_buckets_log2)}"),
+        order_cols=[F.col("_h"), F.col(id_col)],
+        val_col=weight_col,
+    )
+    # integer div: identical floor semantics in Spark (`div`) and the
+    # DuckDB oracle (`//` on BIGINT)
+    return cum.withColumn(
+        shard_name,
+        F.expr(f"(cum - {weight_col}) div {budget}").cast("int"),
+    ).drop("_h", "cum")

@@ -4548,3 +4548,414 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives in tests/test_properties.py."""
     emb = load(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_lsh_pairs(emb, threshold=0.4)
+
+
+# ===========================================================================
+# Round-3 (cont.): span-level substring dedup, PII scrubbing, boilerplate
+# line removal, and deterministic corpus sharding — the training-data
+# export tail of the pipeline
+# ===========================================================================
+
+from svs_spark.operators import sharding as SH  # noqa: E402
+
+
+@register(
+    "dup_substring_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, substring(text, CAST(pos AS INTEGER), 30) AS win
+      FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 28, 10)) AS pos)
+      WHERE len(text) >= 30
+    ),
+    k AS (SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY win)
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS dup_ratio
+    FROM w JOIN k USING (win)
+    GROUP BY w.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (the Lee et al. 2022 "dedup
+    makes LMs better" signal, windowed): 30-char windows at stride 10,
+    a window that recurs in ≥2 DISTINCT documents marks its span as
+    duplicated text; per-doc output is the duplicated-window fraction —
+    the filter signal for span-level (not whole-doc) copy removal.
+
+    Scale shape: windows explode ~len/stride rows per doc, but each row
+    is reduced to an 8-byte xxhash64 key before the exchange (DEVNOTES
+    invariant 7 — the oracle groups the raw substring, guarding
+    collisions at sf0.01). One key-shuffle for the distinct-doc count,
+    one key-partitioned join back, one doc-key aggregate; no all-pairs
+    anywhere, and window positions never leave their scan partition.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 30)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(29), F.lit(10))
+        ).alias("pos"),
+    )
+    wins = pos.select(
+        "doc_id", F.xxhash64(F.expr("substring(text, pos, 30)")).alias("wk")
+    )
+    keystats = wins.groupBy("wk").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        wins.join(keystats, "wk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+            "dup_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "top_dup_substrings",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, substring(text, CAST(pos AS INTEGER), 30) AS win
+      FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 28, 10)) AS pos)
+      WHERE len(text) >= 30
+    )
+    SELECT win, count(DISTINCT doc_id) AS n_docs
+    FROM w
+    GROUP BY win
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, win
+    LIMIT 15
+    """,
+)
+def q_top_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most widely duplicated 30-char spans — the "show me the
+    boilerplate" report that decides what span-dedup should cut. Groups
+    carry the window string because it IS the output; at 100 TB the
+    same top-k runs over xxhash64 keys first and semi-joins the ≤k
+    winning hashes back to recover the strings (one tiny broadcast).
+    Deterministic total order (count DESC, window ASC) under the LIMIT.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 30)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(29), F.lit(10))
+        ).alias("pos"),
+    )
+    wins = pos.select(
+        "doc_id", F.expr("substring(text, pos, 30)").alias("win")
+    )
+    return (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "win")
+        .limit(15)
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic PII injection shared by both engines: the synthetic
+# corpus contains no digits or '@', so the oracle would otherwise
+# verify a no-op. The CASE arms are mutually ordered identically in
+# Spark and SQL (first-true-wins), making the augmented text exact.
+_PII_AUG_SQL = """concat(text, CASE
+      WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now')
+      WHEN doc_id % 11 = 3 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
+                                       '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ok')
+      WHEN doc_id % 13 = 5 THEN concat(' ip 10.0.', CAST(doc_id % 256 AS STRING),
+                                       '.', CAST(doc_id % 250 AS STRING), ' seen')
+      ELSE '' END)"""
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+             CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+             CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INTEGER) AS n_ip,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS scrubbed
+      FROM aug
+    )
+    SELECT doc_id, n_email, n_phone, n_ip, scrubbed
+    FROM hits
+    WHERE n_email + n_phone + n_ip > 0
+    ORDER BY doc_id
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: count and replace emails, NANP
+    phone numbers, and IPv4 addresses with typed placeholder tokens —
+    the standard pre-training scrub pass. The patterns use only the
+    regex subset with identical semantics in Java (Spark) and RE2
+    (DuckDB): ASCII classes, bounded repetition, word boundaries, no
+    capture groups. The scrubbed text itself is in the output, so the
+    driver verifies the byte-exact redaction, not just the counts.
+
+    Scale shape: pure per-row codegen'd string expressions inside the
+    scan projection — no shuffle at all until the final (tiny) ordered
+    output; at 100 TB this runs at scan speed and writes back through
+    whatever partitioning the corpus already has.
+    """
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG_SQL).alias("t"))
+    n_email = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0))
+    n_phone = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), 0))
+    n_ip = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), 0))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return (
+        aug.select(
+            "doc_id",
+            n_email.alias("n_email"),
+            n_phone.alias("n_phone"),
+            n_ip.alias("n_ip"),
+            scrub.alias("scrubbed"),
+        )
+        .filter(F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "boilerplate_lines",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, source, trim(line) AS line
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split(replace(text, ' value ', chr(10)), chr(10))) AS line
+        FROM documents
+      )
+      WHERE trim(line) <> ''
+    ),
+    freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+    SELECT l.source,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           round(1.0 - CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS retained_ratio
+    FROM l JOIN freq USING (line)
+    GROUP BY l.source
+    ORDER BY l.source
+    """,
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal: split documents into
+    lines, and any line occurring verbatim in ≥2 distinct documents is
+    boilerplate (nav bars, cookie banners, license headers in real
+    corpora). Reported as per-source retention ratios — the knob a
+    curation run actually monitors. Lines are synthesized from the
+    word-salad corpus by the deterministic ``' value ' → newline``
+    rewrite, applied identically in both engines.
+
+    Scale shape: mirrors dup_substring_spans — lines shuffle as 8-byte
+    xxhash64 keys (raw strings never leave the scan stage; the oracle's
+    raw-string grouping guards collisions), one key aggregate for the
+    distinct-doc frequency, key-partitioned join back, then a per-source
+    partial aggregate. The frequency table is the only state, and it
+    shrinks with dedup — no driver collection anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(F.expr("replace(text, ' value ', char(10))"), "\n")
+        ).alias("raw"),
+    )
+    lines = raw.select(
+        "doc_id", "source", F.trim(F.col("raw")).alias("line")
+    ).filter(F.col("line") != "")
+    keyed = lines.select(
+        "doc_id", "source", F.xxhash64("line").alias("lk")
+    )
+    freq = keyed.groupBy("lk").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        keyed.join(freq, "lk")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            "source",
+            "n_lines",
+            "n_boiler",
+            F.round(
+                F.lit(1.0) - F.col("n_boiler") / F.col("n_lines"), 6
+            ).alias("retained_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY (doc_id * 2654435761 + 12345) % 4294967296, doc_id
+           ) AS INTEGER) AS shuffle_pos
+    FROM documents
+    ORDER BY shuffle_pos
+    LIMIT 100
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (training-order export): a
+    Knuth-multiplicative hash of doc_id is the sort key, so the order is
+    reproducible across engines, runs, and partitionings with no RNG
+    state. The first 100 positions are the verified sample.
+
+    Scale shape: the top-100 is TakeOrderedAndProject (per-partition
+    heap + driver merge of 100-row heads — no global sort); position
+    numbers attach by a window over only those 100 survivor rows. The
+    full-corpus ordered EXPORT path is ``operators/sharding.py``'s
+    two-level rank, which never concentrates the table on one task.
+    """
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select("doc_id", SH.shuffle_hash("doc_id").alias("h"))
+    first = s.orderBy("h", "doc_id").limit(100)
+    w = Window.orderBy("h", "doc_id")
+    return (
+        first.withColumn("shuffle_pos", F.row_number().over(w))
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )
+
+
+@register(
+    "balanced_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM t
+    )
+    SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_tokens) AS INTEGER) AS max_tokens
+    FROM r
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: deal documents into 8 shards
+    round-robin in descending token-count order (longest-first card
+    dealing — shard totals differ by at most one max-document). The
+    oracle's naive global window pins the semantics; the Spark plan
+    uses ``sharding.round_robin_shards``'s two-level rank (per-length
+    partitioned window + broadcast bucket offsets), so no single task
+    ever sorts the corpus — the 100 TB-safe form of ORDER BY row_number.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    sh = SH.round_robin_shards(t, n_shards=8, weight_col="n_tokens")
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "token_budget_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             (doc_id * 2654435761 + 12345) % 4294967296 AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT CAST((cum - n_tokens) // 5000 AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM c
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous ~5000-token shard files in deterministic shuffle
+    order — the "fill 1B-token shards" export step of a training run: a
+    new shard starts whenever the running token total crosses the
+    budget, so every shard holds budget ± one max-document tokens and
+    document order within a shard is the reproducible shuffle order.
+
+    Scale shape: the running total comes from ``sharding.
+    token_budget_shards`` — cumulative sums within 64 hash-prefix
+    buckets (order-aligned by construction) plus broadcast per-bucket
+    offsets; the oracle's naive full-table window pins the semantics
+    while the Spark plan keeps every window partition ~1/64 of the
+    corpus. Shard ids use integer floor-div (`div` / `//` on BIGINT),
+    exact in both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    sh = SH.token_budget_shards(t, budget=5000, weight_col="n_tokens")
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )

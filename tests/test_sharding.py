@@ -1,0 +1,111 @@
+"""operators/sharding.py: the two-level (bucketed) global rank/cumsum
+must be EXACTLY the naive single-window answer, and the shard dealers
+built on it must satisfy their balance/budget contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from svs_spark.operators import sharding as SH
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # 500 rows, skewed weights, duplicate weight values (the tie case
+    # the bucket=weight decomposition must order deterministically)
+    return spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 97 + 3).cast("int").alias("w"),
+    )
+
+
+def test_bucketed_rank_equals_naive_window(spark, weighted):
+    naive = weighted.withColumn(
+        "global_rn",
+        F.row_number()
+        .over(Window.orderBy(F.col("w").desc(), "doc_id"))
+        .cast("long"),
+    )
+    two_level = SH.bucketed_global_rank(
+        weighted, bucket=-F.col("w"), order_cols=[F.col("doc_id")]
+    )
+    got = {r.doc_id: r.global_rn for r in two_level.collect()}
+    want = {r.doc_id: r.global_rn for r in naive.collect()}
+    assert got == want
+
+
+def test_bucketed_cumsum_equals_naive_window(spark, weighted):
+    h = SH.shuffle_hash("doc_id")
+    base = weighted.withColumn("_h", h)
+    naive = base.withColumn(
+        "cum",
+        F.sum("w")
+        .over(
+            Window.orderBy("_h", "doc_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    )
+    two_level = SH.bucketed_global_cumsum(
+        base,
+        bucket=F.expr(f"_h div {1 << 26}"),
+        order_cols=[F.col("_h"), F.col("doc_id")],
+        val_col="w",
+    )
+    got = {r.doc_id: r.cum for r in two_level.collect()}
+    want = {r.doc_id: r.cum for r in naive.collect()}
+    assert got == want
+
+
+def test_no_full_table_single_partition_window(weighted):
+    """The plan gate: the corpus-sized window must be hash-partitioned;
+    only the per-bucket offsets aggregate (≤ n_buckets rows) may pass
+    through a SinglePartition exchange."""
+    plan = SH.bucketed_global_rank(
+        weighted, bucket=-F.col("w"), order_cols=[F.col("doc_id")]
+    )._jdf.queryExecution().executedPlan().toString()
+    # the big-side window must come with a hashpartitioning exchange on
+    # the bucket column
+    assert "hashpartitioning(_bucket" in plan
+
+
+def test_round_robin_shards_balance(weighted):
+    n = 8
+    sh = SH.round_robin_shards(weighted, n_shards=n, weight_col="w")
+    stats = (
+        sh.groupBy("shard").agg(F.sum("w").alias("tot")).collect()
+    )
+    assert len(stats) == n
+    tots = [r.tot for r in stats]
+    max_w = 99  # (id*37)%97+3 ≤ 99
+    # longest-first dealing: shard totals within one max-row weight of
+    # each other is the textbook bound for round-robin on sorted input
+    assert max(tots) - min(tots) <= max_w
+
+
+def test_token_budget_shards_bounds(weighted):
+    budget = 700
+    sh = SH.token_budget_shards(weighted, budget=budget, weight_col="w")
+    rows = sh.collect()
+    # shard of a row is floor(preceding_cum / budget): totals per shard
+    # land in [budget - max_w, budget + max_w] except the final shard
+    stats = {}
+    for r in rows:
+        stats.setdefault(r.shard, 0)
+        stats[r.shard] += r.w
+    shards = sorted(stats)
+    assert shards == list(range(len(shards)))  # contiguous ids from 0
+    max_w = 99
+    for s in shards[:-1]:
+        assert budget - max_w <= stats[s] <= budget + max_w
+    # deterministic: same seed ⇒ same assignment
+    again = {
+        r.doc_id: r.shard
+        for r in SH.token_budget_shards(
+            weighted, budget=budget, weight_col="w"
+        ).collect()
+    }
+    assert again == {r.doc_id: r.shard for r in rows}
