@@ -1,7 +1,7 @@
 """End-to-end training-data pipeline over a raw JSONL dump: ingest →
-profile → quality-filter → dedup → split/decontaminate → pack — every
-stage a distributed DataFrame op (see svs_spark.query_defs for the
-oracle-gated versions of each operator over the driver testdata).
+PII-scrub → quality-filter → dedup → split/decontaminate → shard-export
+— every stage a distributed DataFrame op (see svs_spark.query_defs for
+the oracle-gated versions of each operator over the driver testdata).
 """
 
 import os
@@ -21,6 +21,24 @@ def main(jsonl_path: str, out_dir: str) -> None:
     spark = get_session("training_pipeline")
 
     docs = ingest_jsonl(spark, jsonl_path, source="dump")
+
+    # PII scrub first — redactions must happen before any content hash
+    # or fingerprint is derived (pure codegen'd regex in the scan
+    # projection; patterns shared with the oracle-gated pii_scrub query)
+    from svs_spark.query_defs import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    docs = docs.withColumn("text", scrubbed).withColumn(
+        "n_chars", F.length("text")
+    )
 
     # quality filter: min length, min tokens, composite score
     toks = T.whitespace_token_count("text")
@@ -65,7 +83,21 @@ def main(jsonl_path: str, out_dir: str) -> None:
     )
     final = final.join(tainted, "doc_id", "left_anti")
 
-    write_corpus(final, out_dir, partition_by=("split",))
+    # shard export: the train split lands as contiguous ~1M-token shard
+    # partitions in deterministic shuffle order (two-level global cumsum
+    # — no single-task sort; see operators/sharding.py)
+    from svs_spark.operators.sharding import token_budget_shards
+
+    train = final.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    sharded = token_budget_shards(
+        train, budget=1_000_000, weight_col="n_tokens"
+    ).drop("n_tokens")
+    write_corpus(sharded, os.path.join(out_dir, "train"), partition_by=("shard",))
+    write_corpus(
+        final.filter(F.col("split") == "test"), os.path.join(out_dir, "test")
+    )
     final.groupBy("split").count().show()
 
 

@@ -37,9 +37,17 @@ SHUFFLE_MOD = 4294967296
 
 
 def shuffle_hash(id_col: Column | str, seed: int = 12345) -> Column:
-    """Deterministic pseudo-random sort key in [0, 2^32)."""
+    """Deterministic pseudo-random sort key in [0, 2^32).
+
+    The id is first reduced mod 2^31-1 (pmod — safe for negative ids,
+    e.g. xxhash64-derived ones) so the Knuth multiply never overflows
+    BIGINT under ANSI mode: (2^31-1)·2654435761 < 2^63. For ids below
+    2^31 the reduction is the identity, which keeps the SQL oracles
+    (which skip it) exact on the testdata domain.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c * F.lit(SHUFFLE_MULT) + F.lit(seed)) % F.lit(SHUFFLE_MOD)
+    r = F.pmod(c, F.lit(2147483647))
+    return (r * F.lit(SHUFFLE_MULT) + F.lit(seed)) % F.lit(SHUFFLE_MOD)
 
 
 def bucketed_global_rank(
