@@ -170,3 +170,32 @@ def test_embedding_lsh_candidates_equi_join_not_all_pairs(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan[:2000]
     assert "Cartesian" not in plan, plan[:2000]
+
+
+def test_pii_scrub_is_scan_speed(spark, registry):
+    """The PII redaction pass must stay entirely in the scan projection:
+    the ONLY exchange allowed is the final rangepartitioning for the
+    ordered output — any other shuffle means the regex work left the
+    scan stage."""
+    df = registry["pii_scrub"](spark, SF_DIR)
+    assert X.count_shuffles(df) <= 1, X.plan_string(df)[:2000]
+
+
+def test_corpus_shuffle_is_take_ordered(spark, registry):
+    """The shuffle-order sample must come from TakeOrderedAndProject
+    (per-partition heaps), never a global sort of the corpus; the
+    position window may only run over the ≤100 survivor rows."""
+    df = registry["corpus_shuffle"](spark, SF_DIR)
+    assert X.uses_take_ordered(df), X.plan_string(df)[:2000]
+
+
+def test_shard_dealers_window_is_bucket_partitioned(spark, registry):
+    """Both shard dealers must hash-partition their corpus-sized window
+    by the order-aligned bucket and broadcast the per-bucket offsets —
+    the two-level decomposition that replaces the single-task
+    `row_number() OVER (ORDER BY ...)`."""
+    for name in ("balanced_shards", "token_budget_shards"):
+        df = registry[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(_bucket" in plan, (name, plan[:2000])
+        assert "BroadcastHashJoin" in plan, (name, plan[:2000])
