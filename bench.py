@@ -86,6 +86,8 @@ HEADLINE = [
     "boilerplate_lines",
     "balanced_shards",
     "token_budget_shards",
+    "source_overlap_matrix",
+    "rare_token_stats",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -4959,3 +4959,166 @@ def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM (SELECT source, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+      WHERE len(toks) >= 3
+    ),
+    per AS (SELECT source, count(*) AS n FROM s GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared,
+           round(count(*) / (pa.n + pb.n - count(*)), 6) AS jaccard
+    FROM s a
+    JOIN s b USING (g)
+    JOIN per pa ON pa.source = a.source
+    JOIN per pb ON pb.source = b.source
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source, pa.n, pb.n
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word-trigrams they share and the trigram Jaccard —
+    the overlap report run between crawl snapshots / corpus components
+    before mixing them into a training blend (high overlap ⇒ one source
+    is a re-crawl or mirror of the other).
+
+    Scale shape: the distinct (source, trigram) index shuffles 8-byte
+    xxhash64 keys (the oracle's raw-string grouping guards collisions);
+    the self-join is a trigram-key equi-join whose output is bounded by
+    sources² (tiny), never documents²; per-source totals are a
+    #sources-row broadcast. Skewed (stopword-heavy) trigrams are
+    deduped per source BEFORE the join, capping any key's row count at
+    #sources.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split(F.col("text"), " ").alias("toks"))
+    tri = (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .select("source", F.xxhash64("g").alias("gk"))
+        .distinct()
+    )
+    per = tri.groupBy("source").agg(F.count("*").alias("n"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    shared = (
+        a.join(b, on="gk")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "rare_token_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    f AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f),
+    flagged AS (
+      SELECT tok.doc_id,
+             CASE WHEN f.c * 30 < tot.total THEN 1 ELSE 0 END AS rare
+      FROM tok JOIN f USING (w) CROSS JOIN tot
+    ),
+    per AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(rare) AS BIGINT) AS n_rare
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT CAST((n_rare * 10) // n_tokens AS INTEGER) AS rare_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_rare) AS BIGINT) AS total_rare
+    FROM per
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token concentration histogram — the vocabulary-based
+    quality proxy (a CCNet-style signal without an external LM): a
+    token is "rare" when it carries < 1/30 of corpus mass (c·30 <
+    total), and documents are bucketed by their rare-token fraction in
+    pure integer arithmetic. Gibberish and OCR noise concentrate in the
+    high buckets; template spam in bucket 0.
+
+    Scale shape: the frequency table is vocabulary-sized (≤ millions of
+    rows at web scale — broadcastable), built with one token-key
+    shuffle; the corpus then joins against it broadcast, so the
+    per-document pass is map-side. The corpus total folds in as a 1-row
+    broadcast (same pattern as tfidf's document count). Everything that
+    reaches the output is integer.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    f = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = f.agg(F.sum("c").alias("total"))
+    flagged = (
+        tok.join(F.broadcast(f), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("c") * 30 < F.col("total"), 1)
+            .otherwise(0)
+            .alias("rare"),
+        )
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("rare").alias("n_rare")
+    )
+    return (
+        per.groupBy(
+            F.expr("(n_rare * 10) div n_tokens").cast("int").alias(
+                "rare_bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_rare").alias("total_rare"),
+        )
+        .orderBy("rare_bucket")
+    )
