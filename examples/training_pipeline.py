@@ -25,18 +25,7 @@ def main(jsonl_path: str, out_dir: str) -> None:
     # PII scrub first — redactions must happen before any content hash
     # or fingerprint is derived (pure codegen'd regex in the scan
     # projection; patterns shared with the oracle-gated pii_scrub query)
-    from svs_spark.query_defs import _PII_EMAIL, _PII_IP, _PII_PHONE
-
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IP,
-        "<IP>",
-    )
-    docs = docs.withColumn("text", scrubbed).withColumn(
+    docs = docs.withColumn("text", T.scrub_pii("text")).withColumn(
         "n_chars", F.length("text")
     )
 

@@ -166,3 +166,42 @@ def shingles(text: Column | str, k: int = 5) -> Column:
         n >= k,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))),
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — patterns restricted to the regex subset with identical
+# semantics in Java (Spark) and RE2 (DuckDB): ASCII classes, bounded
+# repetition, word boundaries, no capture groups. Parity battery:
+# tests/test_pii.py.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails, NANP phone numbers, and IPv4 addresses with typed
+    placeholder tokens, in a fixed order (email → phone → ip) so
+    results are reproducible across engines. Pure codegen'd
+    regexp_replace chain — runs at scan speed with no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column, Column]:
+    """(n_email, n_phone, n_ip) match counts as INT columns."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IP), 0)),
+    )

@@ -61,6 +61,10 @@ _FORCE_RECHECK = {
     "simhash_pairs": 3,
     "simhash48_pairs": 3,
     "asof_last_purchase": 3,
+    # round 3 (cont.): candidate generation rewritten to hashed band
+    # keys + first-agreeing-band filter (no distinct) — r02's green row
+    # verified the old code path
+    "minhash_lsh_dedup": 3,
 }
 
 

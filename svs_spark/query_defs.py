@@ -4593,36 +4593,8 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one key-partitioned join back, one doc-key aggregate; no all-pairs
     anywhere, and window positions never leave their scan partition.
     """
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 30)
-    pos = docs.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(29), F.lit(10))
-        ).alias("pos"),
-    )
-    wins = pos.select(
-        "doc_id", F.xxhash64(F.expr("substring(text, pos, 30)")).alias("wk")
-    )
-    keystats = wins.groupBy("wk").agg(F.countDistinct("doc_id").alias("nd"))
-    per = (
-        wins.join(keystats, "wk")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
-                "n_dup_windows"
-            ),
-        )
-    )
-    return per.select(
-        "doc_id",
-        "n_windows",
-        "n_dup_windows",
-        F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
-            "dup_ratio"
-        ),
-    ).orderBy("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    return D.dup_substring_stats(docs, k=30, stride=10).orderBy("doc_id")
 
 
 @register(
@@ -4649,17 +4621,8 @@ def q_top_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     winning hashes back to recover the strings (one tiny broadcast).
     Deterministic total order (count DESC, window ASC) under the LIMIT.
     """
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 30)
-    pos = docs.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(29), F.lit(10))
-        ).alias("pos"),
-    )
-    wins = pos.select(
-        "doc_id", F.expr("substring(text, pos, 30)").alias("win")
-    )
+    docs = load(spark, sf_dir, "documents")
+    wins = D.substring_windows(docs, k=30, stride=10, hashed=False)
     return (
         wins.groupBy("win")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -4669,9 +4632,11 @@ def q_top_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+from svs_spark.functions.text import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_IP as _PII_IP,
+    PII_PHONE as _PII_PHONE,
+)
 
 # Deterministic PII injection shared by both engines: the synthetic
 # corpus contains no digits or '@', so the oracle would otherwise
@@ -4726,18 +4691,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     aug = docs.select("doc_id", F.expr(_PII_AUG_SQL).alias("t"))
-    n_email = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0))
-    n_phone = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), 0))
-    n_ip = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), 0))
-    scrub = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IP,
-        "<IP>",
-    )
+    n_email, n_phone, n_ip = T.pii_counts("t")
+    scrub = T.scrub_pii("t")
     return (
         aug.select(
             "doc_id",
@@ -4791,38 +4746,12 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregate. The frequency table is the only state, and it
     shrinks with dedup — no driver collection anywhere.
     """
-    docs = load(spark, sf_dir, "documents")
-    raw = docs.select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.explode(
-            F.split(F.expr("replace(text, ' value ', char(10))"), "\n")
-        ).alias("raw"),
+        F.expr("replace(text, ' value ', char(10))").alias("text"),
     )
-    lines = raw.select(
-        "doc_id", "source", F.trim(F.col("raw")).alias("line")
-    ).filter(F.col("line") != "")
-    keyed = lines.select(
-        "doc_id", "source", F.xxhash64("line").alias("lk")
-    )
-    freq = keyed.groupBy("lk").agg(F.countDistinct("doc_id").alias("df"))
-    return (
-        keyed.join(freq, "lk")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_boiler"),
-        )
-        .select(
-            "source",
-            "n_lines",
-            "n_boiler",
-            F.round(
-                F.lit(1.0) - F.col("n_boiler") / F.col("n_lines"), 6
-            ).alias("retained_ratio"),
-        )
-        .orderBy("source")
-    )
+    return D.boilerplate_line_stats(docs, min_df=2).orderBy("source")
 
 
 @register(

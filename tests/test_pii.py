@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from svs_spark.query_defs import _PII_EMAIL, _PII_IP, _PII_PHONE
+from svs_spark.functions.text import (
+    PII_EMAIL as _PII_EMAIL,
+    PII_IP as _PII_IP,
+    PII_PHONE as _PII_PHONE,
+)
 
 CASES = [
     # emails: tags, subdomains, boundary chars, almost-emails

@@ -1,0 +1,201 @@
+"""Corpus-scale benchmark for the text/dedup/export operators at 1M
+documents — the companion to tools/million_bench.py (which covers the
+vector path). Generates a deterministic templated corpus (heavy
+cross-document duplication — the adversarial case for every banded/
+inverted-index candidate join), then times each operator end-to-end on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line; the committed artifact is CORPUS_BENCH_r{N}.json.
+
+Usage: python tools/corpus_bench.py [--n 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS = "/tmp/corpus_bench_{n}.parquet"
+
+
+def build_corpus(spark, n: int) -> str:
+    """n docs from n/50 templates × 50 variants: ~96% of every document
+    is template text shared with 49 siblings, plus cross-template
+    shared phrases — worst-case bucket sizes for LSH/shingle joins."""
+    from pyspark.sql import functions as F
+
+    path = CORPUS.format(n=n)
+    if os.path.exists(path + "/_SUCCESS"):
+        return path
+    n_tpl = max(1, n // 50)
+    # 25 pseudo-random tokens per template from a ~1M-word vocabulary
+    # (prime modulus ≫ n_tpl, so template token-offsets never cycle):
+    # the 50 variants of one template are near-identical (the dup
+    # groups), while DIFFERENT templates share almost nothing — so the
+    # true near-dup pair set is Σ C(50,2) per template, linear in n,
+    # and any quadratic blowup in a candidate join is the operator's
+    # fault, not the corpus's.
+    tpl = spark.range(n_tpl).select(
+        F.col("id").alias("t"),
+        F.concat(
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, 25), i ->"
+                    " concat('w', cast((id * 2654435761 + i * 40503) % 999983"
+                    " as string)))"
+                ),
+                " ",
+            ),
+            F.lit(" contact user"),
+            F.col("id").cast("string"),
+            F.lit("@example.com done"),
+        ).alias("base"),
+    )
+    docs = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), (F.col("id") % n_tpl).alias("t"))
+        .join(F.broadcast(tpl), "t")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("base"),
+                F.lit(" suffix "),
+                (F.col("doc_id") % 50).cast("string"),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias(
+                "source"
+            ),
+        )
+    )
+    docs.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from svs_spark.session import get_session
+
+    spark = get_session(
+        "corpus_bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    path = build_corpus(spark, args.n)
+    gen_s = round(time.perf_counter() - t0, 2)
+
+    docs = spark.read.parquet(path)
+    docs.persist().count()
+
+    from svs_spark.functions import text as T
+    from svs_spark.operators import dedup as D
+    from svs_spark.operators import sharding as SH
+
+    timings: dict[str, float] = {"generate": gen_s}
+    counts: dict[str, int] = {}
+
+    def run(name, fn, warm: bool = True):
+        if warm:
+            fn()
+        t = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t, 2)
+
+    run(
+        "exact_dedup",
+        lambda: docs.groupBy(F.xxhash64("text"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count(),
+    )
+    run(
+        "minhash_lsh_pairs",
+        lambda: D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, jaccard_threshold=0.5
+        ).count(),
+    )
+    run(
+        "simhash48_pairs",
+        lambda: D.simhash_pairs(docs, bits=48, max_hamming=4).count(),
+    )
+    run(
+        "dup_substring_stats",
+        lambda: D.dup_substring_stats(docs, k=30, stride=10).count(),
+    )
+    run(
+        "pii_scrub_scan",
+        lambda: docs.select(T.scrub_pii("text").alias("s"))
+        .select(F.sum(F.length("s")))
+        .collect()[0][0],
+    )
+    run(
+        "rare_token_flagging",
+        lambda: (
+            lambda tok, f, tot: tok.join(F.broadcast(f), "w")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("c") * 30 < F.col("total"), 1).otherwise(0)
+                ).alias("nr")
+            )
+            .count()
+        )(
+            docs.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+            ),
+            docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c")),
+            docs.select(
+                F.sum(F.size(F.split(F.col("text"), " "))).alias("total")
+            ),
+        ),
+    )
+    tok = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    run(
+        "balanced_shards_1024",
+        lambda: SH.round_robin_shards(tok, 1024, "n_tokens")
+        .groupBy("shard")
+        .agg(F.sum("n_tokens"))
+        .count(),
+    )
+    run(
+        "token_budget_shards_100k",
+        lambda: SH.token_budget_shards(tok, 100_000, "n_tokens")
+        .groupBy("shard")
+        .agg(F.sum("n_tokens"))
+        .count(),
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_ops_1m_warm",
+                "n_docs": args.n,
+                "unit": "sec",
+                "timings": timings,
+                "result_counts": counts,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
