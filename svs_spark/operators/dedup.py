@@ -910,3 +910,174 @@ def boilerplate_line_stats(
             ).alias("retained_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: index the corpus's signatures once, then
+# dedup each NEW batch by joining it against the stored index — the
+# only affordable shape when a 100 TB corpus grows by daily increments
+# (re-shingling petabytes per increment is the alternative).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_key_arr(num_hashes: int, bands: int) -> Column:
+    """Band-key array (xxhash64 longs) from a ``sig`` column."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col("sig")[bi * rows + ri].cast("string")
+                        for ri in range(rows)
+                    ],
+                )
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
+def _first_agreeing_band(bands: int) -> Column:
+    """True iff the current (band, key) match is the pair's FIRST
+    agreeing band — kills multi-band duplicates without a distinct.
+    Unrolled per band: ``sequence(0, band-1)`` descends at band=0 and
+    must not be used here."""
+    first_match = F.lit(True)
+    for i in range(bands - 1, -1, -1):
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            earlier_differ = earlier_differ & (
+                F.col("ka")[j] != F.col("kb")[j]
+            )
+        first_match = F.when(F.col("band") == i, earlier_differ).otherwise(
+            first_match
+        )
+    return first_match
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(did, hs, keys): shingle-hash set + band-key array per doc —
+    the index row. Computing this is the expensive part of MinHash
+    dedup (the Arrow shingling kernel scans every byte of text), which
+    is exactly what the stored index lets increments skip."""
+    base = docs.select(id_col, text_col).mapInPandas(
+        _signature_batch_kernel(id_col, text_col, num_hashes, shingle_size),
+        schema="did long, hs array<long>, sig array<long>",
+    )
+    return base.select(
+        "did", "hs", _minhash_key_arr(num_hashes, bands).alias("keys")
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    out_path: str,
+    **kw,
+) -> None:
+    """Materialize the signature index as parquet. Append increments
+    with mode='append' after deduping them (see
+    ``minhash_incremental_pairs``)."""
+    minhash_signatures(docs, **kw).write.mode("overwrite").parquet(out_path)
+
+
+def minhash_incremental_pairs(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch: (new × indexed) ∪
+    (new × new), exact-Jaccard verified — identical to what a full
+    ``minhash_lsh_pairs`` over old ∪ new would report for every pair
+    touching a new document, at increment-sized cost: only the new
+    batch is shingled; the old corpus contributes pre-computed index
+    rows, and the band join's shuffle carries the (small) new side
+    against index partitions. Assumes new ids are disjoint from
+    indexed ids (re-ingest dedup is the caller's exact-dedup step).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_size
+    ).persist()
+    old_sigs = spark.read.parquet(index_path)
+
+    def band_rows(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "did", "keys", F.posexplode("keys").alias("band", "key")
+        )
+
+    nb = band_rows(new_sigs)
+    ob = band_rows(old_sigs)
+    first = _first_agreeing_band(bands)
+
+    n_side = nb.select(
+        F.col("did").alias("id_n"), F.col("keys").alias("ka"), "band", "key"
+    )
+    o_side = ob.select(
+        F.col("did").alias("id_o"), F.col("keys").alias("kb"), "band", "key"
+    )
+    old_new = (
+        n_side.join(o_side, ["band", "key"])
+        .filter(first)
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+    )
+    a_side = nb.select(
+        F.col("did").alias("id_a"), F.col("keys").alias("ka"), "band", "key"
+    )
+    b_side = nb.select(
+        F.col("did").alias("id_b"), F.col("keys").alias("kb"), "band", "key"
+    )
+    new_new = (
+        a_side.join(b_side, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first)
+        .select("id_a", "id_b")
+    )
+    cands = old_new.unionByName(new_new)
+
+    hs_all = new_sigs.select("did", "hs").unionByName(
+        old_sigs.select("did", "hs")
+    )
+    ta = hs_all.select(F.col("did").alias("id_a"), F.col("hs").alias("hs_a"))
+    tb = hs_all.select(F.col("did").alias("id_b"), F.col("hs").alias("hs_b"))
+    verified = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= jaccard_threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+def append_minhash_index(
+    new_docs: DataFrame, index_path: str, **kw
+) -> None:
+    """Fold a (deduped) increment into the stored index."""
+    minhash_signatures(new_docs, **kw).write.mode("append").parquet(
+        index_path
+    )

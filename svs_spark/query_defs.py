@@ -5051,3 +5051,38 @@ def q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rare_bucket")
     )
+
+
+_MH_INDEX_CACHE: dict = {}
+
+
+@register(
+    "minhash_incremental_dedup",
+    oracle=f"""
+    SELECT * FROM ({_minhash_oracle()})
+    WHERE id_a % 10 = 3 OR id_b % 10 = 3
+    """,
+)
+def q_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: docs with doc_id % 10 = 3 arrive as
+    a NEW batch and dedup against a pre-built signature index of the
+    rest of the corpus (operators/dedup.py: build_minhash_index /
+    minhash_incremental_pairs). The oracle is the FULL corpus pair set
+    restricted to pairs touching the increment — pinning that the
+    index changes the cost shape (only the increment is shingled),
+    never the answer. Equivalence + append-then-dedup round and the
+    index-scan plan gate live in tests/test_incremental_dedup.py.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 == 3)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"svs_mh_index_{key}")
+    if _MH_INDEX_CACHE.get(sf_dir) != idx or not os.path.exists(idx):
+        D.build_minhash_index(old, idx)
+        _MH_INDEX_CACHE[sf_dir] = idx
+    return D.minhash_incremental_pairs(spark, new, idx)

@@ -80,7 +80,11 @@ def build_corpus(spark, n: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument(
+        "--ops", type=str, default="", help="comma-list to run (default all)"
+    )
     args = ap.parse_args()
+    only = {o for o in args.ops.split(",") if o}
 
     from pyspark.sql import functions as F
 
@@ -107,6 +111,8 @@ def main() -> None:
     counts: dict[str, int] = {}
 
     def run(name, fn, warm: bool = True):
+        if only and name not in only:
+            return
         if warm:
             fn()
         t = time.perf_counter()
@@ -129,6 +135,14 @@ def main() -> None:
     run(
         "simhash48_pairs",
         lambda: D.simhash_pairs(docs, bits=48, max_hamming=4).count(),
+    )
+    # the documented web-scale config: 4 × 16-bit segments ⇒ 65,536
+    # bucket values per segment, so chance candidate collisions scale
+    # as N²/65536 instead of N²/1024 (the 48-bit/h≤4 segments above are
+    # 9-10 bits wide — fine to sf0.1, candidate-heavy at 1M docs)
+    run(
+        "simhash64_pairs_h3",
+        lambda: D.simhash_pairs(docs, bits=64, max_hamming=3).count(),
     )
     run(
         "dup_substring_stats",
