@@ -126,39 +126,94 @@ def _signature_batch_kernel(
         return acc
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, int] = {}
+        # Shingle hashes are computed by POLYNOMIAL DECOMPOSITION: the
+        # base-31 fold over a shingle "t1 t2 t3" factors into per-token
+        # hashes combined with powers of the base —
+        #   h(acc ⧺ " t") = acc·B^(|t|+1) + 32·B^|t| + h(t)  (mod M)
+        # so only unique TOKENS ever see the per-character Python loop
+        # (memoized across batches), and every window combine is one
+        # vectorized int64 numpy pass over all of the batch's windows.
+        # Bit-identical to hashing the shingle string directly — the
+        # identity the oracle relies on. Per-doc dedup keys on token
+        # INTERN IDS (exact string identity, like the oracle's distinct
+        # over shingle strings), not on hash values, so a hash
+        # collision inside a doc cannot merge two distinct shingles.
+        tok_cache: dict[str, tuple[int, int, int]] = {}
+        pow_tab = [1, FINGERPRINT_BASE]
+        k = shingle_size
+
+        def pows_to(n: int) -> np.ndarray:
+            while len(pow_tab) <= n:
+                pow_tab.append(
+                    pow_tab[-1] * FINGERPRINT_BASE % FINGERPRINT_MOD
+                )
+            return np.asarray(pow_tab, dtype=np.int64)
+
         for pdf in batches:
-            # flatten the batch into one shingle-hash vector with
-            # per-doc offsets: one (num_hashes × Σ|shingles|) broadcast
-            # + minimum.reduceat segment-min, instead of one small
-            # matrix dispatch per doc (same integers, ~5× faster at
-            # ~100 shingles/doc)
-            ids_out, hs_out = [], []
-            all_hs: list[int] = []
-            offsets = [0]
+            docs_toks: list[list[str]] = []
+            ids_out: list[int] = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks = text.lower().split(" ")
-                if len(toks) < shingle_size:
+                if len(toks) < k:
                     continue
-                shingles = dict.fromkeys(
-                    " ".join(toks[i : i + shingle_size])
-                    for i in range(len(toks) - shingle_size + 1)
-                )
-                hs = []
-                for t in shingles:
-                    h = cache.get(t)
-                    if h is None:
-                        h = poly_hash(t)
-                        cache[t] = h
-                    hs.append(h)
                 ids_out.append(did)
-                hs_out.append(hs)
-                all_hs.extend(hs)
-                offsets.append(len(all_hs))
+                docs_toks.append(toks)
             if not ids_out:
                 yield pd.DataFrame({"did": [], "hs": [], "sig": []})
                 continue
-            harr = np.asarray(all_hs, dtype=np.int64)
+
+            flat_ids, flat_h, flat_len = [], [], []
+            for toks in docs_toks:
+                for t in toks:
+                    ent = tok_cache.get(t)
+                    if ent is None:
+                        ent = (len(tok_cache), poly_hash(t), len(t))
+                        tok_cache[t] = ent
+                    flat_ids.append(ent[0])
+                    flat_h.append(ent[1])
+                    flat_len.append(ent[2])
+            TID = np.asarray(flat_ids, dtype=np.int64)
+            H = np.asarray(flat_h, dtype=np.int64)
+            L = np.asarray(flat_len, dtype=np.int64)
+            P = pows_to(int(L.max()) + 2)
+
+            n_wins = [len(t) - k + 1 for t in docs_toks]
+            tok_off = np.concatenate(
+                ([0], np.cumsum([len(t) for t in docs_toks]))
+            )
+            starts = np.concatenate(
+                [
+                    np.arange(tok_off[d], tok_off[d] + n_wins[d])
+                    for d in range(len(docs_toks))
+                ]
+            )
+            doc_idx = np.repeat(np.arange(len(docs_toks)), n_wins)
+
+            acc = H[starts].copy()
+            for j in range(1, k):
+                lj = L[starts + j]
+                acc *= P[lj + 1]
+                acc %= FINGERPRINT_MOD
+                acc += 32 * P[lj] + H[starts + j]
+                acc %= FINGERPRINT_MOD
+
+            dedup_cols = {"d": doc_idx}
+            for j in range(k):
+                dedup_cols[f"t{j}"] = TID[starts + j]
+            dd = (
+                pd.DataFrame(dedup_cols)
+                .assign(h=acc)
+                .drop_duplicates(subset=list(dedup_cols))
+            )
+            harr = dd["h"].to_numpy()
+            counts = np.bincount(
+                dd["d"].to_numpy(), minlength=len(docs_toks)
+            )
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            hs_out = [
+                harr[offsets[d] : offsets[d + 1]].tolist()
+                for d in range(len(docs_toks))
+            ]
             # chunk on doc boundaries so the (num_hashes × span)
             # permutation matrix stays ~tens of MB regardless of batch
             # size / doc length (the whole-batch matrix is O(batch ×
