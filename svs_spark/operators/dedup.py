@@ -1136,3 +1136,54 @@ def append_minhash_index(
     minhash_signatures(new_docs, **kw).write.mode("append").parquet(
         index_path
     )
+
+
+def dedup_block_rewrite(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY span-level dedup: tile each document into non-overlapping
+    k-char blocks, drop every block that also occurs in another
+    document, and REWRITE the text from the surviving blocks — the
+    applying counterpart of ``dup_substring_stats`` (which only
+    measures). Block tiling is the SQL-exact approximation of
+    suffix-array span removal (Lee et al. 2022): coarser boundaries,
+    same removal semantics, and cheap enough to run inline in a
+    curation pass.
+
+    Returns (id, n_blocks, n_removed, cleaned).
+
+    Scale shape: blocks shuffle as 8-byte xxhash64 keys for the
+    cross-doc count, one key-partitioned join back, and the rewrite is
+    a per-doc sorted reassembly (``array_sort`` on (pos, block) structs
+    inside the doc-key aggregate — fan-out bounded by len/k, no window
+    function, no second pass over the text).
+    """
+    b = docs.select(
+        id_col,
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col), F.lit(k))
+        ).alias("pos"),
+    ).select(
+        id_col, "pos", F.expr(f"substring({text_col}, pos, {k})").alias("blk")
+    )
+    keyed = b.withColumn("bk", F.xxhash64("blk"))
+    stats = keyed.groupBy("bk").agg(F.countDistinct(id_col).alias("nd"))
+    joined = keyed.join(stats, "bk")
+    kept_struct = F.when(
+        F.col("nd") <= 1, F.struct(F.col("pos"), F.col("blk"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["blk"],
+            ),
+            "",
+        ).alias("cleaned"),
+    )

@@ -5086,3 +5086,33 @@ def q_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.build_minhash_index(old, idx)
         _MH_INDEX_CACHE[sf_dir] = idx
     return D.minhash_incremental_pairs(spark, new, idx)
+
+
+@register(
+    "dedup_block_rewrite",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, pos, substring(text, CAST(pos AS INTEGER), 20) AS blk
+      FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1, 20)) AS pos)
+    ),
+    k AS (SELECT blk, count(DISTINCT doc_id) AS nd FROM b GROUP BY blk)
+    SELECT doc_id,
+           count(*) AS n_blocks,
+           CAST(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(
+             string_agg(CASE WHEN k.nd <= 1 THEN blk END, ''
+                        ORDER BY pos), '') AS cleaned
+    FROM b JOIN k USING (blk)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_block_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup APPLIED: documents tiled into 20-char blocks,
+    cross-document duplicated blocks removed, text rewritten from the
+    survivors — the driver verifies the reconstructed text
+    byte-for-byte, not just the removal counts (see
+    operators/dedup.py:dedup_block_rewrite for the scale shape)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.dedup_block_rewrite(docs, k=20).orderBy("doc_id")

@@ -149,6 +149,12 @@ def main() -> None:
         lambda: D.dup_substring_stats(docs, k=30, stride=10).count(),
     )
     run(
+        "block_rewrite",
+        lambda: D.dedup_block_rewrite(docs, k=20)
+        .select(F.sum(F.length("cleaned")))
+        .collect()[0][0],
+    )
+    run(
         "pii_scrub_scan",
         lambda: docs.select(T.scrub_pii("text").alias("s"))
         .select(F.sum(F.length("s")))
