@@ -162,6 +162,12 @@ def _signature_batch_kernel(
                 yield pd.DataFrame({"did": [], "hs": [], "sig": []})
                 continue
 
+            # memoization is an optimization only — cap the cross-batch
+            # cache so an unbounded vocabulary (URLs, ids) can't grow it
+            # into executor OOM; intern ids stay per-batch-consistent
+            # because a cleared cache just re-interns from zero
+            if len(tok_cache) > 4_000_000:
+                tok_cache.clear()
             flat_ids, flat_h, flat_len = [], [], []
             for toks in docs_toks:
                 for t in toks:

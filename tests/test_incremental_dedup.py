@@ -79,3 +79,30 @@ def test_incremental_reads_index_not_recompute(spark, split_corpus):
     doc_scans = plan.count("documents.parquet")
     inc_filters = len(re.findall(r"% 10\)[^=]*= 3", plan))
     assert doc_scans > 0 and inc_filters >= doc_scans, plan[:3000]
+
+
+def test_block_rewrite_invariants(spark):
+    """Reconstruction invariants of dedup_block_rewrite: untouched
+    documents rebuild byte-identically; removed counts bound the
+    length delta exactly (every block is k chars except one tail)."""
+    docs = load(spark, SF_DIR, "documents")
+    out = D.dedup_block_rewrite(docs, k=20)
+    joined = out.join(docs, "doc_id").select(
+        "doc_id", "n_blocks", "n_removed", "cleaned", "text"
+    )
+    rows = joined.collect()
+    assert rows
+    touched = 0
+    for r in rows:
+        n_tail = len(r.text) - (r.n_blocks - 1) * 20  # last block length
+        assert 1 <= n_tail <= 20
+        if r.n_removed == 0:
+            assert r.cleaned == r.text, r.doc_id
+        else:
+            touched += 1
+            # cleaned = original minus the removed blocks' characters
+            removed_chars = len(r.text) - len(r.cleaned)
+            lo = (r.n_removed - 1) * 20 + 1  # tail may be among removed
+            hi = r.n_removed * 20
+            assert lo <= removed_chars <= hi, r.doc_id
+    assert touched > 0
