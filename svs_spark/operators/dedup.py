@@ -1193,3 +1193,106 @@ def dedup_block_rewrite(
             "",
         ).alias("cleaned"),
     )
+
+
+def longest_dup_span_pow2(
+    docs: DataFrame,
+    min_len: int = 16,
+    max_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document longest cross-document duplicated span, to a power
+    of two: the binary-lifting form of substring dedup (the doubling
+    idea under suffix-array span dedup, Lee et al. 2022). Rabin-Karp
+    hashes of every stride-1 window double in length each round —
+    h(s1 ⧺ s2) = h(s1)·B^|s2| + h(s2) (mod M) — so ``log2(max/min)+1``
+    rounds cover window lengths min_len, 2·min_len, …, max_len, and a
+    window duplicated in ≥2 distinct documents at level L proves a
+    shared span ≥ L. Output ``max_dup_len`` is the largest such L (0 if
+    none) — a LOWER bound on the true longest shared span, tight to a
+    factor of 2.
+
+    Sliding (stride-1) windows are position-independent, so unlike the
+    aligned-block operators nothing is missed by misalignment between
+    the two copies. Hash equality stands in for string equality
+    (classic Rabin-Karp caveat, M = 2^31-1; the oracle mirrors the
+    same arithmetic, and production would pair two moduli).
+
+    Scale shape: per-doc hash ladders live in array columns (one row
+    per doc — no explode until the per-level duplicate check, which
+    ships 8-byte values); each level's check is one value-key shuffle
+    whose input halves as windows outgrow short docs. Cost is
+    O(levels · corpus chars) rows total — the same asymptotics as one
+    suffix-array pass, in plain DataFrame ops.
+    """
+    M = MINHASH_PRIME  # 2^31 - 1: products stay under 2^62 in int64
+    B = FINGERPRINT_BASE
+
+    base = docs.filter(F.length(text_col) >= min_len).select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, length({text_col})),"
+            f" i -> bigint(ascii(substring({text_col}, i, 1))))"
+        ).alias("h"),
+    )
+    # double from single chars up to min_len
+    cur = 1
+    while cur < min_len:
+        p = pow(B, cur, M)
+        base = base.withColumn(
+            "h",
+            F.expr(
+                f"transform(sequence(0, size(h) - 1 - {cur}),"
+                f" j -> (h[j] * {p} + h[j + {cur}]) % {M})"
+            ),
+        )
+        cur *= 2
+    base = base.persist()
+
+    flags = None
+    level = base
+    length = min_len
+    while length <= max_len:
+        wins = level.select(id_col, F.explode("h").alias("v"))
+        dup_vals = (
+            wins.groupBy("v")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("v")
+        )
+        lvl_flag = (
+            wins.join(dup_vals, "v", "left_semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("dup_len", F.lit(length))
+        )
+        flags = lvl_flag if flags is None else flags.unionByName(lvl_flag)
+        length *= 2
+        if length > max_len:
+            break
+        p = pow(B, length // 2, M)
+        # drop docs too short for the next level BEFORE the transform:
+        # sequence(0, negative) DESCENDS (DEVNOTES invariant on
+        # first-match filters) and would index past the array
+        level = (
+            level.filter(F.size("h") > length // 2)
+            .select(
+                id_col,
+                F.expr(
+                    f"transform(sequence(0, size(h) - 1 - {length // 2}),"
+                    f" j -> (h[j] * {p} + h[j + {length // 2}]) % {M})"
+                ).alias("h"),
+            )
+            .persist()
+        )
+
+    best = flags.groupBy(id_col).agg(F.max("dup_len").alias("max_dup_len"))
+    return (
+        base.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_dup_len", F.lit(0)).alias("max_dup_len"),
+        )
+    )

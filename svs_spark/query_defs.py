@@ -5116,3 +5116,143 @@ def q_dedup_block_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:dedup_block_rewrite for the scale shape)."""
     docs = load(spark, sf_dir, "documents")
     return D.dedup_block_rewrite(docs, k=20).orderBy("doc_id")
+
+
+@register(
+    "token_zipf_profile",
+    oracle="""
+    WITH f AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f),
+    r AS (
+      SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank
+      FROM f ORDER BY rank LIMIT 20
+    )
+    SELECT CAST(r.rank AS INTEGER) AS rank,
+           r.w AS token,
+           CAST(r.c AS BIGINT) AS cnt,
+           round(CAST(sum(r.c) OVER (
+                   ORDER BY r.rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) / tot.total, 6) AS cum_share
+    FROM r CROSS JOIN tot
+    ORDER BY rank
+    """,
+)
+def q_token_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf profile: the top-20 tokens by corpus frequency
+    with their cumulative probability mass — the curve a tokenizer/
+    filtering decision reads (a head that covers 90% of mass in 20
+    tokens means template spam; a long flat tail means noise). All
+    ranking windows run over the VOCABULARY table (≤ millions of rows
+    at web scale, after one token-key shuffle with map-side combine),
+    never the corpus, so the single-partition rank window is bounded
+    by vocabulary size; the grand total folds in as a 1-row broadcast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    f = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = f.agg(F.sum("c").alias("total"))
+    w_rank = Window.orderBy(F.desc("c"), "w")
+    r = (
+        f.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .orderBy("rank")
+        .limit(20)
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            F.col("c").alias("cnt"),
+            F.round(F.sum("c").over(w_cum) / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def _dup_span_oracle(min_len: int = 16, max_len: int = 256) -> str:
+    """DuckDB mirror of longest_dup_span_pow2: the same char-seeded
+    Rabin-Karp doubling ladder (identical base/modulus/arithmetic), one
+    CTE per doubling and one flag CTE per checked level."""
+    M = D.MINHASH_PRIME
+    B = 31
+    ctes = [
+        "d1 AS (SELECT doc_id,"
+        " list_transform(range(1, len(text) + 1),"
+        " i -> CAST(ord(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT))"
+        " AS h FROM documents WHERE len(text) >= %d)" % min_len
+    ]
+    cur, idx = 1, 1
+    while cur < min_len:
+        p = pow(B, cur, M)
+        ctes.append(
+            f"d{idx + 1} AS (SELECT doc_id,"
+            f" list_transform(range(1, len(h) - {cur} + 1),"
+            f" j -> (h[CAST(j AS INTEGER)] * {p}"
+            f" + h[CAST(j + {cur} AS INTEGER)]) % {M}) AS h FROM d{idx})"
+        )
+        cur *= 2
+        idx += 1
+    flag_names = []
+    length = min_len
+    while length <= max_len:
+        ctes.append(
+            f"w{length} AS (SELECT doc_id, unnest(h) AS v FROM d{idx})"
+        )
+        ctes.append(
+            f"g{length} AS (SELECT v FROM w{length} GROUP BY v"
+            f" HAVING count(DISTINCT doc_id) > 1)"
+        )
+        ctes.append(
+            f"f{length} AS (SELECT DISTINCT doc_id FROM w{length}"
+            f" WHERE v IN (SELECT v FROM g{length}))"
+        )
+        flag_names.append(length)
+        length *= 2
+        if length > max_len:
+            break
+        p = pow(B, length // 2, M)
+        ctes.append(
+            f"d{idx + 1} AS (SELECT doc_id,"
+            f" list_transform(range(1, len(h) - {length // 2} + 1),"
+            f" j -> (h[CAST(j AS INTEGER)] * {p}"
+            f" + h[CAST(j + {length // 2} AS INTEGER)]) % {M}) AS h"
+            f" FROM d{idx})"
+        )
+        idx += 1
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {ln} AS l FROM f{ln}" for ln in flag_names
+    )
+    ctes.append(f"flags AS ({unions})")
+    ctes.append(
+        "best AS (SELECT doc_id, max(l) AS m FROM flags GROUP BY doc_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT d1.doc_id, CAST(coalesce(best.m, 0) AS INTEGER)"
+        " AS max_dup_len\n"
+        "FROM d1 LEFT JOIN best USING (doc_id)\n"
+        "ORDER BY doc_id"
+    )
+
+
+@register("longest_dup_span", oracle=_dup_span_oracle())
+def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest cross-document duplicated span per document (to a power
+    of two, 16..256 chars) via the Rabin-Karp doubling ladder — the
+    beyond-fixed-k span-dedup signal; see
+    operators/dedup.py:longest_dup_span_pow2 for semantics and the
+    100 TB shape."""
+    docs = load(spark, sf_dir, "documents")
+    return D.longest_dup_span_pow2(docs, min_len=16, max_len=256).orderBy(
+        "doc_id"
+    )
