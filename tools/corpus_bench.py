@@ -149,6 +149,13 @@ def main() -> None:
         lambda: D.dup_substring_stats(docs, k=30, stride=10).count(),
     )
     run(
+        "longest_dup_span",
+        lambda: D.longest_dup_span_pow2(docs, min_len=16, max_len=256)
+        .groupBy("max_dup_len")
+        .count()
+        .count(),
+    )
+    run(
         "block_rewrite",
         lambda: D.dedup_block_rewrite(docs, k=20)
         .select(F.sum(F.length("cleaned")))
