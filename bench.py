@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_block_rewrite",
     "token_zipf_profile",
     "longest_dup_span",
+    "gapfill_locf",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -5256,3 +5256,77 @@ def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.longest_dup_span_pow2(docs, min_len=16, max_len=256).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "gapfill_locf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b, value
+      FROM events WHERE user_id % 97 = 0
+    ),
+    actual AS (
+      SELECT user_id, b, count(*) AS n_events,
+             round(sum(value), 6) AS bucket_sum
+      FROM e GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM e GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM span)
+    SELECT g.user_id, g.b AS bucket,
+           CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+           last_value(a.bucket_sum IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g
+    LEFT JOIN actual a ON g.user_id = a.user_id AND g.b = a.b
+    ORDER BY g.user_id, bucket
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape over the
+    events stream: every sampled user's hourly grid is generated
+    between their first and last event, empty hours get count 0 and
+    carry the previous hour's value forward.
+
+    Scale shape: the grid explodes per-user `sequence(min, max)` —
+    bounded by each user's observed time range over the bucket width,
+    never a global calendar cross join; the LOCF window and the
+    grid-to-actual join share one user_id hash partitioning (a single
+    exchange serves both), and the bucket aggregate before the join
+    shrinks the event stream to one row per (user, hour).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    b = ev.select(
+        "user_id",
+        F.expr("ts div 1000 div 3600000000").alias("b"),
+        "value",
+    )
+    actual = b.groupBy("user_id", "b").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("bucket_sum"),
+    )
+    span = b.groupBy("user_id").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("b")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(actual, ["user_id", "b"], "left")
+        .select(
+            "user_id",
+            F.col("b").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("bucket_sum", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+        .orderBy("user_id", "bucket")
+    )
