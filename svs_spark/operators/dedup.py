@@ -159,7 +159,15 @@ def _signature_batch_kernel(
                 ids_out.append(did)
                 docs_toks.append(toks)
             if not ids_out:
-                yield pd.DataFrame({"did": [], "hs": [], "sig": []})
+                # typed empty frame: bare [] columns default to float64,
+                # which Arrow cannot convert to the array<long> fields
+                yield pd.DataFrame(
+                    {
+                        "did": pd.Series([], dtype="int64"),
+                        "hs": pd.Series([], dtype="object"),
+                        "sig": pd.Series([], dtype="object"),
+                    }
+                )
                 continue
 
             # memoization is an optimization only — cap the cross-batch
@@ -432,6 +440,14 @@ def _simhash_batch_kernel(id_col: str, text_col: str, bits: int):
                     all_hs.append(h)
                 offsets.append(len(all_hs))
                 ids_out.append(did)
+            if not ids_out:  # zero-row batch: np.concatenate([]) raises
+                yield pd.DataFrame(
+                    {
+                        "did": pd.Series([], dtype="int64"),
+                        "sh": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
             harr = np.asarray(all_hs, dtype=np.int64)[:, None]
             # chunk on doc boundaries: the (span × bits) vote matrix
             # stays ~tens of MB regardless of batch size / doc length.
@@ -1167,7 +1183,10 @@ def dedup_block_rewrite(
     inside the doc-key aggregate — fan-out bounded by len/k, no window
     function, no second pass over the text).
     """
-    b = docs.select(
+    # empty documents have no blocks: drop them BEFORE the sequence
+    # (sequence(1, 0, k) raises "Illegal sequence boundaries"), exactly
+    # like the oracle's empty range() drops them
+    b = docs.filter(F.length(text_col) >= 1).select(
         id_col,
         "text",
         F.explode(

@@ -106,3 +106,29 @@ def test_block_rewrite_invariants(spark):
             hi = r.n_removed * 20
             assert lo <= removed_chars <= hi, r.doc_id
     assert touched > 0
+
+
+def test_text_operators_survive_pathological_docs(spark):
+    """No text operator may crash on degenerate documents: empty, all
+    spaces, single char, exact block/window lengths, unicode, and one
+    long doc (sequence() raises on inverted boundaries — each operator
+    must pre-filter what it cannot window)."""
+    rows = [
+        (1, ""),
+        (2, " "),
+        (3, "x"),
+        (4, "a" * 20),              # exactly one block
+        (5, "b" * 30),              # exactly one window
+        (6, "naïve café ümlaut"),   # non-ASCII
+        (7, ("tok " * 2000).strip()),  # long doc
+        (8, "  double  spaces  "),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "source", F.lit("s")
+    )
+    assert D.dedup_block_rewrite(docs).count() == 7  # doc 1 has no blocks
+    assert D.dup_substring_stats(docs).count() >= 1
+    assert D.substring_windows(docs).count() >= 1
+    assert D.boilerplate_line_stats(docs).count() >= 1
+    assert D.longest_dup_span_pow2(docs).count() >= 1
+    assert D.minhash_signatures(docs).count() >= 1
