@@ -5330,3 +5330,331 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@register(
+    "gapfill_interpolate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b, value
+      FROM events WHERE user_id % 97 = 0
+    ),
+    actual AS (
+      SELECT user_id, b, count(*) AS n_events,
+             round(sum(value), 6) AS bucket_sum
+      FROM e GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM e GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM span),
+    framed AS (
+      SELECT g.user_id, g.b,
+             coalesce(a.n_events, 0) AS n_events, a.bucket_sum,
+             last_value(a.bucket_sum IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_v,
+             last_value(CASE WHEN a.bucket_sum IS NOT NULL THEN g.b END
+                        IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_b,
+             first_value(a.bucket_sum IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_v,
+             first_value(CASE WHEN a.bucket_sum IS NOT NULL THEN g.b END
+                         IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_b
+      FROM grid g
+      LEFT JOIN actual a ON g.user_id = a.user_id AND g.b = a.b
+    )
+    SELECT user_id, b AS bucket, CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN n_events > 0 THEN bucket_sum
+                ELSE round(prev_v + (next_v - prev_v)
+                           * ((b - prev_b) / (next_b - prev_b)), 6)
+           END AS filled_value
+    FROM framed
+    ORDER BY user_id, bucket
+    """,
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LINEAR interpolation — the
+    TimescaleDB ``time_bucket_gapfill`` + ``interpolate()`` sibling of
+    ``gapfill_locf``: empty hours between a user's first and last event
+    get the straight-line value between the surrounding observed
+    buckets.
+
+    Scale shape is identical to gapfill_locf (per-user bounded grid,
+    one user_id exchange serves the bucket agg, the grid join and all
+    four carry windows). Cross-engine exactness: bucket sums are
+    rounded to 6dp before interpolating; the interpolation itself is
+    the SAME IEEE expression tree in both engines (ratio first, then
+    multiply, then add), so no summation-order drift is possible.
+    Every grid gap has both neighbors because the grid spans
+    [min(b), max(b)] of *observed* buckets.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    b = ev.select(
+        "user_id",
+        F.expr("ts div 1000 div 3600000000").alias("b"),
+        "value",
+    )
+    actual = b.groupBy("user_id", "b").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("bucket_sum"),
+    )
+    span = b.groupBy("user_id").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("b")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("bucket_sum").isNotNull(), F.col("b"))
+    framed = (
+        grid.join(actual, ["user_id", "b"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("prev_v", F.last("bucket_sum", ignorenulls=True).over(wp))
+        .withColumn("prev_b", F.last(obs_b, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("bucket_sum", ignorenulls=True).over(wn))
+        .withColumn("next_b", F.first(obs_b, ignorenulls=True).over(wn))
+    )
+    interp = F.round(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (
+            (F.col("b") - F.col("prev_b"))
+            / (F.col("next_b") - F.col("prev_b"))
+        ),
+        6,
+    )
+    return framed.select(
+        "user_id",
+        F.col("b").alias("bucket"),
+        "n_events",
+        F.when(F.col("n_events") > 0, F.col("bucket_sum"))
+        .otherwise(interp)
+        .alias("filled_value"),
+    ).orderBy("user_id", "bucket")
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+    vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf.tf * ((length(printf('%b', n.total)) - 1)
+                             - (length(printf('%b', v.c)) - 1))) AS BIGINT)
+             AS sum_bits,
+           CAST(sum(tf.tf * ((length(printf('%b', n.total)) - 1)
+                             - (length(printf('%b', v.c)) - 1))) * 10
+                // sum(tf.tf) AS BIGINT) AS decibits_per_token
+    FROM tf JOIN vocab v USING (tok) CROSS JOIN n
+    GROUP BY 1
+    """,
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document — the CCNet /
+    Wikipedia-LM filtering signal, reduced to a unigram model so it is
+    integer-exact across engines: each token costs
+    ``floor(log2(N)) - floor(log2(count(tok)))`` bits (bit-length
+    arithmetic, no libm), and the per-doc score is mean bits per token
+    in integer deci-bits. High decibits = improbable tokens = junk or
+    highly novel; low = templated/common text. The standard use is a
+    band-pass filter (drop both tails) before training.
+
+    Scale shape: one explode scan -> (doc, tok) map-side-combined tf
+    aggregate (the only wide exchange carries distinct (doc, tok)
+    pairs, not raw tokens); the vocabulary and its 1-row total are
+    broadcast back onto tf (vocab << corpus at web scale); final
+    per-doc aggregate rides the same doc-keyed exchange as tf.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    bits = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+    j = tf.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    per_tok_bits = F.col("tf") * (bits(F.col("total")) - bits(F.col("c")))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(per_tok_bits).alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            F.expr("sum_bits * 10 div n_tokens").alias("decibits_per_token"),
+        )
+    )
+
+
+@register(
+    "kmeans_assign_profile",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding::DOUBLE[] AS seed_emb
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id, s.seed_id,
+             round(list_dot_product(e.embedding::DOUBLE[], s.seed_emb), 6)
+               AS score,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                               s.seed_emb), 6) DESC,
+                        s.seed_id ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT seed_id AS cluster_id,
+           count(*) AS n_assigned,
+           CAST(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / count(*) / 1000000 AS avg_score
+    FROM scored WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def q_kmeans_assign_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step over the embedding corpus: assign every
+    vector to its nearest of 8 deterministic seed centroids (the 8
+    lowest vec_ids — vectors are unit-norm, so max dot = min angle) and
+    profile the clusters (size + mean similarity). This is the
+    building block the IVF trainer iterates (operators/index_build.py
+    runs full Lloyd); registering the single assignment step keeps the
+    oracle non-iterative while driver-checking the argmax semantics
+    (rounded-score tie broken by lowest seed id) that every Lloyd
+    round depends on.
+
+    Scale shape: seeds are a broadcast k-row table; the corpus never
+    shuffles for scoring (map-side cross join + per-row argmax via a
+    vec_id-partitioned window collapses to one exchange); integer-micro
+    summation keeps the cluster mean order-independent under partial
+    aggregation (see lang_centroids).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("seed_emb"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        F.round(V.dot(F.col("embedding"), F.col("seed_emb")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("seed_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    micro = F.floor(F.col("score") * F.lit(1_000_000) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        best.withColumn("micro", micro)
+        .groupBy(F.col("seed_id").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_assigned"),
+            (
+                F.sum("micro").cast("double")
+                / F.count("*")
+                / F.lit(1_000_000)
+            ).alias("avg_score"),
+        )
+    )
+
+
+@register(
+    "event_outliers_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(md.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n_events
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series outlier detection per event type: median /
+    median-absolute-deviation (the 3-MAD rule). MAD is the
+    selection-based robust spread — unlike stddev it involves NO
+    floating summation, so the flag boundary is cross-engine exact
+    (both engines evaluate the identical ``|v - med| > 3*mad``
+    expression on identical interpolated medians).
+
+    Scale shape: two grouped exact medians + one counting pass, all on
+    the same event_type exchange; the per-group medians are broadcast
+    back (group count is tiny). At 100 TB swap the exact percentile
+    for approx_percentile(…, accuracy) — the operator shape (agg →
+    broadcast-back → conditional count) is unchanged.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+    )
