@@ -210,3 +210,44 @@ def test_minhash_candidates_no_pairwise_distinct_exchange(spark, registry):
     df = registry["minhash_lsh_dedup"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(id_a" not in plan, plan[:3000]
+
+
+def test_gapfill_windows_share_user_exchange(spark, registry):
+    """Both gap-fill variants: the four carry windows and the
+    grid-to-actual join must all ride user-keyed hash partitionings —
+    no sort-merge join and no per-window re-exchange of the grid."""
+    for name in ("gapfill_locf", "gapfill_interpolate"):
+        df = registry[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, (name, plan[:2000])
+        assert "NestedLoop" not in plan, (name, plan[:2000])
+
+
+def test_unigram_quality_broadcasts_vocab(spark, registry):
+    """The vocabulary (and its 1-row total) must broadcast back onto
+    the (doc, tok) tf table — a sort-merge join here would shuffle the
+    whole corpus by token a second time."""
+    df = registry["unigram_logprob_quality"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_kmeans_assign_corpus_never_shuffles_for_scoring(spark, registry):
+    """Seeds must broadcast (BroadcastNestedLoopJoin on the 8-row
+    side); the corpus may only exchange for the per-vector argmax
+    window and the final cluster aggregate."""
+    df = registry["kmeans_assign_profile"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert X.count_shuffles(df) <= 3, X.plan_string(df)[:2000]
+
+
+def test_event_outliers_broadcasts_group_stats(spark, registry):
+    """Per-group medians/MADs are tiny aggregates — they must broadcast
+    back onto the event stream, never shuffle it."""
+    df = registry["event_outliers_mad"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
