@@ -5658,3 +5658,69 @@ def q_event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+from svs_spark.operators import layout as LAY  # noqa: E402
+
+
+def _zorder_oracle() -> str:
+    zexpr = LAY.zorder_sql(["x", "y"], bits=16)
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b
+      FROM events
+    ),
+    mn AS (SELECT min(b) AS mnb FROM e),
+    norm AS (
+      SELECT user_id & 65535 AS x, (b - mn.mnb) & 65535 AS y,
+             user_id, b
+      FROM e CROSS JOIN mn
+    )
+    SELECT {zexpr} >> 12 AS zcell,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(b) AS min_bucket, max(b) AS max_bucket
+    FROM norm
+    GROUP BY 1
+    """
+
+
+@register("zorder_locality_stats", oracle=_zorder_oracle())
+def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve cell profile of the events table over
+    (user_id, hour-bucket) — the locality diagnostic behind
+    ``OPTIMIZE ZORDER BY``-style layout (operators/layout.py): each
+    z-cell groups 2^12 consecutive curve positions, i.e. a 64x64 box
+    in (user, hour) space, and the per-cell min/max columns exhibit
+    exactly the bounded-box property that file-level min-max stats
+    exploit for 2-D data skipping. The bit-interleave is pure integer
+    Column algebra (codegen'd, mirrored verbatim in the oracle via
+    layout.zorder_sql).
+
+    Scale shape: one scan, a 1-row broadcast for the bucket origin,
+    one exchange on the cell key.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000 div 3600000000").alias("b")
+    )
+    mn = ev.agg(F.min("b").alias("mnb"))
+    norm = ev.crossJoin(F.broadcast(mn)).select(
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("x"),
+        (F.col("b") - F.col("mnb")).bitwiseAND(F.lit(65535)).alias("y"),
+        "user_id",
+        "b",
+    )
+    zk = LAY.zorder_key([F.col("x"), F.col("y")], bits=16)
+    return (
+        norm.withColumn("zcell", F.shiftright(zk, 12))
+        .groupBy("zcell")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("b").alias("min_bucket"),
+            F.max("b").alias("max_bucket"),
+        )
+    )
