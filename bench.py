@@ -93,6 +93,14 @@ HEADLINE = [
     "token_zipf_profile",
     "longest_dup_span",
     "gapfill_locf",
+    # round-3 widening (third session): linear-interpolation gap fill,
+    # unigram-LM quality filter, k-means assignment profile, MAD
+    # outliers, z-order locality cells
+    "gapfill_interpolate",
+    "unigram_logprob_quality",
+    "kmeans_assign_profile",
+    "event_outliers_mad",
+    "zorder_locality_stats",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all
