@@ -197,6 +197,46 @@ class Warehouse:
             # reads keep working (schema preserved from df)
             self.write(name, df.limit(0))
 
+    def merge_into(
+        self,
+        name: str,
+        updates: DataFrame,
+        delete: bool = False,
+    ) -> dict:
+        """Generic bucket-pruned MERGE on a bucketed table: upsert
+        ``updates`` by the table's bucket key (replace matched rows,
+        insert unmatched), or with ``delete=True`` remove the keys in
+        ``updates``. Only the buckets actually present in ``updates``
+        are read and rewritten — the WHEN MATCHED/NOT MATCHED core of a
+        lakehouse MERGE, minus cross-bucket snapshot isolation (see
+        merge_supported() for the delta-spark upgrade path).
+
+        Scale shape: the touched-bucket set is a distinct over
+        ``pmod(key)`` — executor-side, collect bounded by n_buckets;
+        the anti-join runs only over those buckets' rows, and both its
+        sides hash-partition on the same key.
+        """
+        meta = self.bucket_meta(name)
+        assert meta is not None, f"{name} is not bucketed"
+        key, nb = meta["key_col"], meta["n_buckets"]
+        pb = F.pmod(F.col(key), F.lit(nb)).cast("int")
+        touched = sorted(
+            r[0]
+            for r in updates.select(pb.alias("b")).distinct().collect()
+        )
+        if not touched:
+            return {"buckets": [], "rows_written": 0}
+        cur = self.read_buckets(name, touched)
+        kept = cur.join(updates.select(key), key, "left_anti")
+        post = kept if delete else kept.unionByName(
+            updates.select(*cur.columns)
+        )
+        # count BEFORE the swap: post's lineage reads the pre-merge
+        # files, which overwrite_buckets deletes
+        rows = post.count()
+        self.overwrite_buckets(name, touched, post)
+        return {"buckets": touched, "rows_written": rows}
+
     def write(self, name: str, df: DataFrame) -> None:
         """Atomically replace table ``name`` with ``df``.
 
