@@ -8,10 +8,11 @@ whose |value - mean| exceeds ``k`` cumulative standard deviations.
 
 Relationship to the batch twin (query_defs.q_event_outliers_mad): the
 batch operator uses median/MAD — robust, but quantiles need either a
-sort or a sketch. The streaming form uses moment-based z-scores
-because moments merge exactly in O(1); swap in a quantile sketch
-(KLL/t-digest) in state for a robust streaming variant if the value
-distribution is heavy-tailed enough that the mean itself is dragged.
+sort or a sketch. Two streaming forms are provided: z-scores over
+exact O(1) moments (this function), and ``robust_outlier_stream`` —
+running median/MAD via P² quantile estimators in state (still O(1)
+per key) for value distributions heavy-tailed enough that the mean
+itself is dragged.
 
 Semantics: rows are screened against the stats INCLUDING their own
 micro-batch (merge first, then flag), so a single availableNow drain
@@ -137,5 +138,180 @@ def batch_zscore_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
             "user_id",
             "value",
             F.round((col("value") - col("mean")) / col("std"), 6).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust variant: P² (Jain & Chlamtac 1985) running quantile estimators in
+# state — O(1) per-key state like the moment screen, but tracking the
+# MEDIAN and the median absolute deviation instead of mean/std, so a
+# heavy-tailed value distribution cannot drag the threshold.
+# ---------------------------------------------------------------------------
+
+def _p2_init() -> list:
+    # [n0..n4 positions (as floats), q0..q4 heights, count]
+    return [0.0] * 11
+
+
+def _p2_update(s: list, xs) -> list:
+    """Feed values into a P² median estimator packed as a flat list of
+    11 doubles: marker positions n1..n5, marker heights q1..q5, count.
+    Pure Python over a NumPy batch — the per-value work is O(1) and the
+    batch sizes are micro-batch sized."""
+    n = [s[0], s[1], s[2], s[3], s[4]]
+    q = [s[5], s[6], s[7], s[8], s[9]]
+    cnt = int(s[10])
+    for x in xs:
+        x = float(x)
+        if cnt < 5:
+            q[cnt] = x
+            cnt += 1
+            if cnt == 5:
+                q.sort()
+                n[:] = [1.0, 2.0, 3.0, 4.0, 5.0]
+            continue
+        # locate cell
+        if x < q[0]:
+            q[0] = x
+            k = 0
+        elif x < q[1]:
+            k = 0
+        elif x < q[2]:
+            k = 1
+        elif x < q[3]:
+            k = 2
+        elif x <= q[4]:
+            k = 3
+        else:
+            q[4] = x
+            k = 3
+        for i in range(k + 1, 5):
+            n[i] += 1.0
+        cnt += 1
+        # desired positions for the median configuration (p = 0.5):
+        # d = [1, (cnt-1)/4+1, (cnt-1)/2+1, 3(cnt-1)/4+1, cnt]
+        d = [
+            1.0,
+            (cnt - 1) * 0.25 + 1.0,
+            (cnt - 1) * 0.5 + 1.0,
+            (cnt - 1) * 0.75 + 1.0,
+            float(cnt),
+        ]
+        for i in (1, 2, 3):
+            di = d[i] - n[i]
+            if (di >= 1.0 and n[i + 1] - n[i] > 1.0) or (
+                di <= -1.0 and n[i - 1] - n[i] < -1.0
+            ):
+                sgn = 1.0 if di > 0 else -1.0
+                # parabolic (P²) prediction
+                qp = q[i] + sgn / (n[i + 1] - n[i - 1]) * (
+                    (n[i] - n[i - 1] + sgn)
+                    * (q[i + 1] - q[i])
+                    / (n[i + 1] - n[i])
+                    + (n[i + 1] - n[i] - sgn)
+                    * (q[i] - q[i - 1])
+                    / (n[i] - n[i - 1])
+                )
+                if q[i - 1] < qp < q[i + 1]:
+                    q[i] = qp
+                else:  # linear fallback
+                    j = i + (1 if sgn > 0 else -1)
+                    q[i] = q[i] + sgn * (q[j] - q[i]) / (n[j] - n[i])
+                n[i] += sgn
+    return [*n, *q, float(cnt)]
+
+
+def _p2_value(s: list) -> float:
+    cnt = int(s[10])
+    if cnt == 0:
+        return 0.0
+    if cnt < 5:
+        xs = sorted(s[5 : 5 + cnt])
+        mid = cnt // 2
+        return xs[mid] if cnt % 2 else 0.5 * (xs[mid - 1] + xs[mid])
+    return s[7]  # q3 = median marker
+
+
+_ROBUST_STATE_SCHEMA = StructType([
+    StructField("med_sketch", StructType(
+        [StructField(f"v{i}", DoubleType()) for i in range(11)]
+    )),
+    StructField("mad_sketch", StructType(
+        [StructField(f"v{i}", DoubleType()) for i in range(11)]
+    )),
+])
+
+
+def robust_outlier_stream(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Streaming median/MAD outlier screen: two P² estimators per
+    event_type — one tracks the running median m, the other the median
+    of |value - m| (deviations measured against the *current* median
+    estimate, the standard adaptive-MAD streaming construction). A row
+    is flagged when |value - m| > k * MAD against the post-batch
+    estimates. State is 22 doubles per key regardless of volume.
+
+    Compared to zscore_outlier_stream this trades exactness of the
+    sufficient statistics for robustness of the statistic itself:
+    moments are exact but fragile to heavy tails; P² quantiles are
+    approximate (markers converge as O(1/n)) but bounded-influence.
+    The output ``score`` column is the |value-m|/MAD ratio.
+    """
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (event_type,) = key
+        if state.exists:
+            med_s, mad_s = state.get
+            med_s, mad_s = list(med_s), list(mad_s)
+        else:
+            med_s, mad_s = _p2_init(), _p2_init()
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        v = batch["value"].to_numpy(dtype=np.float64)
+        if len(v):
+            med_s = _p2_update(med_s, v)
+            m = _p2_value(med_s)
+            mad_s = _p2_update(mad_s, np.abs(v - m))
+            state.update((tuple(med_s), tuple(mad_s)))
+        m = _p2_value(med_s)
+        mad = _p2_value(mad_s)
+        if len(v) and mad > 0.0:
+            score = abs(v - m) / mad
+            mask = score > k
+            out = batch.loc[mask, ["event_id", "user_id", "value"]]
+            yield pd.DataFrame(
+                {
+                    "event_type": event_type,
+                    "event_id": out["event_id"].to_numpy(),
+                    "user_id": out["user_id"].to_numpy(),
+                    "value": out["value"].to_numpy(),
+                    "z": score[mask].round(6),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "value": pd.Series([], dtype="float64"),
+                    "z": pd.Series([], dtype="float64"),
+                }
+            )
+
+    return (
+        events.select("event_type", "event_id", "user_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_ROBUST_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -90,3 +90,76 @@ def test_two_trigger_screen_is_cumulative(spark, tmp_path):
     single = batch_zscore_outliers(load(spark, SF_DIR, "events"), k=2.5)
     single_set = {(r.event_type, r.event_id) for r in single.collect()}
     assert want != single_set
+
+
+# ---------------------------------------------------------------------------
+# P² robust variant
+# ---------------------------------------------------------------------------
+
+from svs_spark.streaming.anomaly import (  # noqa: E402
+    _p2_init,
+    _p2_update,
+    _p2_value,
+    robust_outlier_stream,
+)
+
+
+def _p2_run(xs):
+    return _p2_value(_p2_update(_p2_init(), xs))
+
+
+def test_p2_median_accuracy_across_distributions():
+    rng = np.random.default_rng(7)
+    cases = {
+        "uniform": rng.uniform(0, 100, 5000),
+        "normal": rng.normal(50, 10, 5000),
+        "lognormal_heavy": rng.lognormal(3, 1.0, 5000),
+        "sorted": np.arange(5000, dtype=np.float64),
+        "reversed": np.arange(5000, dtype=np.float64)[::-1],
+    }
+    for name, xs in cases.items():
+        est = _p2_run(xs)
+        true = float(np.median(xs))
+        spread = float(
+            np.percentile(xs, 75) - np.percentile(xs, 25)
+        ) or 1.0
+        assert abs(est - true) <= 0.05 * spread, (name, est, true)
+
+
+def test_p2_small_n_is_exact():
+    assert _p2_run([5.0]) == 5.0
+    assert _p2_run([5.0, 1.0]) == 3.0
+    assert _p2_run([9.0, 1.0, 5.0]) == 5.0
+    assert _p2_run([4.0, 1.0, 3.0, 2.0]) == 2.5
+
+
+def test_robust_stream_flags_planted_spikes(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    n = 4000
+    vals = rng.lognormal(1.0, 0.5, n)  # heavy-ish tail, median ~e
+    spike_ids = list(range(100, 4000, 400))  # 10 spikes
+    for i in spike_ids:
+        vals[i] = 5000.0 + i
+    pdf = pd.DataFrame(
+        {
+            "event_type": "m",
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "value": vals,
+        }
+    )
+    src = tmp_path / "spikes"
+    src.mkdir()
+    pdf.to_parquet(src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_to_memory(
+        robust_outlier_stream(stream, k=8.0), "robust_flags",
+        output_mode="append",
+    )
+    flagged = {r.event_id for r in spark.table("robust_flags").collect()}
+    assert set(spike_ids) <= flagged, "every planted spike must flag"
+    # false-positive rate bounded: a MAD screen legitimately flags
+    # the genuine tail of a lognormal (~1.5% beyond 6 MADs at sigma
+    # 0.5), so assert at k=8 where the distribution tail is ~0.5%
+    assert len(flagged - set(spike_ids)) <= int(0.01 * n)
