@@ -67,7 +67,16 @@ def zscore_outlier_stream(events: DataFrame, k: float = 3.0) -> DataFrame:
 
         (event_type,) = key
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        frames = [p for p in pdfs if len(p)]  # empty frames poison
+        # concat dtype inference (pandas FutureWarning -> all-NA cols)
+        batch = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {c: pd.Series([], dtype="float64") for c in
+                 ("event_id", "user_id", "value")}
+            )
+        )
         v = batch["value"].to_numpy(dtype=np.float64)
         nb = len(v)
         if nb:
@@ -271,7 +280,15 @@ def robust_outlier_stream(events: DataFrame, k: float = 3.0) -> DataFrame:
             med_s, mad_s = list(med_s), list(mad_s)
         else:
             med_s, mad_s = _p2_init(), _p2_init()
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        frames = [p for p in pdfs if len(p)]
+        batch = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {c: pd.Series([], dtype="float64") for c in
+                 ("event_id", "user_id", "value")}
+            )
+        )
         v = batch["value"].to_numpy(dtype=np.float64)
         if len(v):
             med_s = _p2_update(med_s, v)
