@@ -5724,3 +5724,197 @@ def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").alias("max_bucket"),
         )
     )
+
+
+@register(
+    "cusum_changepoints",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS s_milli
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s_milli) AS BIGINT) AS total_milli
+      FROM hourly GROUP BY 1
+    ),
+    dev AS (
+      SELECT h.event_type, h.b,
+             sum(t.n * h.s_milli - t.total_milli) OVER (
+               PARTITION BY h.event_type ORDER BY h.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum_scaled,
+             t.n, t.total_milli
+      FROM hourly h JOIN tot t USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, b, cusum_scaled, n,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum_scaled) DESC, b ASC
+             ) AS rn
+      FROM dev
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+           b AS peak_bucket,
+           round(CAST(cusum_scaled AS DOUBLE) / n / 1000, 6)
+             AS peak_excursion
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type: cumulative sum of
+    the deviations of each hourly bucket total from the series mean;
+    the peak |excursion| and its bucket locate the strongest candidate
+    changepoint (Page's CUSUM statistic, scan form).
+
+    Cross-engine exactness trick: deviations are scaled by the bucket
+    count — ``n*s - total`` — so the running sum is pure BIGINT (no
+    float mean subtraction to drift); the excursion is unscaled only
+    at the final projection. One bucket aggregate + one windowed pass,
+    both on the event_type exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000 div 3600000000").alias("b"),
+            "value",
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.floor(F.sum("value") * F.lit(1000) + F.lit(0.5))
+            .cast("long")
+            .alias("s_milli")
+        )
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("s_milli").alias("total_milli")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = hourly.join(F.broadcast(tot), "event_type").withColumn(
+        "cusum_scaled",
+        F.sum(
+            F.col("n") * F.col("s_milli") - F.col("total_milli")
+        ).over(w),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("b").asc()
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_buckets"),
+            F.col("b").alias("peak_bucket"),
+            F.round(
+                F.col("cusum_scaled").cast("double")
+                / F.col("n")
+                / F.lit(1000),
+                6,
+            ).alias("peak_excursion"),
+        )
+    )
+
+
+@register(
+    "value_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range(1, 7)) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.s AS x, c.s AS y
+      FROM hourly a
+      CROSS JOIN lags l
+      JOIN hourly c
+        ON c.event_type = a.event_type AND c.b = a.b + l.lag
+    ),
+    sums AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           round(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM sums
+    """,
+)
+def q_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..6 autocorrelation (ACF) of the hourly value series per
+    event type — the stationarity/seasonality diagnostic. Pairs are
+    formed by an equi-join on ``b + lag`` (bucket gaps drop the pair on
+    both engines identically); all Pearson sufficient statistics are
+    BIGINT sums over milli-scaled bucket totals, so the correlation is
+    a deterministic function of exact integers — no float-summation
+    drift. Milli (not micro) scaling keeps ``sum(x*y)`` within int64
+    at this series' magnitudes.
+
+    Scale shape: bucket aggregate, then a self-join keyed on
+    (event_type, bucket) — the lagged side reuses the same hash
+    partitioning; the 6-row lag table is a broadcast cross join.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000 div 3600000000").alias("b"),
+            "value",
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.floor(F.sum("value") * F.lit(1000) + F.lit(0.5))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("lag"))
+    a = hourly.crossJoin(F.broadcast(lags))
+    c = hourly.select(
+        F.col("event_type").alias("event_type2"),
+        F.col("b").alias("b2"),
+        F.col("s").alias("y"),
+    )
+    pairs = a.join(
+        c,
+        (F.col("event_type2") == F.col("event_type"))
+        & (F.col("b2") == F.col("b") + F.col("lag")),
+    ).select("event_type", "lag", F.col("s").alias("x"), "y")
+    sums = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(dx.cast("double"))
+            / F.sqrt(dy.cast("double")),
+            6,
+        ).alias("acf"),
+    )

@@ -150,3 +150,53 @@ def test_event_outliers_mad_matches_numpy(spark, registry):
         assert row["n_outliers"] == int((adev > 3 * mad).sum())
         # robustness property: well under half the data can be "outliers"
         assert row["n_outliers"] < 0.5 * len(v)
+
+
+def _hourly_milli(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts = pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+    ev = ev.assign(b=ts // 3_600_000_000_000)
+    out = {}
+    for et, g in ev.groupby("event_type"):
+        agg = g.groupby("b")["value"].sum()
+        out[et] = {
+            int(b): int(np.floor(s * 1000 + 0.5)) for b, s in agg.items()
+        }
+    return out
+
+
+def test_cusum_changepoints_matches_numpy(spark, registry):
+    out = registry["cusum_changepoints"](spark, SF_DIR).toPandas()
+    series = _hourly_milli(SF_DIR)
+    for _, row in out.iterrows():
+        s = series[row["event_type"]]
+        bs = sorted(s)
+        n = len(bs)
+        total = sum(s.values())
+        cusum, best = 0, None
+        for b in bs:
+            cusum += n * s[b] - total
+            if best is None or abs(cusum) > abs(best[1]):
+                best = (b, cusum)
+        assert row["n_buckets"] == n
+        assert row["peak_bucket"] == best[0]
+        assert abs(row["peak_excursion"] - round(best[1] / n / 1000, 6)) < 1e-9
+
+
+def test_autocorrelation_matches_numpy(spark, registry):
+    out = registry["value_autocorrelation"](spark, SF_DIR).toPandas()
+    series = _hourly_milli(SF_DIR)
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        s = series[row["event_type"]]
+        lag = int(row["lag"])
+        xs = [
+            (v, s[b + lag]) for b, v in s.items() if b + lag in s
+        ]
+        x = np.array([p[0] for p in xs], dtype=np.float64)
+        y = np.array([p[1] for p in xs], dtype=np.float64)
+        assert row["n_pairs"] == len(xs)
+        r = float(np.corrcoef(x, y)[0, 1])
+        assert abs(row["acf"] - r) < 1e-6
+    # white-noise-ish fixture: ACF must stay small at every lag
+    assert out["acf"].abs().max() < 0.5
