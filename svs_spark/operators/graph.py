@@ -120,3 +120,46 @@ def pagerank(
     und.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def lpa_communities(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    symmetrized graph, made deterministic: each round every node adopts
+    the most frequent label among its neighbors AND itself (the
+    self-vote breaks the 2-cycle label swap synchronous LPA exhibits
+    on bipartite components — a bare pair otherwise trades labels
+    forever), ties broken by the SMALLEST label (plain LPA's random
+    tie-break is unusable for an oracle-checked operator). Labels
+    start as node ids; the fixed round count keeps the operator a
+    bounded DAG.
+
+    Returns (node, community). Scale shape: each round is one
+    neighbor-key join + one (node, label) count + one node-partitioned
+    argmax window — all on the node exchange; localCheckpoint truncates
+    the per-round lineage (DEVNOTES invariant #2).
+    """
+    from pyspark.sql.window import Window
+
+    und = undirected(edges).persist()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        votes = und.join(labels, und["b"] == labels["node"]).select(
+            F.col("a").alias("v"), "label"
+        ).unionByName(
+            labels.select(F.col("node").alias("v"), "label")
+        )
+        counts = votes.groupBy("v", "label").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

@@ -5918,3 +5918,39 @@ def q_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    ctes = [
+        f"und AS ({_ANALYSIS_UND_SQL})",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)",
+    ]
+    for r in range(1, iterations + 1):
+        ctes.append(
+            f"v{r} AS (SELECT node, label, count(*) AS c FROM ("
+            f"SELECT u.a AS node, l.label "
+            f"FROM und u JOIN l{r-1} l ON l.node = u.b "
+            f"UNION ALL SELECT node, label FROM l{r-1}"
+            f") GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{r} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, label ASC) AS rn "
+            f"FROM v{r}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT node, label AS community FROM l{iterations}"
+    )
+
+
+@register("graph_lpa_communities", oracle=_lpa_oracle(3))
+def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (3 synchronous
+    rounds, most-frequent label among neighbors + self-vote,
+    smallest-label ties) on the
+    analysis graph; the oracle unrolls the identical rounds as chained
+    CTEs — see operators/graph.py:lpa_communities for the 100 TB
+    shape."""
+    return G.lpa_communities(_analysis_edges(spark, sf_dir), iterations=3)

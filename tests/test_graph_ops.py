@@ -63,3 +63,32 @@ def test_pagerank_matches_power_iteration(spark, small_edges):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_lpa_two_cliques(spark):
+    """Two disjoint triangles converge to one community each, labeled
+    by the clique's smallest node id."""
+    from svs_spark.operators.graph import lpa_communities
+
+    rows = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in lpa_communities(edges, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_deterministic_and_total(spark, small_edges):
+    from svs_spark.operators.graph import lpa_communities
+
+    e = small_edges.select("src", "dst")
+    a = sorted(lpa_communities(e, 3).collect())
+    b = sorted(lpa_communities(e, 3).collect())
+    assert a == b
+    nodes = {r.node for r in a}
+    assert nodes == {1, 2, 3, 4, 5, 6, 7}
+    # the isolated pair 6-7 must form its own community
+    comm = {r.node: r.community for r in a}
+    assert comm[6] == comm[7]
+    assert comm[6] not in {comm[n] for n in (1, 2, 3, 4, 5)}
