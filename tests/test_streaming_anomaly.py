@@ -163,3 +163,59 @@ def test_robust_stream_flags_planted_spikes(spark, tmp_path):
     # the genuine tail of a lognormal (~1.5% beyond 6 MADs at sigma
     # 0.5), so assert at k=8 where the distribution tail is ~0.5%
     assert len(flagged - set(spike_ids)) <= int(0.01 * n)
+
+
+# ---------------------------------------------------------------------------
+# Online CUSUM changepoint detector
+# ---------------------------------------------------------------------------
+
+from svs_spark.streaming.anomaly import cusum_changepoint_stream  # noqa: E402
+
+
+def test_cusum_stream_detects_level_shift(spark, tmp_path):
+    """A series that jumps from N(10,1) to N(16,1) at row 600 must
+    raise an 'up' alarm shortly after the shift and stay quiet before
+    it; a stationary control series must stay quiet throughout."""
+    rng = np.random.default_rng(5)
+    n = 1200
+    shifted = np.concatenate(
+        [rng.normal(10, 1, 600), rng.normal(16, 1, n - 600)]
+    )
+    flat = rng.normal(10, 1, n)
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "event_type": "shifted",
+                    "event_id": np.arange(n, dtype=np.int64),
+                    "value": shifted,
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "event_type": "flat",
+                    "event_id": np.arange(n, dtype=np.int64),
+                    "value": flat,
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    src = tmp_path / "shift"
+    src.mkdir()
+    pdf.to_parquet(src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_to_memory(
+        cusum_changepoint_stream(stream, k=1.0, h=6.0),
+        "cusum_alarms", output_mode="append",
+    )
+    alarms = spark.table("cusum_alarms").collect()
+    up = [r for r in alarms if r.event_type == "shifted" and r.direction == "up"]
+    assert up, "the level shift must raise at least one up alarm"
+    first = min(r.event_id for r in up)
+    assert 600 <= first <= 620, f"detection delay too long: {first}"
+    # nothing before the shift on the shifted series
+    assert not [r for r in alarms if r.event_type == "shifted" and r.event_id < 600]
+    # the stationary control stays quiet
+    assert not [r for r in alarms if r.event_type == "flat"]

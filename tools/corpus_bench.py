@@ -191,6 +191,31 @@ def main() -> None:
             ),
         ),
     )
+    def unigram_bits():
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+        vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+        total = vocab.agg(F.sum("c").alias("total"))
+        bits = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+        j = tf.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+        return (
+            j.groupBy("doc_id")
+            .agg(
+                F.sum("tf").alias("nt"),
+                F.sum(
+                    F.col("tf") * (bits(F.col("total")) - bits(F.col("c")))
+                ).alias("sb"),
+            )
+            .select(F.expr("sb * 10 div nt").alias("q"))
+            .groupBy("q")
+            .count()
+            .count()
+        )
+
+    run("unigram_logprob_bits", unigram_bits)
+
     tok = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
