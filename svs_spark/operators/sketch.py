@@ -1,0 +1,281 @@
+"""KLL mergeable quantile sketch — the 100 TB path for percentiles.
+
+Exact ``percentile()`` forces a total sort (or a full collect of the
+group) and Spark's built-in ``approx_percentile`` (Greenwald-Khanna) is
+accuracy-bounded but not *mergeable across arbitrary splits with a
+uniform guarantee*; the KLL sketch (Karnin, Lang, Liberty, FOCS 2016)
+gives an O(k·log(n/k)) -space summary with additive rank error
+~1.65/k·sqrt(log n) that merges associatively — the property that makes
+it THE quantile structure for map-side partial aggregation: each input
+partition builds its own sketch over its local rows (one corpus scan,
+zero shuffle), and only the tiny fixed-size sketches travel through the
+exchange.
+
+Execution shape on Spark:
+
+  scan → mapInPandas (one sketch per key per partition, NumPy kernel)
+       → groupBy(key) applyInPandas (merge ≤ n_partitions sketches/key)
+       → quantile rows
+
+The shuffle carries ``n_partitions × n_keys`` rows of ≈ 8·k·levels
+bytes each — constant in the data size. Compare the exact twin
+(``percentile``) whose shuffle carries every row.
+
+Not expressible in ANSI SQL (randomized compaction state), so this is
+pytest-gated (tests/test_approx.py) rather than driver-oracle-gated,
+like the HLL / approx_percentile accuracy contracts.
+
+Compaction randomness is derived deterministically from the sketch's
+own state (splitmix64 of (level, compaction counter)) so the operator
+is reproducible run-to-run for a fixed partitioning — same discipline
+as the MinHash coefficient family (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["KLL", "kll_quantiles", "kll_quantiles_by"]
+
+_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public-domain splitmix64 constants)."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+class KLL:
+    """A single-machine KLL sketch over doubles.
+
+    ``levels[i]`` holds items of weight ``2**i``. Level capacities decay
+    geometrically toward the top (c = 2/3): the highest level keeps
+    ``k`` items, lower levels progressively fewer — the KLL trick that
+    beats the classic MRL sketch's uniform buffers.
+    """
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200) -> None:
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.levels: List[List[float]] = [[]]
+        self.n = 0
+        self._compactions = 0
+
+    # -- building -----------------------------------------------------
+
+    def _capacity(self, level: int) -> int:
+        height = len(self.levels) - 1
+        return max(2, int(self.k * (self.C ** (height - level)) + 0.5))
+
+    def update_many(self, values) -> None:
+        import numpy as np
+
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            return
+        self.n += int(len(vals))
+        # feed level 0 in capacity-sized slabs so one huge Arrow batch
+        # cannot blow the level-0 buffer past O(k)
+        buf = self.levels[0]
+        cap = max(self._capacity(0), 2)
+        i = 0
+        while i < len(vals):
+            take = max(cap - len(buf), cap)
+            buf.extend(vals[i : i + take].tolist())
+            i += take
+            self._compress()
+            buf = self.levels[0]
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) <= self._capacity(lvl):
+                lvl += 1
+                continue
+            items = sorted(self.levels[lvl])
+            # deterministic coin: keep odd or even ranks
+            self._compactions += 1
+            coin = _splitmix64((lvl << 32) ^ self._compactions) & 1
+            promoted = items[coin::2]
+            self.levels[lvl] = []
+            if lvl + 1 == len(self.levels):
+                self.levels.append([])
+            self.levels[lvl + 1].extend(promoted)
+            # growing the height changes capacities; recheck from here
+        # trailing pass: growing height may have made a lower level
+        # newly over-capacity relative to its shrunken budget
+        for lvl in range(len(self.levels)):
+            while len(self.levels[lvl]) > self._capacity(lvl):
+                items = sorted(self.levels[lvl])
+                self._compactions += 1
+                coin = _splitmix64((lvl << 32) ^ self._compactions) & 1
+                promoted = items[coin::2]
+                self.levels[lvl] = []
+                if lvl + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[lvl + 1].extend(promoted)
+
+    # -- merging ------------------------------------------------------
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.n == 0:
+            return self
+        self.n += other.n
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for lvl, items in enumerate(other.levels):
+            self.levels[lvl].extend(items)
+        self._compactions = max(self._compactions, other._compactions)
+        self._compress()
+        return self
+
+    # -- querying -----------------------------------------------------
+
+    def quantiles(self, probs: Sequence[float]) -> List[float]:
+        import numpy as np
+
+        if self.n == 0:
+            return [float("nan")] * len(probs)
+        vals: List[float] = []
+        wts: List[float] = []
+        for lvl, items in enumerate(self.levels):
+            vals.extend(items)
+            wts.extend([float(1 << lvl)] * len(items))
+        order = np.argsort(np.asarray(vals), kind="mergesort")
+        v = np.asarray(vals)[order]
+        w = np.asarray(wts)[order]
+        cum = np.cumsum(w) - 0.5 * w  # midpoint rank of each item
+        total = w.sum()
+        out = []
+        for p in probs:
+            target = p * total
+            idx = int(np.searchsorted(cum, target, side="left"))
+            idx = min(max(idx, 0), len(v) - 1)
+            out.append(float(v[idx]))
+        return out
+
+    # -- serialization (rows through the exchange) --------------------
+
+    def to_row(self) -> dict:
+        return {"n": self.n, "levels": [list(l) for l in self.levels]}
+
+    @classmethod
+    def from_row(cls, k: int, n: int, levels: Sequence[Sequence[float]]) -> "KLL":
+        sk = cls(k)
+        sk.n = int(n)
+        sk.levels = [list(l) for l in levels]
+        while len(sk.levels) == 0:
+            sk.levels = [[]]
+        return sk
+
+
+_SKETCH_SCHEMA = "key string, n long, levels array<array<double>>"
+
+
+def _partial_sketches(
+    value_col: str, key_col: str | None, k: int
+):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[str, KLL] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if key_col is None:
+                sk = sketches.setdefault("", KLL(k))
+                sk.update_many(pdf[value_col].to_numpy())
+            else:
+                for key, grp in pdf.groupby(key_col, sort=False):
+                    sk = sketches.setdefault(str(key), KLL(k))
+                    sk.update_many(grp[value_col].to_numpy())
+        rows = [
+            {"key": key, **sk.to_row()}
+            for key, sk in sketches.items()
+            if sk.n > 0
+        ]
+        yield pd.DataFrame(
+            rows, columns=["key", "n", "levels"]
+        ) if rows else pd.DataFrame(
+            {"key": pd.Series(dtype="object"),
+             "n": pd.Series(dtype="int64"),
+             "levels": pd.Series(dtype="object")}
+        )
+
+    return kernel
+
+
+def _merge_and_query(probs: Sequence[float], k: int):
+    cols = ["key", "n"] + [f"q{i}" for i in range(len(probs))]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        merged: KLL | None = None
+        for _, row in pdf.iterrows():
+            sk = KLL.from_row(k, row["n"], row["levels"])
+            merged = sk if merged is None else merged.merge(sk)
+        qs = merged.quantiles(probs)
+        out = {"key": [pdf["key"].iloc[0]], "n": [merged.n]}
+        for i, q in enumerate(qs):
+            out[f"q{i}"] = [q]
+        return pd.DataFrame(out, columns=cols)
+
+    return kernel
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    k: int = 200,
+) -> DataFrame:
+    """Global quantiles of ``value_col`` via one scan + constant-size
+    shuffle. Returns one row: (n, q0..qm) with ``qi`` ≈ the
+    ``probs[i]``-quantile (additive rank error O(1/k))."""
+    probs = [float(p) for p in probs]
+    partials = df.select(F.col(value_col).cast("double").alias(value_col)).mapInPandas(
+        _partial_sketches(value_col, None, k), schema=_SKETCH_SCHEMA
+    )
+    out_schema = "key string, n long, " + ", ".join(
+        f"q{i} double" for i in range(len(probs))
+    )
+    return (
+        partials.groupBy("key")
+        .applyInPandas(_merge_and_query(probs, k), schema=out_schema)
+        .drop("key")
+    )
+
+
+def kll_quantiles_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: Sequence[float],
+    k: int = 200,
+) -> DataFrame:
+    """Per-key quantiles: map-side partial sketches per (partition, key),
+    then a merge keyed on ``key`` — the exchange carries sketches, not
+    rows. Returns (key, n, q0..qm)."""
+    probs = [float(p) for p in probs]
+    partials = df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(value_col).cast("double").alias(value_col),
+    ).mapInPandas(_partial_sketches(value_col, key_col, k), schema=_SKETCH_SCHEMA)
+    out_schema = "key string, n long, " + ", ".join(
+        f"q{i} double" for i in range(len(probs))
+    )
+    return (
+        partials.groupBy("key")
+        .applyInPandas(_merge_and_query(probs, k), schema=out_schema)
+        .withColumnRenamed("key", key_col)
+    )

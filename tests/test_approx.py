@@ -121,3 +121,90 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     # exact-Jaccard verification stage
     for a, b in got:
         assert jac(text_by_id[a], text_by_id[b]) >= 0.5, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# KLL mergeable quantile sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def _rank_error(sorted_vals, estimate, p):
+    """|empirical rank of estimate - p| in [0, 1]."""
+    import numpy as np
+
+    arr = np.asarray(sorted_vals)
+    rank = np.searchsorted(arr, estimate, side="right") / len(arr)
+    return abs(rank - p)
+
+
+def test_kll_global_rank_error(spark):
+    """Global quantiles over events.value: every estimate must land
+    within 2% rank error of the exact empirical quantile (k=200 gives
+    eps ~ 1.3-1.7%; gate at 2% for slack)."""
+    import numpy as np
+
+    from svs_spark.operators.sketch import kll_quantiles
+
+    ev = load(spark, SF_DIR, "events")
+    probs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    [row] = kll_quantiles(ev, "value", probs, k=200).collect()
+    vals = np.sort(
+        np.array([r["value"] for r in ev.select("value").collect()])
+    )
+    assert row["n"] == len(vals)
+    for i, p in enumerate(probs):
+        err = _rank_error(vals, row[f"q{i}"], p)
+        assert err <= 0.02, (p, row[f"q{i}"], err)
+
+
+def test_kll_grouped_matches_per_key(spark):
+    """Per-key sketches (the map-side-partial merge path — what runs on
+    a real cluster) must hit the same rank-error contract per group."""
+    import numpy as np
+
+    from svs_spark.operators.sketch import kll_quantiles_by
+
+    ev = load(spark, SF_DIR, "events")
+    probs = [0.5, 0.9]
+    rows = kll_quantiles_by(ev, "event_type", "value", probs, k=200).collect()
+    assert rows
+    exact = {}
+    for r in ev.select("event_type", "value").collect():
+        exact.setdefault(r["event_type"], []).append(r["value"])
+    assert set(r["event_type"] for r in rows) == set(exact)
+    for r in rows:
+        vals = np.sort(np.array(exact[r["event_type"]]))
+        assert r["n"] == len(vals)
+        for i, p in enumerate(probs):
+            assert _rank_error(vals, r[f"q{i}"], p) <= 0.025, (
+                r["event_type"], p,
+            )
+
+
+def test_kll_merge_equals_single_sketch_contract(spark):
+    """Mergeability: a sketch merged from 16 shard-sketches must obey
+    the same rank-error bound as one built serially (merge must not
+    degrade the guarantee) — pure-Python check on the kernel class."""
+    import numpy as np
+
+    from svs_spark.operators.sketch import KLL
+
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(0.0, 1.0, 200_000)
+    whole = KLL(200)
+    whole.update_many(data)
+    shards = [KLL(200) for _ in range(16)]
+    for i, sh in enumerate(shards):
+        sh.update_many(data[i::16])
+    merged = shards[0]
+    for sh in shards[1:]:
+        merged = merged.merge(sh)
+    assert merged.n == len(data)
+    svals = np.sort(data)
+    for p in (0.01, 0.1, 0.5, 0.9, 0.99):
+        for sk in (whole, merged):
+            [est] = sk.quantiles([p])
+            assert _rank_error(svals, est, p) <= 0.02, (p, est)
+    # space bound: total retained items stay O(k log(n/k))
+    retained = sum(len(l) for l in merged.levels)
+    assert retained <= 200 * 6
