@@ -395,3 +395,55 @@ def self_knn(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_assign(
+    embeddings: DataFrame,
+    centroids: "list[tuple[int, Sequence[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment — the k-means / IVF assignment step
+    as a pure MAP: the (k × d) centroid matrix ships in the task
+    closure (k is small by construction — it is the cluster count, not
+    the data), each Arrow batch runs one BLAS GEMM (batch × d)·(d × k)
+    and emits its own argmax rows, so the corpus is never shuffled for
+    the assignment. At 100 TB that is the difference between a
+    map-only stage and a full-corpus exchange (the naive crossJoin +
+    per-id window formulation shuffles every row to rank k scores).
+
+    Tie rule matches the oracle-checked semantics of
+    ``kmeans_assign_profile``: scores rounded to ``round_decimals``
+    first, ties broken by LOWEST centroid id (centroids are sorted by
+    id, and ``np.argmax`` returns the first maximum).
+
+    Returns (id_col, cluster_id, score) — one row per input vector.
+    """
+    import numpy as np
+
+    cents = sorted(((int(c), [float(x) for x in v]) for c, v in centroids))
+    cid_list = [c for c, _ in cents]
+    cmat_list = [v for _, v in cents]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat = np.asarray(cmat_list, dtype=np.float64).T  # (d, k)
+        cids = np.asarray(cid_list, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = np.round(mat @ cmat, round_decimals)  # one GEMM
+            best = np.argmax(scores, axis=1)  # first max = lowest cid
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cluster_id": cids[best],
+                    "score": scores[np.arange(len(ids)), best],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cluster_id long, score double"
+    )

@@ -5550,33 +5550,23 @@ def q_kmeans_assign_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded-score tie broken by lowest seed id) that every Lloyd
     round depends on.
 
-    Scale shape: seeds are a broadcast k-row table; the corpus never
-    shuffles for scoring (map-side cross join + per-row argmax via a
-    vec_id-partitioned window collapses to one exchange); integer-micro
-    summation keeps the cluster mean order-independent under partial
-    aggregation (see lang_centroids).
+    Scale shape: assignment is a pure MAP — the k seed vectors ship in
+    the task closure and each Arrow batch runs one BLAS GEMM + local
+    argmax (operators/similarity.centroid_assign), so the only
+    exchange in the whole plan is the final k-row groupBy; the naive
+    crossJoin + per-vec_id window would shuffle the entire corpus just
+    to rank k scores. Integer-micro summation keeps the cluster mean
+    order-independent under partial aggregation (see lang_centroids).
     """
+    from svs_spark.operators.similarity import centroid_assign
+
     emb = load(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(8)
-        .select(
-            F.col("vec_id").alias("seed_id"),
-            F.col("embedding").alias("seed_emb"),
-        )
-    )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "seed_id",
-        F.round(V.dot(F.col("embedding"), F.col("seed_emb")), 6).alias(
-            "score"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("score"), F.asc("seed_id")
-    )
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    seeds = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    best = centroid_assign(emb, [(c, v) for c, v in seeds]).withColumnRenamed(
+        "cluster_id", "seed_id"
     )
     micro = F.floor(F.col("score") * F.lit(1_000_000) + F.lit(0.5)).cast(
         "long"
@@ -5954,3 +5944,30 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs — see operators/graph.py:lpa_communities for the 100 TB
     shape."""
     return G.lpa_communities(_analysis_edges(spark, sf_dir), iterations=3)
+
+
+@register("kll_value_quantiles")
+def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles via the KLL mergeable sketch
+    (operators/sketch.py) — the constant-shuffle scale path for
+    percentiles: partitions build fixed-size sketches map-side and only
+    sketches cross the exchange (compare value_percentiles, the exact
+    full-shuffle twin).
+
+    No SQL oracle: the sketch's compaction state is not expressible in
+    ANSI SQL, so the driver records the weaker rows-only check (one row
+    per event_type, exact n per key); the accuracy contract (≤2% rank
+    error vs exact at k=200) is pytest-gated in tests/test_approx.py
+    alongside the HLL/approx_percentile gates.
+    """
+    from svs_spark.operators.sketch import kll_quantiles_by
+
+    ev = load(spark, sf_dir, "events")
+    out = kll_quantiles_by(ev, "event_type", "value", [0.5, 0.9, 0.99], k=200)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("q0", 6).alias("p50"),
+        F.round("q1", 6).alias("p90"),
+        F.round("q2", 6).alias("p99"),
+    )

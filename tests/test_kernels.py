@@ -281,3 +281,41 @@ class TestSelfKnn:
             per_id.setdefault(r.vec_id, []).append(r.rank)
         assert all(sorted(v) == [1, 2] for v in per_id.values())
         assert len(per_id) == 6
+
+
+class TestCentroidAssign:
+    def test_matches_bruteforce_and_ties_to_lowest_cid(self, spark):
+        import numpy as np
+
+        from svs_spark.operators.similarity import centroid_assign
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(40, 8))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        cents = [(int(c), vecs[c].tolist()) for c in (5, 2, 9)]
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: (r["cluster_id"], r["score"])
+            for r in centroid_assign(df, cents).collect()
+        }
+        assert len(got) == 40
+        cmat = np.asarray([v for _, v in sorted(cents)])
+        cids = np.asarray([c for c, _ in sorted(cents)])
+        scores = np.round(vecs @ cmat.T, 6)
+        for i in range(40):
+            best = int(np.argmax(scores[i]))
+            cid, sc = got[i]
+            assert cid == int(cids[best])
+            assert sc == pytest.approx(scores[i, best])
+        # exact tie: vec 2 and vec 9 ARE centroids 2 and 9; a vector
+        # equidistant from both must pick the LOWER cluster id
+        mid = (vecs[2] + vecs[9]) / 2.0
+        mid /= np.linalg.norm(mid)
+        tie_df = spark.createDataFrame(
+            [(100, mid.tolist())], "vec_id long, embedding array<double>"
+        )
+        [tr] = centroid_assign(tie_df, cents).collect()
+        assert tr["cluster_id"] == 2

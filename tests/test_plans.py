@@ -234,14 +234,15 @@ def test_unigram_quality_broadcasts_vocab(spark, registry):
 
 
 def test_kmeans_assign_corpus_never_shuffles_for_scoring(spark, registry):
-    """Seeds must broadcast (BroadcastNestedLoopJoin on the 8-row
-    side); the corpus may only exchange for the per-vector argmax
-    window and the final cluster aggregate."""
+    """Assignment is a pure map (centroid matrix in the task closure,
+    GEMM + local argmax per Arrow batch): the ONLY exchange in the
+    plan is the final k-row cluster aggregate — no join of any kind,
+    no per-vector window."""
     df = registry["kmeans_assign_profile"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
-    assert "SortMergeJoin" not in plan, plan[:2000]
-    assert X.count_shuffles(df) <= 3, X.plan_string(df)[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert X.count_shuffles(df) <= 1, X.plan_string(df)[:2000]
 
 
 def test_event_outliers_broadcasts_group_stats(spark, registry):
