@@ -1,0 +1,149 @@
+"""Bloom-filter runtime pruning for semi-joins — the shuffle killer.
+
+A semi-join (decontamination, dedup-survivor lookup, FK existence)
+normally shuffles BOTH sides on the key. When the build side's key set
+is far smaller than the probe side (test-set shingles vs a 100 TB train
+corpus), the scale play is the classic runtime bloom filter: fold the
+build keys into an m-bit bitmap with one map-side aggregate, broadcast
+the bitmap (kilobytes–megabytes), and drop probe rows whose keys cannot
+be in the build set BEFORE the exchange. The exact join that follows
+only sees the survivors (selectivity ε + FPR), so the probe-side
+shuffle shrinks by orders of magnitude while the final answer stays
+EXACT — a bloom filter has no false negatives, and the verify join
+removes the false positives.
+
+This is the same mechanism Spark's AQE injects for equi-joins
+(InjectRuntimeFilter), exposed as an explicit operator so it can sit in
+front of joins the optimizer can't see through (mapInPandas stages,
+iterative loops, pre-aggregated probes) and so its parameters (bits,
+hash count) are tunable per workload.
+
+All hashing is Kirsch-Mitzenmacher double hashing over xxhash64:
+g_i(x) = h1(x) + i·h2(x) (mod m) — k independent-enough probes from two
+JVM-codegen'd hash evaluations, no Python in the row path. The bitmap
+build is one groupBy(word) bit_or aggregate (map-side combine collapses
+each partition to ≤ m/64 rows before the exchange); the membership test
+is a pure Column conjunction against an array literal, fully inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["bloom_bitmap", "might_contain", "bloom_semi_join", "optimal_num_hashes"]
+
+# second-hash tweak: any constant distinct from the bare-key hash works;
+# golden-ratio constant keeps it recognizable
+_H2_SALT = 0x9E3779B9
+
+
+def optimal_num_hashes(num_bits: int, n_keys: int) -> int:
+    """k* = (m/n)·ln 2, clamped to [1, 16]."""
+    if n_keys <= 0:
+        return 1
+    return max(1, min(16, round(num_bits / n_keys * math.log(2))))
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> "list[Column]":
+    # reduce mod m BEFORE combining: the raw g_i = h1 + i*h2 overflows
+    # 64-bit under ANSI mode (DEVNOTES invariant 12); (h1 + i*h2) mod m
+    # == ((h1 mod m) + i*(h2 mod m)) mod m, and the reduced operands
+    # keep the sum below 2^25 at any sane m
+    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(_H2_SALT)), F.lit(num_bits))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
+    ]
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 7,
+) -> "list[int]":
+    """Fold the distinct keys into an m-bit bloom bitmap.
+
+    One JVM-side aggregate: explode the k probe positions per key, group
+    by 64-bit word index, bit_or the masks. The collect is bounded by
+    ``num_bits / 64`` longs (128 KiB at the default m = 2^20) — this is
+    the broadcast payload, never data-sized.
+    """
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    words = (
+        keys.select(F.col(key_col).alias("k"))
+        .select(
+            F.explode(F.array(*_positions(F.col("k"), num_bits, num_hashes))).alias(
+                "pos"
+            )
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # shiftleft's pyspark binding takes a Python-int count, so
+            # the per-row shift goes through expr
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def might_contain(
+    key: Column,
+    bitmap: "list[int]",
+    num_hashes: int = 7,
+) -> Column:
+    """Membership-test Column: true iff every probe bit is set.
+
+    The bitmap ships as an array literal inside the plan (equivalently
+    a broadcast variable on a real cluster) and the test is a codegen'd
+    conjunction — no shuffle, no Python.
+    """
+    num_bits = len(bitmap) * 64
+    arr = F.lit(bitmap)
+    cond = F.lit(True)
+    for pos in _positions(key, num_bits, num_hashes):
+        word = (pos / 64).cast("long")
+        bit = (pos % 64).cast("int")
+        probe = (
+            F.getbit(F.element_at(arr, (word + 1).cast("int")), bit) == 1
+        )
+        cond = cond & probe
+    return cond
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: "int | None" = None,
+    build_count: "int | None" = None,
+) -> DataFrame:
+    """EXACT left-semi join with a bloom pre-filter on the probe side.
+
+    Result rows are identical to ``probe.join(build, key, "left_semi")``
+    (no false negatives by construction; the verify join removes false
+    positives) — only the plan differs: the probe side is filtered
+    map-side before its exchange, so the shuffle carries
+    ``selectivity + FPR`` of the probe instead of all of it.
+    """
+    if num_hashes is None:
+        n = build_count if build_count is not None else build.count()
+        num_hashes = optimal_num_hashes(num_bits, n)
+    bitmap = bloom_bitmap(build, key_col, num_bits, num_hashes)
+    pruned = probe.filter(might_contain(F.col(key_col), bitmap, num_hashes))
+    return pruned.join(
+        build.select(key_col).distinct(), key_col, "left_semi"
+    )

@@ -2627,9 +2627,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "decontaminate_ngrams",
-    oracle="""
+_DECONTAM_ORACLE = """
     WITH sp AS (
       SELECT doc_id,
              (doc_id * 2654435761) % 4294967296 % 1000 >= 900 AS is_test,
@@ -2650,8 +2648,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE e.is_test
     GROUP BY 1
     ORDER BY 1
-    """,
-)
+    """
+
+
+@register("decontaminate_ngrams", oracle=_DECONTAM_ORACLE)
 def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: flag test-split docs sharing any
     5-word shingle with the train split (the standard benchmark-leak
@@ -2693,6 +2693,74 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.filter(F.col("is_test"))
         .join(train_idx, "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared_5grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontaminate_train_bloom",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 % 1000 >= 900 AS is_test,
+             list_distinct(list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 3),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2] || ' ' ||
+                    string_split(lower(text), ' ')[i+3] || ' ' ||
+                    string_split(lower(text), ' ')[i+4])) AS sh
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 5
+    ),
+    ex AS (SELECT doc_id, is_test, unnest(sh) AS s FROM sp),
+    te AS (SELECT DISTINCT s FROM ex WHERE is_test)
+    SELECT e.doc_id, count(DISTINCT e.s) AS n_shared_5grams
+    FROM ex e JOIN te ON e.s = te.s
+    WHERE NOT e.is_test
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_decontaminate_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination in the scale-realistic direction: flag TRAIN
+    docs sharing any 5-gram with the (small) test split, with a bloom
+    runtime filter pruning the train side map-side. At 100 TB this is
+    the shape that matters — the benchmark/test set is tiny, the train
+    corpus is the lake, so the bloom bitmap built over test shingles
+    (kilobytes, broadcast) drops almost every train shingle at the scan
+    before any exchange; the exact verify join then sees only survivors
+    (true matches + FPR), not the corpus. The final answer is EXACT —
+    a bloom filter has no false negatives and the verify join removes
+    false positives — which is precisely what the shared-free oracle
+    checks (operators/bloom.py).
+    """
+    from svs_spark.operators.bloom import bloom_bitmap, might_contain
+    from svs_spark.streaming.decontaminate import ngram_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    is_test = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+        >= 900
+    )
+    ex = (
+        docs.filter(F.size(toks) >= 5)
+        .select(
+            "doc_id", is_test.alias("is_test"),
+            F.explode(ngram_hashes("text", 5)).alias("h"),
+        )
+        .persist()
+    )
+    test_idx = ex.filter(F.col("is_test")).select("h").distinct()
+    bitmap = bloom_bitmap(test_idx, "h", num_bits=1 << 19, num_hashes=4)
+    pruned = ex.filter(~F.col("is_test")).filter(
+        might_contain(F.col("h"), bitmap, num_hashes=4)
+    )
+    return (
+        pruned.join(test_idx, "h")
         .groupBy("doc_id")
         .agg(F.count_distinct("h").alias("n_shared_5grams"))
         .orderBy("doc_id")

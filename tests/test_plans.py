@@ -252,3 +252,14 @@ def test_event_outliers_broadcasts_group_stats(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_decontaminate_bloom_filters_train_before_join(spark, registry):
+    """The bloom membership conjunction must appear as a codegen'd
+    Filter (xxhash64 + getbit against the broadcast bitmap literal) on
+    the train side — pruning happens at the scan, before any exchange
+    ships train shingles."""
+    df = registry["decontaminate_train_bloom"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan, plan[:2000]
+    assert "xxhash64" in plan, plan[:2000]
