@@ -39,7 +39,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["KLL", "kll_quantiles", "kll_quantiles_by"]
+__all__ = ["KLL", "kll_quantiles", "kll_quantiles_by", "frequent_items"]
 
 _MASK = (1 << 64) - 1
 
@@ -278,4 +278,87 @@ def kll_quantiles_by(
         partials.groupBy("key")
         .applyInPandas(_merge_and_query(probs, k), schema=out_schema)
         .withColumnRenamed("key", key_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items ("heavy hitters") — bounded-memory top items.
+# Exact groupBy-count of a 100 TB token stream shuffles every distinct
+# item; the MG summary keeps <= capacity counters per partition and
+# guarantees every item with true frequency > n/capacity survives, with
+# estimates undercounting by at most n/capacity. Same execution shape
+# as the KLL sketch above: map-side partial summaries, merge of
+# n_partitions tiny summaries, constant shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _mg_reduce(counts: dict, capacity: int) -> dict:
+    """Misra-Gries reduction: if more than ``capacity`` counters, strip
+    the (capacity+1)-th largest count from all and drop non-positive."""
+    if len(counts) <= capacity:
+        return counts
+    dec = sorted(counts.values(), reverse=True)[capacity]
+    return {k: v - dec for k, v in counts.items() if v > dec}
+
+
+def frequent_items(
+    df: DataFrame,
+    item_col: str,
+    capacity: int = 64,
+) -> DataFrame:
+    """Items with frequency > n/capacity, with lower-bound estimates.
+
+    Returns (item, est_count, n_total): ``est_count`` undercounts the
+    true frequency by at most ``n_total/capacity`` (classic MG bound;
+    summing per-partition summaries preserves it — Agarwal et al.,
+    "Mergeable Summaries", PODS 2012). The output keeps items with
+    ``est_count > n_total/capacity``, so any item with true frequency
+    above ``2·n_total/capacity`` is guaranteed present, and at most
+    ``capacity`` items survive (their estimates sum to ≤ n_total).
+    """
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf[item_col].astype(str).value_counts()
+            n += int(vc.sum())
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            counts = _mg_reduce(counts, capacity)
+        yield pd.DataFrame(
+            {
+                "item": pd.Series(list(counts), dtype="object"),
+                "cnt": pd.Series(list(counts.values()), dtype="int64"),
+                "n": pd.Series([n] * len(counts), dtype="int64"),
+            }
+            if counts
+            else {
+                "item": pd.Series(dtype="object"),
+                "cnt": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+
+    partials = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        partial, schema="item string, cnt long, n long"
+    )
+
+    # merge = sum the partial lower bounds per item (the partials table
+    # is ≤ n_partitions × capacity rows — tiny); n_total is recovered
+    # from one replicated-n row per partition (mapInPandas preserves
+    # partitioning, so spark_partition_id identifies the source task)
+    partials = partials.persist()
+    summed = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    n_total = (
+        partials.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.max("n").alias("pn"))
+        .agg(F.sum("pn").alias("n_total"))
+    )
+    return (
+        summed.crossJoin(F.broadcast(n_total))
+        .filter(F.col("est_count") > F.col("n_total") / capacity)
+        .select("item", "est_count", "n_total")
     )
