@@ -101,6 +101,10 @@ HEADLINE = [
     "kmeans_assign_profile",
     "event_outliers_mad",
     "zorder_locality_stats",
+    # round-3 widening (fifth session): bloom-pruned train-side
+    # decontamination and the KLL quantile sketch
+    "decontaminate_train_bloom",
+    "kll_value_quantiles",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

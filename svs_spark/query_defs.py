@@ -2737,7 +2737,7 @@ def q_decontaminate_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positives — which is precisely what the shared-free oracle
     checks (operators/bloom.py).
     """
-    from svs_spark.operators.bloom import bloom_bitmap, might_contain
+    from svs_spark.operators.bloom import bloom_bitmap, bloom_prune
     from svs_spark.streaming.decontaminate import ngram_hashes
 
     docs = load(spark, sf_dir, "documents")
@@ -2756,8 +2756,8 @@ def q_decontaminate_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     test_idx = ex.filter(F.col("is_test")).select("h").distinct()
     bitmap = bloom_bitmap(test_idx, "h", num_bits=1 << 19, num_hashes=4)
-    pruned = ex.filter(~F.col("is_test")).filter(
-        might_contain(F.col("h"), bitmap, num_hashes=4)
+    pruned = bloom_prune(
+        ex.filter(~F.col("is_test")), "h", bitmap, num_hashes=4
     )
     return (
         pruned.join(test_idx, "h")

@@ -84,3 +84,20 @@ def test_probe_filter_sits_before_the_join(spark):
     ).count()
     assert pruned_count < 10000  # probe really shrinks before the join
     assert out.count() == 64  # and the verify join keeps exactness
+
+
+def test_bloom_prune_equals_literal_filter(spark):
+    """bloom_prune (one-row broadcast bitmap relation) must keep
+    exactly the rows the literal-array might_contain form keeps — same
+    bits, different shipping."""
+    from svs_spark.operators.bloom import bloom_prune
+
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    build = spark.range(0, 500).select((F.col("id") * 37).alias("k"))
+    bitmap = bloom_bitmap(build, "k", num_bits=1 << 14, num_hashes=5)
+    lit_rows = {
+        r["k"] for r in df.filter(might_contain(F.col("k"), bitmap, 5)).collect()
+    }
+    prune_rows = {r["k"] for r in bloom_prune(df, "k", bitmap, 5).collect()}
+    assert prune_rows == lit_rows
+    assert set(range(0, 500 * 37, 37)) <= prune_rows  # no false negatives
