@@ -105,6 +105,9 @@ HEADLINE = [
     # decontamination and the KLL quantile sketch
     "decontaminate_train_bloom",
     "kll_value_quantiles",
+    "source_minhash_similarity",
+    "vocab_growth_curve",
+    "bigram_pmi_top",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

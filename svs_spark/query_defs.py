@@ -6039,3 +6039,235 @@ def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q1", 6).alias("p90"),
         F.round("q2", 6).alias("p99"),
     )
+
+
+def _source_minhash_oracle(num_hashes: int = 16) -> str:
+    P = D.MINHASH_PRIME
+    coeffs = D.minhash_coeffs(num_hashes)
+    th = OG.token_hash_sql("s")
+    sig_cols = ",\n             ".join(
+        f"min(({a} * h + {b}) % {P}) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT source,
+             list_distinct(list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 1),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2])) AS sh
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    ex AS (SELECT source, unnest(sh) AS s FROM shingled),
+    hs AS (SELECT source, {th} AS h FROM ex),
+    sig AS (SELECT source, {sig_cols} FROM hs GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           {agree} AS n_agree,
+           round(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@register("source_minhash_similarity", oracle=_source_minhash_oracle())
+def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source resemblance from per-source MinHash signatures: the
+    signature of a SOURCE is the componentwise min over every shingle
+    hash it contains, so each source collapses to 16 longs in ONE
+    aggregation pass (map-side partial min — no pairwise shingle join
+    anywhere), and the 190 source pairs compare signatures only.
+
+    At 100 TB this is how you estimate the overlap matrix between
+    corpus snapshots/providers without ever joining their shingle sets
+    (the exact twin, source_overlap_matrix, shuffles every distinct
+    shingle); the same signatures also merge incrementally as new
+    shards arrive (min is associative). Estimate quality: ±1/sqrt(16)
+    per pair — a screening number, refined exactly only for the pairs
+    that matter.
+    """
+    num_hashes = 16
+    docs = load(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    ex = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("sh").alias("s"))
+    )
+    h = T.fingerprint(F.col("s"))
+    hs = ex.select("source", h.alias("h"))
+    P = D.MINHASH_PRIME
+    sig = hs.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"s{j}")
+            for j, (a, b) in enumerate(D.minhash_coeffs(num_hashes))
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    n_agree = sum(
+        F.when(F.col(f"a.s{j}") == F.col(f"b.s{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            n_agree.alias("n_agree"),
+            F.round(n_agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents
+    ),
+    firsts AS (SELECT tok, min(doc_id) AS first_doc FROM ex GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    b AS (
+      SELECT least(CAST(floor(first_doc * 10.0 / n_docs) AS BIGINT), 9)
+               AS bucket,
+             count(*) AS new_tokens
+      FROM firsts, n GROUP BY 1
+    )
+    SELECT bucket, new_tokens,
+           sum(new_tokens) OVER (
+             ORDER BY bucket ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM b ORDER BY bucket
+    """,
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: distinct tokens by FIRST
+    occurrence, bucketed into corpus deciles by doc_id order, with the
+    cumulative vocabulary size per decile — the curve that tells a
+    training pipeline whether more data still buys new vocabulary.
+
+    Scale shape: one token explode + min-aggregate keyed on the token
+    (map-side combine collapses repeats before the exchange), then a
+    10-row bucket aggregate and a 10-row window. Nothing pairwise; the
+    doc count rides as a 1-row broadcast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("tok"),
+    )
+    firsts = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    b = (
+        firsts.crossJoin(F.broadcast(n))
+        .select(
+            F.least(
+                F.floor(F.col("first_doc") * 10.0 / F.col("n_docs")).cast(
+                    "long"
+                ),
+                F.lit(9).cast("long"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.withColumn("cum_tokens", F.sum("new_tokens").over(w))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "bigram_pmi_top",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS tok FROM toks
+    ),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT count(*) AS n_tok FROM uni),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+    btot AS (SELECT count(*) AS n_bg FROM bg)
+    SELECT w1, w2, c_ab,
+           round(ln(c_ab::DOUBLE * n_tok * n_tok / (n_bg::DOUBLE * a.c * b.c)), 6)
+             AS pmi
+    FROM bc JOIN uc a ON bc.w1 = a.tok JOIN uc b ON bc.w2 = b.tok
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information over
+    adjacent-token bigrams (min count 5): PMI =
+    ln(p(ab) / (p(a)·p(b))) with unigram probabilities over all token
+    positions and bigram probabilities over all adjacent pairs — the
+    standard corpus-linguistics screen for multiword expressions worth
+    protecting from tokenizer splits.
+
+    Scale shape: one bigram explode keyed on (w1,w2) with map-side
+    combine; the unigram table joins in twice as a BROADCAST (distinct
+    tokens ≪ corpus) and both totals ride as 1-row broadcasts; final
+    top-50 is TakeOrdered. ln() on an all-integer ratio is the only
+    float, rounded to 6dp on both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n_tok"))
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    btot = bg.agg(F.count("*").alias("n_bg"))
+    a = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    b = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1", "w2", "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_tok") * F.col("n_tok")
+                    / (
+                        F.col("n_bg").cast("double")
+                        * F.col("c_a") * F.col("c_b")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.functions import col
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 _STATE_SCHEMA = StructType([
@@ -459,6 +459,72 @@ def cusum_changepoint_stream(
             outputStructType=_CUSUM_OUT_SCHEMA,
             stateStructType=_CUSUM_STATE_SCHEMA,
             outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantiles: the KLL sketch (operators/sketch.py) in stream
+# state — running per-key quantile estimates over an unbounded feed in
+# O(k log n) state, where the exact twin (percentile over the prefix)
+# would have to retain every value.
+# ---------------------------------------------------------------------------
+
+_KLL_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("levels", ArrayType(ArrayType(DoubleType()))),
+])
+
+
+def kll_quantile_stream(
+    events: DataFrame,
+    probs: "list[float]" = (0.5, 0.9, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Per-event_type running quantile estimates via a KLL sketch held
+    in applyInPandasWithState state. Each micro-batch folds its values
+    into the sketch and emits one row per key with the current
+    estimates (update mode) — same ≤O(1/k) rank-error contract as the
+    batch twin, applied to the stream prefix."""
+    from svs_spark.operators.sketch import KLL
+
+    probs = [float(p) for p in probs]
+    out_fields = [StructField("event_type", StringType()),
+                  StructField("n_seen", LongType())] + [
+        StructField(f"q{i}", DoubleType()) for i in range(len(probs))
+    ]
+    out_schema = StructType(out_fields)
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            n, levels = state.get
+            sk = KLL.from_row(k, n, levels)
+        else:
+            sk = KLL(k)
+        for pdf in pdfs:
+            if len(pdf):
+                sk.update_many(pdf["value"].to_numpy())
+        state.update((sk.n, [list(l) for l in sk.levels]))
+        qs = sk.quantiles(probs)
+        row = {"event_type": [event_type], "n_seen": [sk.n]}
+        for i, q in enumerate(qs):
+            row[f"q{i}"] = [q]
+        yield pd.DataFrame(row)
+
+    return (
+        events.select("event_type", col("value").cast("double").alias("value"))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_KLL_STATE_SCHEMA,
+            outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

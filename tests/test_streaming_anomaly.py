@@ -219,3 +219,38 @@ def test_cusum_stream_detects_level_shift(spark, tmp_path):
     assert not [r for r in alarms if r.event_type == "shifted" and r.event_id < 600]
     # the stationary control stays quiet
     assert not [r for r in alarms if r.event_type == "flat"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming KLL quantiles
+# ---------------------------------------------------------------------------
+
+from svs_spark.streaming.anomaly import kll_quantile_stream  # noqa: E402
+
+
+def test_kll_stream_rank_error_on_prefix(spark):
+    """Drain the events stream fully: the final per-key estimates must
+    land within 2.5% rank error of the exact per-key quantiles."""
+    from svs_spark.streaming.sessions import run_to_memory, stream_events
+
+    run_to_memory(
+        kll_quantile_stream(stream_events(spark, SF_DIR), probs=[0.5, 0.95]),
+        "kll_stream", output_mode="update",
+    )
+    # update mode re-emits per batch; keep the last row per key
+    rows = spark.table("kll_stream").collect()
+    assert rows
+    last = {}
+    for r in rows:
+        if r["event_type"] not in last or r["n_seen"] > last[r["event_type"]]["n_seen"]:
+            last[r["event_type"]] = r
+    exact = {}
+    for r in load(spark, SF_DIR, "events").select("event_type", "value").collect():
+        exact.setdefault(r["event_type"], []).append(r["value"])
+    assert set(last) == set(exact)
+    for et, r in last.items():
+        vals = np.sort(np.array(exact[et]))
+        assert r["n_seen"] == len(vals)
+        for i, p in enumerate((0.5, 0.95)):
+            rank = np.searchsorted(vals, r[f"q{i}"], side="right") / len(vals)
+            assert abs(rank - p) <= 0.025, (et, p, r[f"q{i}"])
