@@ -6092,19 +6092,27 @@ def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     num_hashes = 16
     docs = load(spark, sf_dir, "documents")
-    sh = _doc_shingles(spark, sf_dir)
-    ex = (
-        sh.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", F.explode("sh").alias("s"))
+    # per-DOC signatures via the vectorized Arrow kernel (the
+    # interpreted per-shingle Column fold was 6× slower at sf0.1 —
+    # DEVNOTES invariant 5), then componentwise min per source: each
+    # doc's sig_j is already min over its shingles, so min over the
+    # source's docs IS min over the source's shingle union
+    base = docs.select("doc_id", "text").mapInPandas(
+        D._signature_batch_kernel("doc_id", "text", num_hashes, 3),
+        schema="did long, hs array<long>, sig array<long>",
     )
-    h = T.fingerprint(F.col("s"))
-    hs = ex.select("source", h.alias("h"))
-    P = D.MINHASH_PRIME
-    sig = hs.groupBy("source").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"s{j}")
-            for j, (a, b) in enumerate(D.minhash_coeffs(num_hashes))
-        ]
+    sig = (
+        base.select("did", "sig")
+        .join(
+            docs.select(F.col("doc_id").alias("did"), "source"), "did"
+        )
+        .groupBy("source")
+        .agg(
+            *[
+                F.min(F.element_at("sig", j + 1)).alias(f"s{j}")
+                for j in range(num_hashes)
+            ]
+        )
     )
     a = sig.alias("a")
     b = sig.alias("b")
