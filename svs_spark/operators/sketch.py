@@ -39,7 +39,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["KLL", "kll_quantiles", "kll_quantiles_by", "frequent_items"]
+__all__ = [
+    "KLL",
+    "kll_quantiles",
+    "kll_quantiles_by",
+    "frequent_items",
+    "CountMin",
+    "count_min",
+]
 
 _MASK = (1 << 64) - 1
 
@@ -362,3 +369,111 @@ def frequent_items(
         .filter(F.col("est_count") > F.col("n_total") / capacity)
         .select("item", "est_count", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — point-frequency estimates for ANY item.
+# The Misra-Gries summary above answers "which items are frequent"
+# (undercounting, survivors only); count-min answers "how often did
+# THIS item occur" for arbitrary queried items with a one-sided
+# OVERcount bound: true <= est <= true + eps*n with probability
+# 1 - delta at width w = e/eps, depth d = ln(1/delta). The sketch is
+# LINEAR (a counter matrix), so partition partials merge by elementwise
+# addition — the same map-side-partial shape as KLL/MG, with the merge
+# expressible as a plain (row, col)-keyed sum aggregate.
+#
+# Hashing is splitmix64 over the same portable polynomial fingerprint
+# the dedup family uses, evaluated in the NumPy kernel with per-batch
+# memoization — identical integers driver-side at query time, no JVM
+# round trip per lookup.
+# ---------------------------------------------------------------------------
+
+
+def _cm_fingerprint(item: str) -> int:
+    acc = 0
+    for ch in item:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+def _cm_positions(item: str, width: int, depth: int) -> "list[int]":
+    f = _cm_fingerprint(item)
+    return [_splitmix64(f ^ (0xCB9 + row)) % width for row in range(depth)]
+
+
+class CountMin:
+    """Driver-side queryable count-min matrix (depth × width longs)."""
+
+    def __init__(self, width: int, depth: int, table, n: int) -> None:
+        self.width = width
+        self.depth = depth
+        self.table = table  # numpy (depth, width) int64
+        self.n = n
+
+    def estimate(self, item: str) -> int:
+        return int(
+            min(
+                self.table[row, pos]
+                for row, pos in enumerate(
+                    _cm_positions(str(item), self.width, self.depth)
+                )
+            )
+        )
+
+
+def count_min(
+    df: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> CountMin:
+    """Build a count-min sketch over ``item_col`` in one scan.
+
+    Each partition's kernel increments a LOCAL (depth × width) matrix
+    (vectorized over the batch's value_counts, fingerprints memoized),
+    then emits it as (row, col, cnt) triples for the non-zero cells;
+    the merge is one (row, col)-keyed sum — the exchange carries at
+    most n_partitions × depth × width rows of 24 bytes, constant in
+    the data size. The collected matrix is depth × width longs (64 KiB
+    at the defaults) — the broadcastable query structure.
+    """
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        table = np.zeros((depth, width), dtype=np.int64)
+        memo: dict[str, "list[int]"] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for item, c in pdf[item_col].astype(str).value_counts().items():
+                pos = memo.get(item)
+                if pos is None:
+                    pos = memo[item] = _cm_positions(item, width, depth)
+                for row, p in enumerate(pos):
+                    table[row, p] += int(c)
+        rows, cols = table.nonzero()
+        yield pd.DataFrame(
+            {
+                "row": rows.astype("int64"),
+                "col": cols.astype("int64"),
+                "cnt": table[rows, cols],
+            }
+        )
+
+    cells = (
+        df.select(F.col(item_col).cast("string").alias(item_col))
+        .mapInPandas(partial, schema="row long, col long, cnt long")
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    import numpy as np
+
+    table = np.zeros((depth, width), dtype=np.int64)
+    for r in cells:
+        table[r["row"], r["col"]] = r["cnt"]
+    # every row of the matrix sums to n (each item increments each row
+    # exactly once) — recover n without a second pass
+    n = int(table[0].sum()) if depth else 0
+    return CountMin(width, depth, table, n)

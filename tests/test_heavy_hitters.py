@@ -111,3 +111,47 @@ def test_mg_reduce_bound():
     assert len(red) <= 10
     for k, v in red.items():
         assert 0 < v <= counts[k]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_bounds(spark):
+    """CM never undercounts; overcount stays within 3·n/width for the
+    probed items (Markov bound gives n·e/width per row; min over 4
+    independent rows makes 3n/w conservative)."""
+    from svs_spark.operators.sketch import count_min
+
+    pdf = _zipf_items(100_000, seed=21)
+    df = spark.createDataFrame(pdf).repartition(12)
+    cm = count_min(df, "item", width=2048, depth=4)
+    true = pdf["item"].value_counts()
+    assert cm.n == len(pdf)
+    probe = list(true.index[:50]) + [f"absent{i}" for i in range(50)]
+    for item in probe:
+        t = int(true.get(item, 0))
+        est = cm.estimate(item)
+        assert est >= t, (item, est, t)
+        assert est - t <= 3 * cm.n / cm.width, (item, est, t)
+
+
+def test_count_min_merge_linearity(spark):
+    """The distributed build must equal a single-pass local build —
+    the linearity property that makes partition partials mergeable by
+    plain addition."""
+    import numpy as np
+
+    from svs_spark.operators.sketch import (
+        CountMin, _cm_positions, count_min,
+    )
+
+    pdf = _zipf_items(20_000, seed=4)
+    df = spark.createDataFrame(pdf).repartition(8)
+    cm = count_min(df, "item", width=512, depth=4)
+    local = np.zeros((4, 512), dtype=np.int64)
+    for item, c in pdf["item"].value_counts().items():
+        for row, p in enumerate(_cm_positions(str(item), 512, 4)):
+            local[row, p] += int(c)
+    assert (cm.table == local).all()
