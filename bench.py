@@ -108,6 +108,7 @@ HEADLINE = [
     "source_minhash_similarity",
     "vocab_growth_curve",
     "bigram_pmi_top",
+    "kmeans_lloyd_round",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -403,6 +403,7 @@ def centroid_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment — the k-means / IVF assignment step
     as a pure MAP: the (k × d) centroid matrix ships in the task
@@ -418,7 +419,9 @@ def centroid_assign(
     first, ties broken by LOWEST centroid id (centroids are sorted by
     id, and ``np.argmax`` returns the first maximum).
 
-    Returns (id_col, cluster_id, score) — one row per input vector.
+    Returns (id_col, cluster_id, score) — one row per input vector;
+    with ``keep_vec`` the input vector rides along (still map-only), so
+    a centroid-recompute stage can follow without re-joining the corpus.
     """
     import numpy as np
 
@@ -436,14 +439,19 @@ def centroid_assign(
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             scores = np.round(mat @ cmat, round_decimals)  # one GEMM
             best = np.argmax(scores, axis=1)  # first max = lowest cid
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "cluster_id": cids[best],
-                    "score": scores[np.arange(len(ids)), best],
-                }
-            )
+            out = {
+                id_col: ids,
+                "cluster_id": cids[best],
+                "score": scores[np.arange(len(ids)), best],
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
+    schema = f"{id_col} long, cluster_id long, score double"
+    if keep_vec:
+        vec_type = dict(embeddings.dtypes)[vec_col]
+        schema += f", {vec_col} {vec_type}"
     return embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, cluster_id long, score double"
+        assign, schema=schema
     )

@@ -6279,3 +6279,74 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "kmeans_lloyd_round",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding::DOUBLE[] AS seed_emb
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, s.seed_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                               s.seed_emb), 6) DESC,
+                        s.seed_id ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assigned AS (SELECT vec_id, embedding, seed_id FROM scored WHERE rn = 1)
+    SELECT seed_id AS cluster_id, CAST(r.dim AS INTEGER) AS dim,
+           count(*) AS n_assigned,
+           CAST(CAST(sum(CAST(floor(a.embedding[r.dim + 1]::DOUBLE
+                                    * 1000000000 + 0.5) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / count(*) / 1000000000
+             AS centroid_v
+    FROM assigned a CROSS JOIN (SELECT unnest(range(64)) AS dim) r
+    GROUP BY 1, 2
+    """,
+)
+def q_kmeans_lloyd_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL Lloyd iteration, distributed end-to-end: assign every
+    vector to its nearest of 8 deterministic seeds (map-only GEMM —
+    operators/similarity.centroid_assign with the vector carried
+    through the kernel), then recompute the per-cluster mean per
+    dimension. Output: (cluster_id, dim, n_assigned, centroid_v) — the
+    updated centroid table the next round would broadcast.
+
+    This is the iteration operators/index_build.py's IVF trainer runs
+    on a sample; registering one full-corpus round driver-checks both
+    halves of the loop (argmax semantics AND the mean recompute) with a
+    non-iterative oracle. Plan: ZERO joins — assignment is a map, and
+    the only exchange carries (cluster, dim) keys (integer-nano sums,
+    order-independent under partial aggregation — see lang_centroids).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = sim.centroid_assign(emb, seeds, keep_vec=True)
+    exploded = assigned.select(
+        "cluster_id",
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).withColumnsRenamed({"pos": "dim", "col": "v"})
+    v_nanos = F.floor(F.col("v") * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        exploded.withColumn("v_nanos", v_nanos)
+        .groupBy("cluster_id", F.col("dim").cast("int").alias("dim"))
+        .agg(F.count("*").alias("n_assigned"), F.sum("v_nanos").alias("s"))
+        .select(
+            "cluster_id", "dim", "n_assigned",
+            (
+                F.col("s").cast("double")
+                / F.col("n_assigned")
+                / F.lit(1_000_000_000)
+            ).alias("centroid_v"),
+        )
+    )

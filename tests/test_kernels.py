@@ -319,3 +319,21 @@ class TestCentroidAssign:
         )
         [tr] = centroid_assign(tie_df, cents).collect()
         assert tr["cluster_id"] == 2
+
+    def test_keep_vec_rides_through(self, spark):
+        import numpy as np
+
+        from svs_spark.operators.similarity import centroid_assign
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(10, 4))
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [(0, vecs[0].tolist()), (1, vecs[1].tolist())]
+        out = centroid_assign(df, cents, keep_vec=True).collect()
+        assert len(out) == 10
+        by_id = {r["vec_id"]: r for r in out}
+        for i in range(10):
+            assert by_id[i]["embedding"] == pytest.approx(vecs[i].tolist())

@@ -263,3 +263,13 @@ def test_decontaminate_bloom_filters_train_before_join(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "getbit" in plan, plan[:2000]
     assert "xxhash64" in plan, plan[:2000]
+
+
+def test_kmeans_lloyd_round_no_joins_single_shuffle(spark, registry):
+    """The full Lloyd iteration must stay join-free: assignment is a
+    map (vector carried through the kernel), recompute exchanges only
+    (cluster, dim) keys."""
+    df = registry["kmeans_lloyd_round"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert X.count_shuffles(df) <= 1, X.plan_string(df)[:2000]
