@@ -234,6 +234,58 @@ def main() -> None:
         .count(),
     )
 
+    # -- sketch / pruning family (round-3 session 5) ------------------
+    from svs_spark.operators.bloom import bloom_bitmap, bloom_prune
+    from svs_spark.operators.sketch import (
+        count_min,
+        frequent_items,
+        kll_quantiles,
+    )
+
+    run(
+        "kll_doc_length_quantiles",
+        lambda: kll_quantiles(
+            docs.select(F.length("text").alias("v")), "v",
+            [0.5, 0.9, 0.99], k=200,
+        ).count(),
+    )
+    tokens = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("item")
+    )
+    run(
+        "mg_frequent_tokens",
+        lambda: frequent_items(tokens, "item", capacity=64).count(),
+    )
+    run(
+        "count_min_tokens",
+        lambda: count_min(tokens, "item", width=4096, depth=4).n,
+    )
+
+    def bloom_decontaminate():
+        # tiny test split (0.1%) prunes the ~25M-shingle train side;
+        # 5-gram hashes come from the vectorized polynomial-
+        # decomposition kernel (the interpreted Column lambda was 10×
+        # slower here — DEVNOTES invariant 5)
+        base = docs.select("doc_id", "text").mapInPandas(
+            D._signature_batch_kernel("doc_id", "text", 1, 5),
+            schema="did long, hs array<long>, sig array<long>",
+        )
+        sh = base.select(
+            F.col("did").alias("doc_id"),
+            (F.col("did") % 1000 >= 999).alias("is_test"),
+            F.explode("hs").alias("h"),
+        ).persist()
+        test_idx = sh.filter(F.col("is_test")).select("h").distinct()
+        bitmap = bloom_bitmap(test_idx, "h", num_bits=1 << 23, num_hashes=4)
+        kept = bloom_prune(
+            sh.filter(~F.col("is_test")), "h", bitmap, 4
+        ).join(test_idx, "h", "left_semi")
+        out = kept.select("doc_id").distinct().count()
+        sh.unpersist()
+        return out
+
+    run("bloom_decontaminate", bloom_decontaminate)
+
     print(
         json.dumps(
             {
