@@ -109,6 +109,7 @@ HEADLINE = [
     "vocab_growth_curve",
     "bigram_pmi_top",
     "kmeans_lloyd_round",
+    "retrieve_topk_filtered",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

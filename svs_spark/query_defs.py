@@ -6231,10 +6231,12 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     protecting from tokenizer splits.
 
     Scale shape: one bigram explode keyed on (w1,w2) with map-side
-    combine; the unigram table joins in twice as a BROADCAST (distinct
-    tokens ≪ corpus) and both totals ride as 1-row broadcasts; final
-    top-50 is TakeOrdered. ln() on an all-integer ratio is the only
-    float, rounded to 6dp on both engines.
+    combine; the unigram table joins in twice with NO forced broadcast
+    — the vocabulary is corpus-dependent (10⁷+ rows at 100 TB), so AQE
+    picks broadcast vs shuffle from the measured size at runtime; only
+    the two 1-row totals carry broadcast hints. Final top-50 is
+    TakeOrdered. ln() on an all-integer ratio is the only float,
+    rounded to 6dp on both engines.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
@@ -6258,8 +6260,8 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
     return (
         bc.filter(F.col("c_ab") >= 5)
-        .join(F.broadcast(a), "w1")
-        .join(F.broadcast(b), "w2")
+        .join(a, "w1")
+        .join(b, "w2")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(btot))
         .select(
@@ -6349,4 +6351,40 @@ def q_kmeans_lloyd_round(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1_000_000_000)
             ).alias("centroid_v"),
         )
+    )
+
+
+@register(
+    "retrieve_topk_filtered",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6) AS score
+    FROM embeddings
+    WHERE label IN (2, 5)
+    ORDER BY round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6) DESC,
+             vec_id DESC
+    LIMIT 50
+    """,
+)
+def q_retrieve_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k restricted to a metadata
+    predicate (the vector-DB staple: "nearest neighbors WHERE
+    label IN ..."). The filter is a plain Column predicate, so Catalyst
+    pushes it INTO the parquet scan (PushedFilters: In(label, ...)) and
+    top-k remains TakeOrderedAndProject — at 100 TB with the corpus
+    partitioned/z-ordered on the filter column (operators/layout.py)
+    this prunes whole files before a single dot product runs. The
+    pre-filter formulation (score only survivors) beats post-filtering
+    a larger unfiltered top-k, which can return < k rows. Plan-gated in
+    tests/test_plans.py.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("label").isin(2, 5))
+        .select(
+            "vec_id", "label",
+            F.round(V.dot_literal("embedding", QVEC), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(50)
     )

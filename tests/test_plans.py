@@ -273,3 +273,13 @@ def test_kmeans_lloyd_round_no_joins_single_shuffle(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
     assert X.count_shuffles(df) <= 1, X.plan_string(df)[:2000]
+
+
+def test_filtered_retrieve_pushes_filter_and_take_ordered(spark, registry):
+    """Filtered vector search must score only scan-surviving rows:
+    label predicate in PushedFilters, top-k via TakeOrderedAndProject,
+    zero exchanges."""
+    df = registry["retrieve_topk_filtered"](spark, SF_DIR)
+    assert X.has_pushed_filter(df, "label")
+    assert X.uses_take_ordered(df)
+    assert X.count_shuffles(df) == 0, X.plan_string(df)[:2000]
