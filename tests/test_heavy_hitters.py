@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -155,3 +156,101 @@ def test_count_min_merge_linearity(spark):
         for row, p in enumerate(_cm_positions(str(item), 512, 4)):
             local[row, p] += int(c)
     assert (cm.table == local).all()
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed (trending) heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _run_decayed(spark, tmp_path, frames, half_life=10.0, capacity=64,
+                 one_per_trigger=False):
+    from svs_spark.streaming.heavy_hitters import decayed_heavy_hitters_stream
+    from svs_spark.streaming.sessions import run_to_memory
+
+    src = tmp_path / "decay"
+    src.mkdir(exist_ok=True)
+    for i, f in enumerate(frames):
+        f.to_parquet(src / f"part-{i}.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    reader = spark.readStream.schema(schema)
+    if one_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(str(src))
+    name = f"decay_out_{len(frames)}_{one_per_trigger}"
+    run_to_memory(
+        decayed_heavy_hitters_stream(
+            stream, "grp", "item", "ts", half_life, capacity
+        ),
+        name, output_mode="update",
+    )
+    rows = spark.table(name).collect()
+    best = {}
+    for r in rows:
+        if r["item"] not in best or r["w_total"] > best[r["item"]][1]:
+            best[r["item"]] = (r["weight"], r["w_total"])
+    return best
+
+
+def test_decayed_single_batch_matches_numpy(spark, tmp_path):
+    rng = np.random.default_rng(8)
+    n = 5000
+    pdf = pd.DataFrame({
+        "grp": "g",
+        "item": rng.choice([f"t{i}" for i in range(20)], size=n),
+        "ts": rng.uniform(0, 50, size=n),
+    })
+    got = _run_decayed(spark, tmp_path, [pdf], half_life=10.0, capacity=64)
+    T = pdf["ts"].max()
+    w = 2.0 ** (-(T - pdf["ts"]) / 10.0)
+    want = pd.Series(w.values, index=pdf["item"]).groupby(level=0).sum()
+    # capacity 64 > 20 distinct items: NO reduction — weights exact
+    assert set(got) == set(want.index)
+    for item, (weight, _) in got.items():
+        assert weight == pytest.approx(want[item], rel=1e-9)
+
+
+def test_decay_flips_raw_count_ranking(spark, tmp_path):
+    """1000 early 'old' occurrences vs 400 recent 'hot' ones: raw counts
+    say old wins, the decayed monitor must rank hot first."""
+    early = pd.DataFrame({"grp": "g", "item": "old", "ts": [0.0] * 1000})
+    late = pd.DataFrame({"grp": "g", "item": "hot", "ts": [100.0] * 400})
+    got = _run_decayed(
+        spark, tmp_path, [pd.concat([early, late], ignore_index=True)],
+        half_life=10.0,
+    )
+    # 'hot' dominates at its closed-form decayed weight; 'old' has
+    # decayed to 1000·2^-10 ≈ 0.98 — BELOW the w_total/capacity
+    # emission threshold, so the monitor drops it entirely (the raw
+    # count ranking would have put it first at 1000 vs 400)
+    assert got["hot"][0] == pytest.approx(400.0)
+    assert "old" not in got or got["old"][0] < got["hot"][0]
+
+
+def test_decayed_two_trigger_state_path(spark, tmp_path):
+    """Split the stream at t=50 and drain one file per trigger: the
+    carried state (decayed by the reference advance) must equal the
+    single-pass closed form."""
+    rng = np.random.default_rng(5)
+    f1 = pd.DataFrame({
+        "grp": "g",
+        "item": rng.choice(["a", "b", "c"], size=3000),
+        "ts": rng.uniform(0, 50, size=3000),
+    })
+    f2 = pd.DataFrame({
+        "grp": "g",
+        "item": rng.choice(["b", "c", "d"], size=3000),
+        "ts": rng.uniform(50, 100, size=3000),
+    })
+    got = _run_decayed(
+        spark, tmp_path, [f1, f2], half_life=10.0, one_per_trigger=True
+    )
+    allpdf = pd.concat([f1, f2], ignore_index=True)
+    T = allpdf["ts"].max()
+    w = 2.0 ** (-(T - allpdf["ts"]) / 10.0)
+    want = pd.Series(w.values, index=allpdf["item"]).groupby(level=0).sum()
+    for item in want.index:
+        thr = want.sum() / 64
+        if want[item] > thr * 1.05:
+            assert item in got, item
+            assert got[item][0] == pytest.approx(want[item], rel=1e-9)
