@@ -110,6 +110,8 @@ HEADLINE = [
     "bigram_pmi_top",
     "kmeans_lloyd_round",
     "retrieve_topk_filtered",
+    "hybrid_search_rrf",
+    "ann_ivf_filtered",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

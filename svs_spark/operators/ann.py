@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from svs_spark.functions.vector import dot, dot_literal
@@ -177,9 +177,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     centroids: dict[int, list[float]] | None = None,
+    meta_filter: Column | None = None,
 ) -> DataFrame:
     """IVF-style ANN: rank coarse clusters by centroid·query, search only
     the top-`probes` clusters, exact rerank inside.
+
+    ``meta_filter`` restricts candidates by a metadata predicate
+    (filtered vector search — recency windows, source allowlists): it
+    conjoins with the cluster-IN-probes predicate BEFORE scoring, so
+    both reach the scan together (PushedFilters) and prune files when
+    the layout partitions on either column. Centroids still rank over
+    the full index — the filter narrows candidates, not the coarse
+    geometry.
 
     When ``centroids`` is supplied (from ``ivf_centroids`` or the
     ``index_build`` metadata), cluster ranking happens driver-side over
@@ -195,6 +204,8 @@ def ivf_topk(
         centroids = ivf_centroids(embeddings, vec_col, cluster_col)
     probe_clusters = rank_clusters(centroids, qvec, probes)
     cands = embeddings.filter(F.col(cluster_col).isin(probe_clusters))
+    if meta_filter is not None:
+        cands = cands.filter(meta_filter)
     return (
         cands.select(
             id_col,

@@ -6388,3 +6388,146 @@ def q_retrieve_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(50)
     )
+
+
+_HYBRID_TERMS = ("join", "hash", "filter")
+
+
+def _hybrid_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _HYBRID_TERMS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    nd AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM t
+      WHERE term IN ({terms}) GROUP BY term
+    ),
+    kw AS (
+      SELECT t.doc_id,
+             round(sum(ln(nd.nd / dfreq.df)), 6) AS kw_score
+      FROM t JOIN dfreq ON t.term = dfreq.term CROSS JOIN nd
+      GROUP BY t.doc_id
+    ),
+    kwrank AS (
+      SELECT doc_id, row_number() OVER (
+        ORDER BY kw_score DESC, doc_id DESC) AS r
+      FROM kw ORDER BY kw_score DESC, doc_id DESC LIMIT 100
+    ),
+    vrank AS (
+      SELECT vec_id AS doc_id, row_number() OVER (
+        ORDER BY round(list_dot_product(embedding::DOUBLE[], {{qvec}}), 6)
+          DESC, vec_id DESC) AS r
+      FROM embeddings
+      ORDER BY round(list_dot_product(embedding::DOUBLE[], {{qvec}}), 6)
+        DESC, vec_id DESC LIMIT 100
+    ),
+    fused AS (
+      SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + k.r), 0)
+                   + COALESCE(1.0 / (60 + v.r), 0), 6) AS rrf
+      FROM kwrank k FULL OUTER JOIN vrank v ON k.doc_id = v.doc_id
+    )
+    SELECT doc_id, rrf FROM fused
+    ORDER BY rrf DESC, doc_id DESC LIMIT 20
+    """.replace("{qvec}", QVEC_SQL)
+
+
+@register("hybrid_search_rrf", oracle=_hybrid_oracle())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: keyword relevance (per-term IDF sum over the
+    query terms a doc contains) fused with vector cosine top-k by
+    reciprocal-rank fusion, rrf = Σ 1/(60 + rank) over the lists the
+    doc appears in — the standard RAG-serving pattern where lexical
+    and semantic evidence vote together (k=60 per Cormack et al.).
+
+    Scale shape: the two branches are independent top-100s — the
+    keyword side explodes only rows containing a query term (IN-list
+    predicate, scan-stage), the vector side is the retrieve_topk
+    TakeOrdered scan — and fusion joins two 100-row sets (broadcast,
+    driver-scale). Every rank is deterministic (score desc, id desc),
+    so the fused order is hash-exact cross-engine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(*_HYBRID_TERMS))
+    nd = docs.agg(F.count("*").cast("double").alias("nd"))
+    dfreq = (
+        t.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+    )
+    kw = (
+        t.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.log(F.col("nd") / F.col("df"))), 6).alias("kw_score"))
+        .orderBy(F.desc("kw_score"), F.desc("doc_id"))
+        .limit(100)
+    )
+    w_kw = Window.orderBy(F.desc("kw_score"), F.desc("doc_id"))
+    kwrank = kw.withColumn("r_kw", F.row_number().over(w_kw)).select(
+        "doc_id", "r_kw"
+    )
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(V.dot_literal("embedding", QVEC), 6).alias("v_score"),
+    ).orderBy(F.desc("v_score"), F.desc("doc_id")).limit(100)
+    w_v = Window.orderBy(F.desc("v_score"), F.desc("doc_id"))
+    vrank = scored.withColumn("r_v", F.row_number().over(w_v)).select(
+        "doc_id", "r_v"
+    )
+    fused = kwrank.join(vrank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.col("r_kw") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("r_v") + 60), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.desc("doc_id")).limit(20)
+
+
+@register(
+    "ann_ivf_filtered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT label, p.pos, v[p.pos] AS x
+          FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
+    cent AS (SELECT label, pos, avg(x) AS c FROM u GROUP BY label, pos),
+    cs AS (SELECT label, sum(c * q.qv[pos]) AS cscore
+           FROM cent CROSS JOIN (SELECT {QVEC_SQL} AS qv) q
+           GROUP BY label),
+    top AS (SELECT label FROM cs
+            ORDER BY round(cscore, 6) DESC, label DESC LIMIT 2),
+    bound AS (SELECT max(vec_id) // 2 AS b FROM embeddings)
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(v, {QVEC_SQL}), 6) AS score
+    FROM e JOIN top USING (label) CROSS JOIN bound
+    WHERE e.vec_id >= bound.b
+    ORDER BY score DESC, vec_id DESC
+    LIMIT 10
+    """,
+)
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF ANN: the probe-cluster scan further restricted by a
+    metadata predicate (here a recency window — only the newer half of
+    the corpus by ingestion id). Cluster ranking still uses the FULL
+    index's centroids (the filter narrows candidates, not the coarse
+    geometry), and both predicates — cluster IN probes AND the id bound
+    — reach the same scan, so a cluster-partitioned, id-sorted layout
+    prunes files on both axes. The bound collects as one scalar (like
+    the centroid metadata), keeping the per-query plan one corpus
+    touch."""
+    emb = load(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[sf_dir] = A.ivf_centroids(emb)
+    bound = emb.agg((F.max("vec_id") / 2).cast("long").alias("b")).first()["b"]
+    return A.ivf_topk(
+        emb, QVEC, k=10, probes=2,
+        centroids=_IVF_CENTROID_CACHE[sf_dir],
+        meta_filter=F.col("vec_id") >= F.lit(int(bound)),
+    )

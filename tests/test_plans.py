@@ -283,3 +283,13 @@ def test_filtered_retrieve_pushes_filter_and_take_ordered(spark, registry):
     assert X.has_pushed_filter(df, "label")
     assert X.uses_take_ordered(df)
     assert X.count_shuffles(df) == 0, X.plan_string(df)[:2000]
+
+
+def test_filtered_ivf_both_predicates_reach_scan(spark, registry):
+    """Filtered IVF: cluster-IN-probes AND the metadata bound must both
+    be pushed filters on the single corpus scan."""
+    df = registry["ann_ivf_filtered"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert X.has_pushed_filter(df, "label")
+    assert X.has_pushed_filter(df, "vec_id")
