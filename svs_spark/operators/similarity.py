@@ -455,3 +455,62 @@ def centroid_assign(
     return embeddings.select(id_col, vec_col).mapInPandas(
         assign, schema=schema
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank: greedily pick ``k`` results
+    that balance query relevance against redundancy with what's already
+    picked — mmr(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s),
+    ties to the higher id (the engine-wide tie rule). The standard
+    diversity pass a RAG serving stack runs after dense retrieval.
+
+    Scale split: candidate generation is the distributed part — a
+    TakeOrdered top-``pool`` scan exactly like retrieve_topk; the
+    greedy selection is inherently sequential over ``pool`` rows
+    (driver-scale by construction, like the k-winners joins), so it
+    runs as a NumPy loop on the collected pool. All scores round to
+    6dp so the selection is deterministic cross-engine.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cands = (
+        embeddings.select(
+            id_col,
+            vec_col,
+            F.round(dot_literal(vec_col, qvec), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.desc(id_col))
+        .limit(pool)
+        .collect()
+    )
+    ids = np.asarray([r[id_col] for r in cands], dtype=np.int64)
+    mat = np.asarray([list(r[vec_col]) for r in cands], dtype=np.float64)
+    rel = np.asarray([r["rel"] for r in cands], dtype=np.float64)
+    sims = np.round(mat @ mat.T, 6)
+    selected: "list[int]" = []
+    out = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            maxsim = sims[:, selected].max(axis=1)
+        else:
+            maxsim = np.zeros(len(ids))
+        mmr = np.round(lam * rel - (1.0 - lam) * maxsim, 6)
+        # argmax over remaining, ties to HIGHER id
+        order = np.lexsort((-ids, -mmr))
+        pick = next(i for i in order if remaining[i])
+        remaining[pick] = False
+        selected.append(pick)
+        out.append((rank, int(ids[pick]), float(mmr[pick]), float(rel[pick])))
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, mmr double, rel double"
+    )

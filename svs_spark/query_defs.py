@@ -6531,3 +6531,58 @@ def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=_IVF_CENTROID_CACHE[sf_dir],
         meta_filter=F.col("vec_id") >= F.lit(int(bound)),
     )
+
+
+def _mmr_oracle(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    om = 1.0 - lam
+    ctes = [
+        f"""cand AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6) AS rel
+      FROM embeddings
+      ORDER BY round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6)
+        DESC, vec_id DESC
+      LIMIT {pool}
+    )""",
+        f"""p1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, v, round({lam} * rel, 6) AS mmr, rel
+      FROM cand ORDER BY round({lam} * rel, 6) DESC, vec_id DESC LIMIT 1
+    )""",
+        "s1 AS MATERIALIZED (SELECT vec_id, v FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT {i} AS rank, c.vec_id, c.v,
+             round({lam} * c.rel - {om} * (
+               SELECT max(round(list_dot_product(c.v, s.v), 6))
+               FROM s{i-1} s), 6) AS mmr,
+             c.rel
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i-1})
+      ORDER BY mmr DESC, c.vec_id DESC LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT vec_id, v FROM s{i-1} "
+            f"UNION ALL SELECT vec_id, v FROM p{i})"
+        )
+    picks = "\n    UNION ALL ".join(
+        f"SELECT rank, vec_id, mmr, rel FROM p{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    {picks}\n    ORDER BY rank"
+    )
+
+
+@register("retrieve_mmr", oracle=_mmr_oracle())
+def q_retrieve_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR rerank of the dense top-50 down
+    to 10 results (λ=0.7) — see operators/similarity.mmr_rerank for
+    the distributed-candidates / driver-scale-greedy split. The oracle
+    unrolls the k greedy steps as chained CTEs with correlated
+    max-similarity subqueries (same mechanical-unroll technique as the
+    LPA oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(emb, QVEC, k=10, pool=50, lam=0.7)

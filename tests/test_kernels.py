@@ -337,3 +337,55 @@ class TestCentroidAssign:
         by_id = {r["vec_id"]: r for r in out}
         for i in range(10):
             assert by_id[i]["embedding"] == pytest.approx(vecs[i].tolist())
+
+
+def test_mmr_rerank_diversifies_and_matches_greedy(spark):
+    """MMR must equal the NumPy greedy recompute exactly, and its
+    average pairwise similarity must not exceed plain top-k's (the
+    point of the diversity pass)."""
+    import numpy as np
+
+    from svs_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.default_rng(13)
+    # three tight clusters: plain top-k picks one cluster, MMR spreads
+    centers = rng.normal(size=(3, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.vstack([
+        c + rng.normal(scale=0.05, size=(20, 16)) for c in centers
+    ])
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = (centers[0] + 0.6 * centers[1] + 0.5 * centers[2])
+    q /= np.linalg.norm(q)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    lam, k, pool = 0.5, 6, 30
+    got = mmr_rerank(df, q.tolist(), k=k, pool=pool, lam=lam).collect()
+    assert [r["rank"] for r in got] == list(range(1, k + 1))
+
+    # NumPy greedy recompute over the same pool
+    rel_all = np.round(vecs @ q, 6)
+    order = np.lexsort((-np.arange(len(vecs)), -rel_all))[:pool]
+    ids, mat, rel = order, vecs[order], rel_all[order]
+    sims = np.round(mat @ mat.T, 6)
+    sel, rem = [], np.ones(pool, dtype=bool)
+    for _ in range(k):
+        maxsim = sims[:, sel].max(axis=1) if sel else np.zeros(pool)
+        mmr = np.round(lam * rel - (1 - lam) * maxsim, 6)
+        cand = np.lexsort((-ids, -mmr))
+        pick = next(i for i in cand if rem[i])
+        rem[pick] = False
+        sel.append(pick)
+    assert [r["vec_id"] for r in got] == [int(ids[i]) for i in sel]
+
+    # diversity: avg pairwise sim of the MMR set <= plain top-k's
+    def avg_pairwise(id_list):
+        m = vecs[id_list]
+        g = m @ m.T
+        iu = np.triu_indices(len(id_list), 1)
+        return g[iu].mean()
+
+    plain = [int(i) for i in np.lexsort((-np.arange(len(vecs)), -rel_all))[:k]]
+    assert avg_pairwise([r["vec_id"] for r in got]) <= avg_pairwise(plain) + 1e-9
