@@ -75,6 +75,28 @@ def main(sf_dir: str) -> None:
     print("top-5 (ivf-pq + rerank):",
           [(r["vec_id"], round(r["score"], 4)) for r in rows])
 
+    # -- the serving trio on top of dense retrieval ----------------------
+    # filtered: metadata predicate pushed into the same scan as the
+    # cluster probe (plan keeps one corpus touch)
+    from pyspark.sql import functions as F
+
+    from svs_spark.operators.ann import ivf_centroids, ivf_topk
+    from svs_spark.operators.similarity import mmr_rerank
+
+    cents = ivf_centroids(emb)
+    bound = int(n // 2)
+    rows = ivf_topk(
+        emb, qvec, k=5, probes=4, centroids=cents,
+        meta_filter=F.col("vec_id") >= bound,
+    ).collect()
+    print(f"top-5 (ivf, vec_id >= {bound}):",
+          [(r["vec_id"], round(r["score"], 4)) for r in rows])
+
+    # diverse: MMR rerank of the dense top-30 down to 5
+    rows = mmr_rerank(emb, qvec, k=5, pool=30, lam=0.7).collect()
+    print("top-5 (mmr diverse):",
+          [(r["vec_id"], round(r["mmr"], 4)) for r in rows])
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
