@@ -113,6 +113,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "ann_ivf_filtered",
     "retrieve_mmr",
+    "priority_sample_topn",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

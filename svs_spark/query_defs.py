@@ -3485,8 +3485,13 @@ def _kb_tmp(name: str, sf_dir: str) -> str:
     import os
     import tempfile
 
+    # pid in the name: two gate processes running the same KB query
+    # concurrently (drive_entry next to pytest) must not share a
+    # warehouse — the bucket-staging rename races otherwise
     h = hashlib.md5(f"{name}:{sf_dir}".encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"svs_kbq_{name}_{h}")
+    return os.path.join(
+        tempfile.gettempdir(), f"svs_kbq_{name}_{h}_{os.getpid()}"
+    )
 
 
 @register(
@@ -6147,9 +6152,9 @@ def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM firsts, n GROUP BY 1
     )
     SELECT bucket, new_tokens,
-           sum(new_tokens) OVER (
+           CAST(sum(new_tokens) OVER (
              ORDER BY bucket ROWS UNBOUNDED PRECEDING
-           ) AS cum_tokens
+           ) AS BIGINT) AS cum_tokens
     FROM b ORDER BY bucket
     """,
 )
@@ -6586,3 +6591,47 @@ def q_retrieve_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     LPA oracle)."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.mmr_rerank(emb, QVEC, k=10, pool=50, lam=0.7)
+
+
+@register(
+    "priority_sample_topn",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round(ln((((doc_id * 2654435761) % 4294967296) + 1)
+                    / 4294967296.0) / n_chars, 6) AS key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY round(ln((((doc_id * 2654435761) % 4294967296) + 1)
+                      / 4294967296.0) / n_chars, 6) DESC, doc_id DESC
+    LIMIT 100
+    """,
+)
+def q_priority_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact sample size n=100
+    (Efraimidis-Spirakis priority sampling): each record draws a
+    deterministic pseudo-uniform u from the Knuth hash of its id and
+    ranks by u^(1/w) — equivalently ln(u)/w, monotone and cheaper —
+    so the top-n by key IS a weighted sample without replacement with
+    inclusion probability increasing in w (here w = n_chars: longer
+    docs more likely). Complements weighted_sample (Bernoulli,
+    random size): this one hits the budget exactly — the form a
+    fixed-size corpus mix needs.
+
+    Scale shape: the key is scan-stage arithmetic (hash + ln, no
+    state), and top-n is TakeOrderedAndProject — one pass, bounded
+    heaps, no shuffle; at 100 TB this replaces the classic two-pass
+    threshold-estimation sampler. Deterministic: the 6dp-rounded key
+    with id-desc tiebreak gives an identical sample on any engine or
+    partitioning.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("key"))
+        .orderBy(F.desc("key"), F.desc("doc_id"))
+        .limit(100)
+    )

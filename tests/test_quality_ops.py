@@ -200,3 +200,22 @@ def test_autocorrelation_matches_numpy(spark, registry):
         assert abs(row["acf"] - r) < 1e-6
     # white-noise-ish fixture: ACF must stay small at every lag
     assert out["acf"].abs().max() < 0.5
+
+
+def test_priority_sample_weights_toward_longer_docs(spark, registry=None):
+    """ES priority sampling must over-represent high-weight (longer)
+    docs: the sampled mean n_chars exceeds the corpus mean, and the
+    sample is exactly n and duplicate-free."""
+    from svs_spark.queries import queries, load
+    from tests.conftest import SF_DIR
+
+    reg = queries()
+    rows = reg["priority_sample_topn"](spark, SF_DIR).collect()
+    assert len(rows) == 100
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == 100
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus = load(spark, SF_DIR, "documents").agg(
+        {"n_chars": "avg"}
+    ).first()[0]
+    assert sample_mean > corpus, (sample_mean, corpus)
