@@ -6635,3 +6635,53 @@ def q_priority_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key"), F.desc("doc_id"))
         .limit(100)
     )
+
+
+@register(
+    "priority_sample_per_lang",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln((((doc_id * 2654435761) % 4294967296) + 1)
+                      / 4294967296.0) / n_chars, 6) AS key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, key,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY key DESC, doc_id DESC
+             ) AS BIGINT) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, key FROM ranked WHERE rn <= 10
+    ORDER BY lang, key DESC, doc_id DESC
+    """,
+)
+def q_priority_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-n weighted sampling: the Efraimidis-Spirakis
+    priority key of priority_sample_topn, quota'd to 10 docs PER
+    LANGUAGE via a per-group ranked window — the fixed-per-stratum
+    corpus mix (equal representation, length-weighted within each
+    stratum) a balanced eval set needs.
+
+    Scale shape: key computation stays in the scan stage; the only
+    exchange hash-partitions on lang for the window (at 100 TB with
+    few strata, pre-aggregate top-n per partition per lang first —
+    operators/sharding.py's two-level pattern — to cap the window
+    input; at this stratum count the direct window is the right
+    plan)."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", "lang", "n_chars", key.alias("key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("key"), F.desc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang", "n_chars", "key")
+        .orderBy("lang", F.desc("key"), F.desc("doc_id"))
+    )
