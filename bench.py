@@ -114,6 +114,7 @@ HEADLINE = [
     "ann_ivf_filtered",
     "retrieve_mmr",
     "priority_sample_topn",
+    "corpus_snapshot_diff",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -6685,3 +6685,87 @@ def q_priority_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "key")
         .orderBy("lang", F.desc("key"), F.desc("doc_id"))
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    b AS (
+      -- deterministic "next snapshot": drop doc_id%97=0, rewrite
+      -- doc_id%89=0, add shifted ids above the old range
+      SELECT doc_id,
+             CASE WHEN doc_id % 89 = 0 THEN md5(text || ' v2')
+                  ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 83 = 0
+    )
+    SELECT
+      CASE WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN a.h <> b.h THEN 'changed'
+           ELSE 'unchanged' END AS change,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      min(COALESCE(a.doc_id, b.doc_id)) AS min_id,
+      max(COALESCE(a.doc_id, b.doc_id)) AS max_id
+    FROM a FULL OUTER JOIN b USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions: classify every doc as
+    added / removed / changed / unchanged by full-outer-joining the two
+    snapshots on id and comparing CONTENT HASHES (md5 here for oracle
+    portability; xxhash64 at scale) — the primitive an incremental
+    training pipeline runs before re-embedding or re-deduplicating so
+    only the delta pays compute. The second snapshot is synthesized
+    deterministically (drops, rewrites, additions) so both engines
+    diff identical inputs.
+
+    Scale shape: hashes compute in each snapshot's scan stage, the
+    full outer join co-partitions on doc_id (one exchange per side —
+    zero if both snapshots are bucketed on id, sources/bucketing), and
+    only 8-byte ids + 16-byte hashes shuffle, never text. Output is
+    the 4-row summary; the per-doc change feed is the same plan minus
+    the final aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    b = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 89 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2")))
+            ).otherwise(F.md5(F.col("text"))).alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 83 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                F.md5(F.col("text")).alias("h"),
+            )
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    the_id = F.coalesce(F.col("a.doc_id"), F.col("b.doc_id"))
+    return (
+        j.select(change.alias("change"), the_id.alias("id"))
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("change")
+    )
