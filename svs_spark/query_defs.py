@@ -6769,3 +6769,81 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+@register(
+    "char_entropy_quality",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE len(text) > 0
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cc GROUP BY 1),
+    ent AS (
+      -- integer fixed-point: per-(doc,char) nano-scaled ln terms sum
+      -- as BIGINTs (order-independent), one float division at the end
+      SELECT cc.doc_id,
+             round(-(CAST(sum(k * CAST(floor(ln(k / CAST(n.n AS DOUBLE))
+                                            * 1000000000 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1000000000) / n.n, 6) AS h
+      FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id, n.n
+    )
+    SELECT CAST(floor(h * 4) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(h), 6) AS min_h, round(max(h), 6) AS max_h
+    FROM ent GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per doc, bucketed into a corpus
+    histogram — the cheap gibberish/boilerplate screen that catches
+    what token-level filters miss (base64 blobs and repeated-char
+    padding sit at the entropy extremes while passing length and
+    stopword checks). H = -Σ p_c·ln p_c over the doc's character
+    frequencies; quarter-nat buckets.
+
+    Scale shape: the char explode is JVM codegen (split+explode, no
+    Python); the (doc, char) aggregate combines map-side (alphabet ≪
+    doc length, so partial maps stay tiny); per-doc entropy and the
+    final histogram reuse the doc_id partitioning. At 100 TB swap the
+    explode for an Arrow kernel computing per-doc counts in one pass —
+    this Column form is the oracle-parity spec (invariant 5).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    # integer fixed-point ln terms: the per-(doc,char) nano-scaled
+    # log is deterministic per row, and the BIGINT sum is
+    # order-independent under partial aggregation (invariant 1 — a
+    # float -sum(p*ln p) drifts in the last ulp between engines)
+    t = F.floor(
+        F.log(F.col("k") / F.col("n").cast("double")) * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    ent = (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.col("k") * t).alias("s"))
+        .select(
+            "doc_id",
+            F.round(
+                -(F.col("s").cast("double") / F.lit(1_000_000_000.0))
+                / F.col("n"),
+                6,
+            ).alias("h"),
+        )
+    )
+    return (
+        ent.select(F.floor(F.col("h") * 4).cast("long").alias("bucket"), "h")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("h"), 6).alias("min_h"),
+            F.round(F.max("h"), 6).alias("max_h"),
+        )
+        .orderBy("bucket")
+    )
