@@ -6847,3 +6847,74 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "candlestick_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+             event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+                            event_type
+               ORDER BY ts ASC, event_id ASC) AS rf,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+                            event_type
+               ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT bucket_start, event_type,
+           round(max(CASE WHEN rf = 1 THEN value END), 6) AS open_v,
+           round(max(value), 6) AS high_v,
+           round(min(value), 6) AS low_v,
+           round(max(CASE WHEN rl = 1 THEN value END), 6) AS close_v,
+           count(*) AS n
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_candlestick_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling (TimescaleDB candlestick_agg
+    shape): per (hour, event_type) the first value (open), max (high),
+    min (low), last value (close), and count. Open/close are exact row
+    picks with the deterministic (ts, event_id) total order — the tie
+    rule that makes first/last reproducible across engines, where a
+    bare first_value() on equal timestamps is not.
+
+    Scale shape: both ranked windows AND the final aggregate share one
+    (bucket, event_type) hash exchange (windows over the same
+    partitioning reuse it); high/low/count combine map-side. This is
+    the standard raw→downsample step feeding the hypertable rollup's
+    pre-aggregated history."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.floor(F.col("ts") / F.lit(1_000_000_000) / 3600) * 3600
+    ).cast("long")
+    e = ev.select(
+        bucket.alias("bucket_start"), "event_type", "event_id", "ts", "value"
+    )
+    wf = Window.partitionBy("bucket_start", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wl = Window.partitionBy("bucket_start", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    return (
+        ranked.groupBy("bucket_start", "event_type")
+        .agg(
+            F.round(F.max(F.when(F.col("rf") == 1, F.col("value"))), 6).alias(
+                "open_v"
+            ),
+            F.round(F.max("value"), 6).alias("high_v"),
+            F.round(F.min("value"), 6).alias("low_v"),
+            F.round(F.max(F.when(F.col("rl") == 1, F.col("value"))), 6).alias(
+                "close_v"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )

@@ -293,3 +293,15 @@ def test_filtered_ivf_both_predicates_reach_scan(spark, registry):
     assert plan.count("Scan parquet") == 1, plan[:3000]
     assert X.has_pushed_filter(df, "label")
     assert X.has_pushed_filter(df, "vec_id")
+
+
+def test_candlestick_windows_share_one_exchange(spark, registry):
+    """Both ranked windows and the final aggregate key on (bucket,
+    event_type): Catalyst must reuse one hash exchange, and nothing
+    may collapse to a single partition."""
+    df = registry["candlestick_hourly"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan.replace(
+        "rangepartitioning", ""
+    ), plan[:2000]
+    assert X.count_shuffles(df) <= 2, X.plan_string(df)[:2000]
