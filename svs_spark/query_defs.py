@@ -6918,3 +6918,48 @@ def q_candlestick_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+@register(
+    "behavior_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """,
+)
+def q_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the top-20 most common 3-step
+    event-type sequences across user journeys — the product-analytics
+    primitive behind funnel discovery (conversion_funnel checks a
+    KNOWN sequence; this surfaces the sequences worth checking).
+    Sequences are consecutive events per user under the deterministic
+    (ts, event_id) order.
+
+    Scale shape: one user_id hash exchange feeds both lead() windows
+    (same partitioning), the trigram aggregate combines map-side (the
+    key space is |event_types|³ = tiny), and top-20 is TakeOrdered.
+    No self-joins — lead() IS the n-gram join for ordered-within-key
+    data."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
