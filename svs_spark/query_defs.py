@@ -6963,3 +6963,70 @@ def q_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@register(
+    "seasonal_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, value,
+             CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    base AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM e GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT e.event_type, e.hod, e.event_id,
+             (e.cents - CAST(b.s AS DOUBLE) / b.n)
+               / sqrt(CAST(b.ss AS DOUBLE) / b.n
+                      - (CAST(b.s AS DOUBLE) / b.n)
+                        * (CAST(b.s AS DOUBLE) / b.n)) AS zz
+      FROM e JOIN base b USING (event_type, hod)
+    )
+    SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_outliers
+    FROM z WHERE abs(round(zz, 6)) > 3
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outlier counts: each event is judged against
+    the baseline of ITS OWN (event_type, hour-of-day) cell — the
+    screen that doesn't page you for lunchtime traffic being above the
+    3 a.m. mean, where a global z-score (event_outliers_mad's flat
+    twin) conflates seasons. Output: outlier count per cell at |z|>3.
+
+    Scale shape: baselines are a tiny (types × 24)-cell aggregate over
+    integer cents (count/sum/sum-of-squares — order-independent,
+    overflow-safe at cents scale) broadcast back onto the stream; the
+    per-event z is scan-stage arithmetic. One shuffle for the cell
+    aggregate, one broadcast join, one small final aggregate."""
+    ev = load(spark, sf_dir, "events")
+    hod = (
+        F.floor(F.col("ts") / F.lit(1_000_000_000) / 3600) % 24
+    ).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    e = ev.select(
+        "event_type", "event_id",
+        hod.alias("hod"), cents.alias("cents"),
+    )
+    base = e.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("cents") - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(base), ["event_type", "hod"])
+        .filter(F.abs(F.round(z, 6)) > 3)
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").alias("n_outliers"))
+        .orderBy("event_type", "hod")
+    )
