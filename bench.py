@@ -119,6 +119,8 @@ HEADLINE = [
     "candlestick_hourly",
     "behavior_trigrams",
     "seasonal_outliers",
+    "basket_affinity",
+    "rfm_segments",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

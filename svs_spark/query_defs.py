@@ -7030,3 +7030,144 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_outliers"))
         .orderBy("event_type", "hod")
     )
+
+
+@register(
+    "basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6)
+             AS lift
+    FROM pairs
+    JOIN pc ca ON part_a = ca.pk JOIN pc cb ON part_b = cb.pk
+    CROSS JOIN n
+    ORDER BY n_ab DESC, lift DESC, part_a, part_b LIMIT 50
+    """,
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in ≥3 orders,
+    ranked by support then lift (n_ab·N / (n_a·n_b)) — the co-purchase
+    mining primitive behind "frequently bought together".
+
+    Scale shape: the pair join is an inverted-index self-join keyed on
+    the ORDER (baskets are small, so each key contributes C(|basket|,2)
+    pairs — bounded by the basket-size cap, never N²); part counts
+    broadcast back onto the bounded pair table; the order count rides
+    as a 1-row broadcast. At 100 TB prune to parts above a support
+    floor first (same stop-shingle trick as ngram_jaccard)."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.count_distinct("ok").alias("n_orders"))
+    pc = items.groupBy("pk").agg(F.count("*").alias("c"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = pc.select(F.col("pk").alias("part_a"), F.col("c").alias("ca"))
+    cb = pc.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(max(epoch(o_orderdate)) AS BIGINT) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    coded AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY recency DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+    FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartile-coded on Recency (last
+    order date), Frequency (order count) and Monetary (lifetime spend,
+    integer cents so the sum is order-independent), reported as the
+    4×4×4 segment histogram — the standard CRM cohorting.
+
+    Scale shape: one custkey aggregate, then three ntile windows over
+    the CUSTOMER table (rows = customers, not orders). The global
+    ntile windows sort a single partition — fine at this cardinality
+    and at 1-per-customer scale; for billions of customers swap to the
+    two-level rank in operators/sharding.py (the plan-gated
+    balanced_shards pattern). Every ntile's order is total (metric,
+    custkey), so segment codes are deterministic cross-engine."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    coded = (
+        cust.withColumn(
+            "r",
+            F.ntile(4).over(Window.orderBy(F.desc("recency"), F.asc("o_custkey"))),
+        )
+        .withColumn(
+            "f",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "m",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return (
+        coded.select(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
