@@ -121,6 +121,8 @@ HEADLINE = [
     "seasonal_outliers",
     "basket_affinity",
     "rfm_segments",
+    "pareto_abc_parts",
+    "purchase_interval_stats",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

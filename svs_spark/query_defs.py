@@ -7171,3 +7171,125 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    ranked AS (
+      SELECT pk, cents,
+             CAST(sum(cents) OVER (
+               ORDER BY cents DESC, pk ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum
+      FROM rev
+    )
+    SELECT CASE WHEN CAST(cum AS DOUBLE) / t <= 0.8 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / t <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents
+    FROM ranked CROSS JOIN tot
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory analysis: parts ranked by discounted
+    revenue, classified A (first 80% of cumulative revenue), B (next
+    15%), C (tail) — the classic concentration report ("which 20% of
+    parts drive 80% of revenue").
+
+    Scale shape: revenue folds to integer cents per part with map-side
+    combine (one shuffle on partkey); the cumulative window runs over
+    the PART table, not lineitem — ranked by a total order
+    (cents desc, pk) so class boundaries are deterministic. The global
+    cumsum single-partitions the part table — fine at part
+    cardinality; for billions of SKUs use the two-level cumsum of
+    operators/sharding.py (token_budget_shards pattern)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.withColumn("cum", F.sum("cents").over(w))
+    cls = (
+        F.when(F.col("cum").cast("double") / F.col("t") <= 0.8, "A")
+        .when(F.col("cum").cast("double") / F.col("t") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "cents")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "purchase_interval_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT)
+               - CAST(lag(epoch(o_orderdate)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS gap_s
+      FROM orders
+    )
+    SELECT CAST(floor(gap_s / (30.0 * 86400)) AS BIGINT) AS gap_months,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_purchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: per-customer gaps between
+    consecutive orders (lag over the deterministic (date, orderkey)
+    order), bucketed into 30-day months — the repurchase-cadence
+    signal behind churn models and replenishment forecasting.
+
+    Scale shape: one custkey exchange for the lag window, integer
+    epoch-second gaps (no float time math), and a tiny month-bucket
+    aggregate with map-side combine."""
+    o = load(spark, sf_dir, "orders")
+    epoch_s = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1_000_000
+    ).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    gaps = o.select(
+        (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.select(
+            (F.col("gap_s") / (30 * 86400)).cast("long").alias("gap_months"),
+            "gap_s",
+        )
+        .groupBy("gap_months")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_s").alias("min_s"),
+            F.max("gap_s").alias("max_s"),
+        )
+        .orderBy("gap_months")
+    )
