@@ -113,6 +113,100 @@ def bucketed_global_cumsum(
     )
 
 
+def _with_desc_value_buckets(
+    df: DataFrame, metric: str, n_buckets: int
+) -> DataFrame:
+    """Attach an order-aligned ``_vbucket`` column for DESCENDING order
+    on a non-negative integer ``metric``: equi-width bins over the
+    observed [min, max] range (one tiny min/max aggregate broadcast
+    back), bin 0 = the highest values. Bucket count is bounded by
+    ``n_buckets`` regardless of the metric's cardinality — the fix for
+    ``bucket = -metric`` (one bucket per distinct value), whose offsets
+    table grows with the value cardinality and stops being
+    broadcastable for near-unique metrics like lifetime spend.
+
+    Equi-width (not sampled quantiles) keeps the decomposition
+    deterministic cross-run; a heavily-tied single value still lands in
+    one bucket — unavoidable for an exact global order on ties, and the
+    same behavior Spark's range partitioner has on a constant key.
+    All arithmetic is integer ``div`` (never float division — quotient
+    doubles round up near exact multiples once numerators pass 2^41ish,
+    off-by-one-ing the bin).
+    """
+    stats = df.agg(
+        F.min(metric).alias("_vlo"), F.max(metric).alias("_vhi")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_vw", F.expr(f"(_vhi - _vlo) div {n_buckets} + 1"))
+        .withColumn("_vbucket", F.expr(f"(_vhi - {metric}) div _vw"))
+    )
+
+
+def ranked_desc_by_value(
+    df: DataFrame,
+    metric: str,
+    tiebreak: str,
+    n_buckets: int = 1024,
+    rank_name: str = "global_rn",
+) -> DataFrame:
+    """Global 1-based rank in ``(metric DESC, tiebreak ASC)`` order via
+    the two-level decomposition — the scalable stand-in for
+    ``row_number() OVER (ORDER BY metric DESC, tiebreak)`` (and hence
+    for ``ntile`` — see :func:`ntile_expr`). One bounded-width bucket
+    exchange + a broadcast offsets join; no single-partition sort of
+    the input."""
+    b = _with_desc_value_buckets(df, metric, n_buckets)
+    out = bucketed_global_rank(
+        b,
+        bucket=F.col("_vbucket"),
+        order_cols=[F.col(metric).desc(), F.col(tiebreak).asc()],
+        rank_name=rank_name,
+    )
+    return out.drop("_vlo", "_vhi", "_vw", "_vbucket")
+
+
+def cumsum_desc_by_value(
+    df: DataFrame,
+    metric: str,
+    tiebreak: str,
+    val_col: str,
+    n_buckets: int = 1024,
+    cum_name: str = "cum",
+) -> DataFrame:
+    """Global running sum of ``val_col`` in ``(metric DESC, tiebreak)``
+    order (own row included), two-level — the scalable stand-in for
+    ``sum(v) OVER (ORDER BY metric DESC, tiebreak ROWS UNBOUNDED
+    PRECEDING)``."""
+    b = _with_desc_value_buckets(df, metric, n_buckets)
+    out = bucketed_global_cumsum(
+        b,
+        bucket=F.col("_vbucket"),
+        order_cols=[F.col(metric).desc(), F.col(tiebreak).asc()],
+        val_col=val_col,
+        cum_name=cum_name,
+    )
+    return out.drop("_vlo", "_vhi", "_vw", "_vbucket")
+
+
+def ntile_expr(rank_col: str, n_col: str, k: int) -> Column:
+    """SQL-standard ``ntile(k)`` from a global rank and the total row
+    count: the first ``n mod k`` tiles get ``n div k + 1`` rows, the
+    rest ``n div k`` (larger tiles FIRST — note the even-spread formula
+    ``(rank-1)*k div n + 1`` is NOT ntile: it interleaves the big
+    tiles). Integer ``div`` throughout; the q = 0 case (n < k) is fully
+    covered by the first branch, so the else-side ``div q`` never
+    divides by zero on a row it evaluates."""
+    q = f"({n_col} div {k})"
+    rem = f"({n_col} % {k})"
+    big = f"({rem} * ({q} + 1))"
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {big} "
+        f"THEN ({rank_col} - 1) div ({q} + 1) + 1 "
+        f"ELSE {rem} + ({rank_col} - 1 - {big}) div {q} + 1 END"
+    ).cast("long")
+
+
 def round_robin_shards(
     df: DataFrame,
     n_shards: int,

@@ -92,17 +92,16 @@ class KLL:
         if len(vals) == 0:
             return
         self.n += int(len(vals))
-        # feed level 0 in capacity-sized slabs so one huge Arrow batch
-        # cannot blow the level-0 buffer past O(k)
-        buf = self.levels[0]
+        # feed level 0 in capacity-sized slabs; _compress() after each
+        # slab keeps every buffer O(k) no matter how large the Arrow
+        # batch is (the level-0 buffer may transiently hold up to
+        # 2·cap − 1 items before the compress)
         cap = max(self._capacity(0), 2)
         i = 0
         while i < len(vals):
-            take = max(cap - len(buf), cap)
-            buf.extend(vals[i : i + take].tolist())
-            i += take
+            self.levels[0].extend(vals[i : i + cap].tolist())
+            i += cap
             self._compress()
-            buf = self.levels[0]
 
     def _compress(self) -> None:
         lvl = 0
@@ -335,37 +334,46 @@ def frequent_items(
             for item, c in vc.items():
                 counts[item] = counts.get(item, 0) + int(c)
             counts = _mg_reduce(counts, capacity)
+        if n == 0:
+            yield pd.DataFrame(
+                {
+                    "item": pd.Series(dtype="object"),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+            return
+        # one NULL-item sentinel row per partition carries the
+        # partition's TOTAL row count n. A partition whose MG summary
+        # ends empty (every counter cancelled by the reduction — e.g.
+        # near-uniform singletons) emits only the sentinel; piggybacking
+        # n on the counter rows (the previous form) silently dropped
+        # such partitions from n_total, loosening the survivor
+        # threshold below the documented n_total/capacity bound.
         yield pd.DataFrame(
             {
-                "item": pd.Series(list(counts), dtype="object"),
-                "cnt": pd.Series(list(counts.values()), dtype="int64"),
-                "n": pd.Series([n] * len(counts), dtype="int64"),
-            }
-            if counts
-            else {
-                "item": pd.Series(dtype="object"),
-                "cnt": pd.Series(dtype="int64"),
-                "n": pd.Series(dtype="int64"),
+                "item": pd.Series([None] + list(counts), dtype="object"),
+                "cnt": pd.Series(
+                    [n] + [int(v) for v in counts.values()], dtype="int64"
+                ),
             }
         )
 
     partials = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
-        partial, schema="item string, cnt long, n long"
+        partial, schema="item string, cnt long"
     )
 
     # merge = sum the partial lower bounds per item (the partials table
-    # is ≤ n_partitions × capacity rows — tiny); n_total is recovered
-    # from one replicated-n row per partition (mapInPandas preserves
-    # partitioning, so spark_partition_id identifies the source task)
-    partials = partials.persist()
-    summed = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
-    n_total = (
-        partials.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.max("n").alias("pn"))
-        .agg(F.sum("pn").alias("n_total"))
+    # is ≤ n_partitions × (capacity+1) rows — tiny); the NULL sentinel
+    # group sums to exactly n_total. Both branches below share the same
+    # aggregate subplan, so Spark reuses the exchange — one scan, no
+    # persist to leak in long-lived sessions.
+    merged = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    n_total = merged.filter(F.col("item").isNull()).select(
+        F.col("est_count").alias("n_total")
     )
     return (
-        summed.crossJoin(F.broadcast(n_total))
+        merged.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(n_total))
         .filter(F.col("est_count") > F.col("n_total") / capacity)
         .select("item", "est_count", "n_total")
     )

@@ -57,14 +57,16 @@ def register(
 # dropped). (Round 3: simhash pair dedup rewritten to the first-match
 # filter; asof_last_purchase rerouted through the generalized
 # asof_join.)
-_FORCE_RECHECK = {
-    "simhash_pairs": 3,
-    "simhash48_pairs": 3,
-    "asof_last_purchase": 3,
-    # round 3 (cont.): candidate generation rewritten to hashed band
-    # keys + first-agreeing-band filter (no distinct) — r02's green row
-    # verified the old code path
-    "minhash_lsh_dedup": 3,
+# (round 3's four rewrites — simhash_pairs/simhash48_pairs/
+# asof_last_purchase/minhash_lsh_dedup — all re-verified green in
+# CORRECTNESS_r03, so their entries were dropped. Round 4 rewrites that
+# already had a green row map to 4 here; rewrites of never-checked
+# queries need no entry.)
+_FORCE_RECHECK: dict[str, int] = {
+    # round 4: history-side cutoff filter moved from float ns→s division
+    # to integer div (exactness at the cutoff boundary) — r03's green row
+    # verified the float path
+    "hypertable_rollup": 4,
 }
 
 

@@ -3054,7 +3054,8 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     cutoff = 1705968000  # 2024-01-23 00:00:00 UTC, inside every sf's range
-    hist = ev.filter((F.col("ts") / F.lit(1_000_000_000)).cast("long") < cutoff)
+    # integer ns→s (float division is inexact at ns-epoch magnitude)
+    hist = ev.filter(F.expr("ts div 1000000000") < cutoff)
     rollup = build_rollup(hist)
     merged = rollup_query(rollup, ev, cutoff)
     return merged.select(
@@ -6888,9 +6889,12 @@ def q_candlestick_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard raw→downsample step feeding the hypertable rollup's
     pre-aggregated history."""
     ev = load(spark, sf_dir, "events")
-    bucket = (
-        F.floor(F.col("ts") / F.lit(1_000_000_000) / 3600) * 3600
-    ).cast("long")
+    # integer epoch arithmetic (ts is epoch-NANOS long): float division
+    # by 1e9 is inexact past double's 2^53 — events within a few
+    # hundred ns of an hour boundary could bucket differently than the
+    # oracle's integer path (invariant: never put ns epochs through
+    # doubles)
+    bucket = F.expr("(ts div 1000 div 3600000000) * 3600").cast("long")
     e = ev.select(
         bucket.alias("bucket_start"), "event_type", "event_id", "ts", "value"
     )
@@ -7007,9 +7011,9 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-event z is scan-stage arithmetic. One shuffle for the cell
     aggregate, one broadcast join, one small final aggregate."""
     ev = load(spark, sf_dir, "events")
-    hod = (
-        F.floor(F.col("ts") / F.lit(1_000_000_000) / 3600) % 24
-    ).cast("long")
+    # integer hour-of-day (ns epochs exceed double's exact range — see
+    # candlestick_hourly)
+    hod = F.expr("(ts div 1000 div 3600000000) % 24").cast("long")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     e = ev.select(
         "event_type", "event_id",
@@ -7127,13 +7131,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents so the sum is order-independent), reported as the
     4×4×4 segment histogram — the standard CRM cohorting.
 
-    Scale shape: one custkey aggregate, then three ntile windows over
-    the CUSTOMER table (rows = customers, not orders). The global
-    ntile windows sort a single partition — fine at this cardinality
-    and at 1-per-customer scale; for billions of customers swap to the
-    two-level rank in operators/sharding.py (the plan-gated
-    balanced_shards pattern). Every ntile's order is total (metric,
-    custkey), so segment codes are deterministic cross-engine."""
+    Scale shape: one custkey aggregate, then three quartile codes via
+    the two-level global rank of operators/sharding.py — each metric
+    gets a bounded (≤1024-bucket) equi-width exchange plus a broadcast
+    offsets join instead of a single-partition ntile sort, and the
+    tile code is pure arithmetic on (rank, n) (ntile_expr reproduces
+    SQL ntile's big-tiles-first split exactly). No window in the plan
+    touches more than one bucket's rows per task
+    (tests/test_sharding.py plan gate)."""
+    from svs_spark.operators import sharding as SH
+
     o = load(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     cust = o.groupBy("o_custkey").agg(
@@ -7143,31 +7150,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(cents).alias("monetary_cents"),
     )
-    coded = (
-        cust.withColumn(
-            "r",
-            F.ntile(4).over(Window.orderBy(F.desc("recency"), F.asc("o_custkey"))),
+    n_stats = cust.agg(F.count("*").alias("_nc"))
+    coded = cust
+    for metric, code in (
+        ("recency", "r"),
+        ("frequency", "f"),
+        ("monetary_cents", "m"),
+    ):
+        coded = SH.ranked_desc_by_value(
+            coded, metric, "o_custkey", rank_name=f"_rn_{code}"
         )
-        .withColumn(
-            "f",
-            F.ntile(4).over(
-                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-            ),
-        )
-        .withColumn(
-            "m",
-            F.ntile(4).over(
-                Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
-            ),
-        )
-    )
+    coded = coded.crossJoin(F.broadcast(n_stats))
+    for code in ("r", "f", "m"):
+        coded = coded.withColumn(code, SH.ntile_expr(f"_rn_{code}", "_nc", 4))
     return (
-        coded.select(
-            F.col("r").cast("long").alias("r"),
-            F.col("f").cast("long").alias("f"),
-            F.col("m").cast("long").alias("m"),
-        )
-        .groupBy("r", "f", "m")
+        coded.groupBy("r", "f", "m")
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r", "f", "m")
     )
@@ -7208,10 +7205,14 @@ def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: revenue folds to integer cents per part with map-side
     combine (one shuffle on partkey); the cumulative window runs over
     the PART table, not lineitem — ranked by a total order
-    (cents desc, pk) so class boundaries are deterministic. The global
-    cumsum single-partitions the part table — fine at part
-    cardinality; for billions of SKUs use the two-level cumsum of
-    operators/sharding.py (token_budget_shards pattern)."""
+    (cents desc, pk) so class boundaries are deterministic. The
+    cumulative sum is the two-level decomposition of
+    operators/sharding.py (bounded equi-width revenue buckets +
+    broadcast per-bucket offsets) — no single-partition window over
+    the SKU table, so the shape survives billions of parts
+    (tests/test_sharding.py plan gate)."""
+    from svs_spark.operators import sharding as SH
+
     li = load(spark, sf_dir, "lineitem")
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
@@ -7220,11 +7221,7 @@ def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("cents")
     )
     tot = rev.agg(F.sum("cents").alias("t"))
-    w = (
-        Window.orderBy(F.desc("cents"), F.asc("pk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = rev.withColumn("cum", F.sum("cents").over(w))
+    ranked = SH.cumsum_desc_by_value(rev, "cents", "pk", val_col="cents")
     cls = (
         F.when(F.col("cum").cast("double") / F.col("t") <= 0.8, "A")
         .when(F.col("cum").cast("double") / F.col("t") <= 0.95, "B")

@@ -254,3 +254,22 @@ def test_decayed_two_trigger_state_path(spark, tmp_path):
         if want[item] > thr * 1.05:
             assert item in got, item
             assert got[item][0] == pytest.approx(want[item], rel=1e-9)
+
+
+def test_frequent_items_counts_cancelled_partitions(spark):
+    """A partition whose MG summary cancels completely (all counters
+    stripped by the reduction) must still contribute its row count to
+    n_total — the NULL-item sentinel row. Before the fix n_total
+    undercounted and the est_count > n_total/capacity threshold went
+    too permissive (ADVICE r3)."""
+    heavy = spark.createDataFrame([("x",)] * 10, "item string").coalesce(1)
+    # 3 distinct singletons with capacity=2: dec strips every counter
+    cancel = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "item string"
+    ).coalesce(1)
+    df = heavy.union(cancel)  # union preserves the 2 input partitions
+    rows = frequent_items(df, "item", capacity=2).collect()
+    assert rows, "heavy item must survive"
+    assert all(r.n_total == 13 for r in rows), rows
+    items = {r.item: r.est_count for r in rows}
+    assert "x" in items and items["x"] >= 10 - 13 // 2

@@ -305,3 +305,17 @@ def test_candlestick_windows_share_one_exchange(spark, registry):
         "rangepartitioning", ""
     ), plan[:2000]
     assert X.count_shuffles(df) <= 2, X.plan_string(df)[:2000]
+
+
+def test_rfm_and_pareto_windows_are_bucket_partitioned(spark, registry):
+    """The round-3 OLAP segmentation queries must rank/cumsum through
+    the two-level decomposition: every corpus-sized window hash-
+    partitions on the equi-width value bucket; no `Window.orderBy` with
+    an empty partition spec over the customer/part table (the
+    single-task sort the round-3 verdict flagged). ntile itself is gone
+    from the plan — the tile code is arithmetic on (rank, n)."""
+    for name in ("rfm_segments", "pareto_abc_parts"):
+        df = registry[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(_bucket" in plan, (name, plan[:2000])
+        assert "ntile" not in plan, (name, plan[:2000])

@@ -109,3 +109,100 @@ def test_token_budget_shards_bounds(weighted):
         ).collect()
     }
     assert again == {r.doc_id: r.shard for r in rows}
+
+# ---------------------------------------------------------------------------
+# Value-ordered two-level rank/cumsum (the ntile / Pareto-cumsum path):
+# bounded equi-width buckets instead of one bucket per distinct value,
+# so near-unique metrics (lifetime spend) keep a broadcastable offsets
+# table.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    # near-unique metric values (the case bucket=-metric can't handle)
+    # plus a block of exact ties (the ordering-determinism case)
+    return spark.range(400).select(
+        F.col("id").alias("ck"),
+        F.when(F.col("id") < 50, F.lit(7777))
+        .otherwise((F.col("id") * 104729) % 1000003)
+        .cast("long")
+        .alias("m"),
+    )
+
+
+def test_ranked_desc_by_value_equals_naive_window(spark, metrics):
+    naive = metrics.withColumn(
+        "global_rn",
+        F.row_number()
+        .over(Window.orderBy(F.col("m").desc(), F.col("ck").asc()))
+        .cast("long"),
+    )
+    got = {
+        r.ck: r.global_rn
+        for r in SH.ranked_desc_by_value(metrics, "m", "ck").collect()
+    }
+    want = {r.ck: r.global_rn for r in naive.collect()}
+    assert got == want
+
+
+def test_cumsum_desc_by_value_equals_naive_window(spark, metrics):
+    naive = metrics.withColumn(
+        "cum",
+        F.sum("m")
+        .over(
+            Window.orderBy(F.col("m").desc(), F.col("ck").asc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    )
+    got = {
+        r.ck: r.cum
+        for r in SH.cumsum_desc_by_value(
+            metrics, "m", "ck", val_col="m"
+        ).collect()
+    }
+    want = {r.ck: r.cum for r in naive.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 5, 6, 7, 10, 400])
+def test_ntile_expr_matches_sql_ntile(spark, n):
+    # SQL ntile: first (n mod k) tiles get one extra row — NOT the
+    # even-spread floor((rank-1)k/n)+1 binning (differs at n=6, k=4)
+    df = spark.range(n).select(F.col("id").alias("ck"))
+    ranked = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ck")).cast("long")
+    ).withColumn("nn", F.lit(n).cast("long"))
+    got = {
+        r.ck: r.t
+        for r in ranked.withColumn(
+            "t", SH.ntile_expr("rn", "nn", 4)
+        ).collect()
+    }
+    want = {
+        r.ck: r.t
+        for r in df.withColumn(
+            "t", F.ntile(4).over(Window.orderBy("ck")).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_value_rank_window_is_bucket_partitioned(spark, metrics):
+    plan = (
+        SH.ranked_desc_by_value(metrics, "m", "ck")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_bucket" in plan
+    # bounded bucket count: the offsets table stays broadcastable
+    n_buckets = (
+        SH._with_desc_value_buckets(metrics, "m", 1024)
+        .select("_vbucket")
+        .distinct()
+        .count()
+    )
+    assert n_buckets <= 1025
