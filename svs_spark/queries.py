@@ -67,6 +67,10 @@ _FORCE_RECHECK: dict[str, int] = {
     # to integer div (exactness at the cutoff boundary) — r03's green row
     # verified the float path
     "hypertable_rollup": 4,
+    # round 4: bulk_graph_update rewritten to commit-time batched
+    # validation (3 bounded jobs + sequential replay) — r03's green row
+    # verified the per-edge-job path
+    "kb_delete_cascade": 4,
 }
 
 

@@ -322,6 +322,38 @@ class TestGraph:
             g.add_edge(1, 2, 6)  # key is free again
         assert kb.count_edges() == 1
 
+    def test_rolled_back_add_still_validates(self, kb):
+        """Sequential semantics: an add that would have raised raises
+        even if a later in-bulk del would have rolled it back — the
+        error happened first."""
+        self._setup(kb)
+        kb.add_edge(2, 4, 6)
+        with pytest.raises(RuntimeError, match="already exists"):
+            with kb.bulk_graph_update() as g:
+                eid = g.add_edge(2, 4, 6)  # duplicate of persisted edge
+                g.del_edge(eid)
+        assert kb.count_edges() == 1  # nothing written by the failed bulk
+
+    def test_bulk_job_count_is_constant(self, spark, kb):
+        """The round-3 scale fix: a bulk of N adds must run O(1) Spark
+        jobs (start-id agg + 3 batched validation lookups + commit
+        write), never a per-edge isEmpty/collect — 100k edges was ~100k
+        driver-dispatched jobs before."""
+        self._setup(kb)
+        sc = spark.sparkContext
+        sc.setJobGroup("bulk-graph-gate", "bulk job-count gate")
+        try:
+            with kb.bulk_graph_update() as g:
+                for i in range(1, 7):
+                    for j in range(i + 1, 8):
+                        for rel in (1, 2, 3, 4, 5):
+                            g.add_edge(i, j, rel)  # 105 edges
+        finally:
+            sc.setJobGroup("bulk-graph-gate-done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("bulk-graph-gate")
+        assert kb.count_edges() == 105
+        assert 0 < len(jobs) <= 30, f"{len(jobs)} jobs for a 105-edge bulk"
+
 
 class TestKeyval:
     def test_kv_semantics(self, kb):
