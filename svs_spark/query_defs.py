@@ -1456,6 +1456,30 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quantiles + set operations over events (operator-class coverage)
 # ===========================================================================
 
+def value_percentiles_df(
+    ev: DataFrame, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """Per-group p50/p90/p99 over ``value``. ``approx=False`` is the
+    oracle-grade exact interpolated percentile (sort-based — the
+    registered, hash-gated form); ``approx=True`` is the 100 TB path:
+    ``approx_percentile`` (Greenwald-Khanna, rank error ≤ 1/accuracy)
+    builds bounded-size summaries map-side so only summaries cross the
+    exchange. The swap is tested against the exact form's rank contract
+    in tests/test_approx.py, not just noted in a docstring."""
+    if approx:
+        pct = F.expr(
+            f"approx_percentile(value, array(0.5, 0.9, 0.99), {accuracy})"
+        )
+    else:
+        pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 @register(
     "value_percentiles",
     oracle="""
@@ -1468,16 +1492,9 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (sort-based; at 100 TB
-    switch to approx_percentile with a bounded error knob)."""
-    ev = load(spark, sf_dir, "events")
-    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
-    return ev.groupBy("event_type").agg(
-        F.round(pct[0], 6).alias("p50"),
-        F.round(pct[1], 6).alias("p90"),
-        F.round(pct[2], 6).alias("p99"),
-        F.count("*").alias("n"),
-    )
+    """Exact interpolated percentiles per group (see
+    value_percentiles_df for the tested approx twin)."""
+    return value_percentiles_df(load(spark, sf_dir, "events"))
 
 
 @register(
@@ -5694,19 +5711,36 @@ def q_event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two grouped exact medians + one counting pass, all on
     the same event_type exchange; the per-group medians are broadcast
-    back (group count is tiny). At 100 TB swap the exact percentile
-    for approx_percentile(…, accuracy) — the operator shape (agg →
-    broadcast-back → conditional count) is unchanged.
+    back (group count is tiny). The 100 TB swap —
+    ``event_outliers_mad_df(ev, approx=True)`` — replaces both exact
+    percentiles with approx_percentile(…, accuracy) and keeps the
+    operator shape (agg → broadcast-back → conditional count)
+    unchanged; the swap's error contract is tested in
+    tests/test_approx.py.
     """
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return event_outliers_mad_df(
+        load(spark, sf_dir, "events").select("event_type", "value")
+    )
+
+
+def event_outliers_mad_df(
+    ev: DataFrame, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """3-MAD outlier screen; ``approx=True`` is the scale path (both
+    medians via Greenwald-Khanna summaries, rank error ≤ 1/accuracy —
+    no per-group sort of the raw values)."""
+    med_fn = (
+        f"approx_percentile(%s, 0.5, {accuracy})" if approx
+        else "percentile(%s, 0.5)"
+    )
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.expr(med_fn % "value").alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
+        F.expr(med_fn % "adev").alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")

@@ -208,3 +208,63 @@ def test_kll_merge_equals_single_sketch_contract(spark):
     # space bound: total retained items stay O(k log(n/k))
     retained = sum(len(l) for l in merged.levels)
     assert retained <= 200 * 6
+
+
+def test_value_percentiles_approx_rank_contract(spark):
+    """The approx twin of the registered value_percentiles query: each
+    approx_percentile output must sit within rank error 1/accuracy of
+    the requested quantile in its group (the GK guarantee), verified
+    against the raw data — not just 'close in value', which says
+    nothing on heavy-tailed p99."""
+    from svs_spark.query_defs import value_percentiles_df
+
+    ev = load(spark, SF_DIR, "events")
+    accuracy = 1000
+    approx = {
+        r.event_type: r
+        for r in value_percentiles_df(
+            ev, approx=True, accuracy=accuracy
+        ).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert approx.keys() == vals.keys()
+    for et, row in approx.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        for p, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+            # rank interval occupied by the returned value (6dp-rounded
+            # output → compare with matching tolerance)
+            lo = sum(1 for x in xs if round(x, 6) < round(got, 6)) / n
+            hi = sum(1 for x in xs if round(x, 6) <= round(got, 6)) / n
+            eps = 1.0 / accuracy + 1.0 / n
+            assert lo - eps <= p <= hi + eps, (et, p, got, lo, hi)
+
+
+def test_event_outliers_mad_approx_twin(spark):
+    """The approx=True swap of event_outliers_mad keeps the same
+    operator shape and lands within the GK rank contract: med/mad are
+    rank-accurate, and the 3-MAD outlier count moves by at most the
+    mass a 1/accuracy rank shift of the threshold can move."""
+    from svs_spark.query_defs import event_outliers_mad_df
+
+    ev = load(spark, SF_DIR, "events").select("event_type", "value")
+    exact = {r.event_type: r for r in event_outliers_mad_df(ev).collect()}
+    approx = {
+        r.event_type: r
+        for r in event_outliers_mad_df(
+            ev, approx=True, accuracy=1000
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et in exact:
+        e, a = exact[et], approx[et]
+        assert a.n_events == e.n_events
+        # med/mad within a small relative band of the exact form
+        assert abs(a.med - e.med) <= max(1e-6, 0.02 * abs(e.med)), (et, e, a)
+        assert abs(a.mad - e.mad) <= max(1e-6, 0.05 * abs(e.mad)), (et, e, a)
+        # outlier tail: |Δcount| bounded by a 5% threshold wobble's mass
+        assert abs(a.n_outliers - e.n_outliers) <= max(
+            5, 0.2 * max(e.n_outliers, 1)
+        ), (et, e, a)
