@@ -332,6 +332,34 @@ def update_ivf_index(
     )
 
 
+def warm_ivf_cache(
+    df: DataFrame, precision: str = "float32"
+) -> DataFrame:
+    """Persist the probe-ready projection of an IVF index for a warm
+    serving loop and return the cached handle (pass it as ``df`` to
+    :func:`search_ivf_index`).
+
+    A warm single query's cost is parquet decode + Arrow transfer +
+    job dispatch; caching (vec_id, label, <precision column>) keeps
+    the probe scan in Spark's in-memory columnar store, where the
+    ``label IN (...)`` probe filter prunes cached batches via their
+    min/max stats (the build writes label-clustered, so batches are
+    label-homogeneous). Measured at 1M×1536 (tools/million_bench.py):
+    0.49 s → ~0.3 s per warm query at identical recall. Memory cost is
+    the projected columns only (~6.2 GB float32 / ~1.6 GB int8 at
+    1M×1536; MEMORY_AND_DISK spills, never fails). A long-lived
+    serving session calls this once after ``build_ivf_index`` /
+    ``update_ivf_index``; call ``.unpersist()`` when the index is
+    rebuilt."""
+    cols = ["vec_id", "label"] + (
+        ["qemb"] if precision == "int8" else
+        ["femb", "qemb"] if precision == "int8_rerank" else ["femb"]
+    )
+    cached = df.select(*cols).persist()
+    cached.count()  # materialize now, not on the first query
+    return cached
+
+
 def search_ivf_index(
     df: DataFrame,
     meta: dict,

@@ -132,3 +132,33 @@ def test_text_operators_survive_pathological_docs(spark):
     assert D.boilerplate_line_stats(docs).count() >= 1
     assert D.longest_dup_span_pow2(docs).count() >= 1
     assert D.minhash_signatures(docs).count() >= 1
+
+
+def test_recall_telemetry_on_planted_dups(spark, split_corpus):
+    """The per-increment recall probe: truth = exact Jaccard over
+    (new × index-sample) ∪ (new × new); the banded path must surface
+    (nearly) all of it on an increment with planted near-dups of
+    indexed docs, and the report must carry the counts (observable
+    drift, VERDICT r3 #8)."""
+    docs, old, new, idx = split_corpus
+    rep = D.minhash_index_recall_telemetry(
+        spark, new, idx, sample_rows=3000
+    )
+    assert set(rep) == {"true_pairs", "found_pairs", "recall"}
+    assert rep["true_pairs"] > 0, "fixture must contain true near-dups"
+    # 16-hash/4-band LSH at J>=0.5: the committed recall floor from
+    # tests/test_properties.py; the sf0.001 dups are near-identical so
+    # the probe should sit well above it
+    assert rep["recall"] >= 0.75, rep
+
+
+def test_recall_telemetry_no_true_pairs_is_one(spark, split_corpus):
+    """An increment with no near-dups of anything: recall reports 1.0
+    (nothing to miss), not a 0/0 crash."""
+    docs, old, new, idx = split_corpus
+    lone = spark.createDataFrame(
+        [(9_999_991, "completely unrelated singleton text payload")],
+        "doc_id long, text string",
+    )
+    rep = D.minhash_index_recall_telemetry(spark, lone, idx)
+    assert rep == {"true_pairs": 0, "found_pairs": 0, "recall": 1.0}

@@ -389,3 +389,78 @@ def test_mmr_rerank_diversifies_and_matches_greedy(spark):
 
     plain = [int(i) for i in np.lexsort((-np.arange(len(vecs)), -rel_all))[:k]]
     assert avg_pairwise([r["vec_id"] for r in got]) <= avg_pairwise(plain) + 1e-9
+
+
+def test_longest_dup_span_prune_is_exact(spark):
+    """The production configuration (prune_unflagged + double_hash)
+    must equal brute-force STRING ground truth: the prune's exactness
+    argument is string-level, and double hashing makes hash equality
+    string equality in practice (the single-modulus form measurably
+    collides at corpus scale — 11/240 sf0.001 docs — which is why the
+    prune is not wired into the mirrored single-modulus oracle)."""
+    from svs_spark.operators.dedup import longest_dup_span_pow2
+    from svs_spark.queries import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def truth(min_len, max_len):
+        # brute force: for each level, which docs share an exact
+        # length-L substring with another doc
+        best = {d: 0 for d, t in texts.items() if len(t) >= min_len}
+        L = min_len
+        while L <= max_len:
+            seen: dict = {}
+            for d, t in texts.items():
+                for i in range(len(t) - L + 1):
+                    seen.setdefault(t[i : i + L], set()).add(d)
+            for ds in seen.values():
+                if len(ds) > 1:
+                    for d in ds:
+                        best[d] = L
+            L *= 2
+        return best
+
+    want = truth(16, 128)
+    for prune in (False, True):
+        got = {
+            r.doc_id: r.max_dup_len
+            for r in longest_dup_span_pow2(
+                docs, 16, 128, prune_unflagged=prune, double_hash=True
+            ).collect()
+        }
+        assert got == want, (prune, {
+            k: (got.get(k), want.get(k))
+            for k in set(got) | set(want)
+            if got.get(k) != want.get(k)
+        })
+
+
+def test_longest_dup_span_prune_on_unique_corpus(spark):
+    """Mostly-unique corpus + one planted long shared span: the prune
+    drops the unique docs from the upper ladder and the planted pair
+    still reports its full level."""
+    from svs_spark.operators.dedup import longest_dup_span_pow2
+
+    shared = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    rows = [(i, f"unique-{i}-" + "".join(
+        chr(97 + (i * 31 + j * 13) % 26) for j in range(120)
+    )) for i in range(60)]
+    rows.append((1000, "prefixA " + shared + " tailA"))
+    rows.append((1001, "prefixB " + shared + " tailB"))
+    uniq = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r.doc_id, r.max_dup_len)
+        for r in longest_dup_span_pow2(
+            uniq, 16, 128, double_hash=True
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.max_dup_len)
+        for r in longest_dup_span_pow2(
+            uniq, 16, 128, prune_unflagged=True, double_hash=True
+        ).collect()
+    }
+    assert a == b
+    assert (1000, 128) in a and (1001, 128) in a

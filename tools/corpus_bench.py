@@ -136,6 +136,26 @@ def main() -> None:
         "simhash48_pairs",
         lambda: D.simhash_pairs(docs, bits=48, max_hamming=4).count(),
     )
+    # the capped production form of the 48-bit config: over-cap
+    # (segment, value) buckets skipped (skipped mass reported below) —
+    # on this 98%-duplicate corpus nearly the whole 24.9M-pair output
+    # is mega-cluster mass, so the cap is what a real pipeline runs
+    sim48_skip: dict = {}
+
+    def simhash48_capped():
+        sim48_skip.clear()
+        return D.simhash_pairs(
+            docs, bits=48, max_hamming=4, bucket_cap=2000,
+            skip_report=sim48_skip,
+        ).count()
+
+    run("simhash48_pairs_cap2000", simhash48_capped)
+    if sim48_skip:
+        counts["simhash48_cap2000_skipped_buckets"] = sim48_skip[
+            "skipped_buckets"
+        ]
+        counts["simhash48_cap2000_skipped_rows"] = sim48_skip["skipped_rows"]
+
     # the documented web-scale config: 4 × 16-bit segments ⇒ 65,536
     # bucket values per segment, so chance candidate collisions scale
     # as N²/65536 instead of N²/1024 (the 48-bit/h≤4 segments above are
@@ -144,6 +164,47 @@ def main() -> None:
         "simhash64_pairs_h3",
         lambda: D.simhash_pairs(docs, bits=64, max_hamming=3).count(),
     )
+    # adversarial mega-cluster: 50k byte-identical docs spiked into the
+    # corpus put C(50k,2) ≈ 1.25G pairs in four buckets — UNCAPPED this
+    # run does not finish; the cap skips those buckets (reported) and
+    # the rest of the corpus dedups at the normal 64-bit cost. This is
+    # the case the per-bucket ceiling exists for; the 48-bit config's
+    # cost above is uniform chance-collision mass (~1300-row buckets ×
+    # thousands), which no cap can remove without killing recall — the
+    # fix THERE is the 64-bit config (same pair set, ~20× faster).
+    spike = docs.unionByName(
+        spark.range(50_000).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit(
+                "the exact same boilerplate page repeated fifty "
+                "thousand times across the crawl"
+            ).alias("text"),
+        ).withColumn("source", F.lit("spike"))
+        if "source" in docs.columns
+        else spark.range(50_000).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit(
+                "the exact same boilerplate page repeated fifty "
+                "thousand times across the crawl"
+            ).alias("text"),
+        ),
+        allowMissingColumns=True,
+    )
+    spike_skip: dict = {}
+
+    def simhash64_spiked_capped():
+        spike_skip.clear()
+        return D.simhash_pairs(
+            spike, bits=64, max_hamming=3, bucket_cap=2000,
+            skip_report=spike_skip,
+        ).count()
+
+    run("simhash64_spiked_cap2000", simhash64_spiked_capped)
+    if spike_skip:
+        counts["simhash64_spike_skipped_buckets"] = spike_skip[
+            "skipped_buckets"
+        ]
+        counts["simhash64_spike_skipped_rows"] = spike_skip["skipped_rows"]
     run(
         "dup_substring_stats",
         lambda: D.dup_substring_stats(docs, k=30, stride=10).count(),
