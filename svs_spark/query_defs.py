@@ -7324,3 +7324,308 @@ def q_purchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_months")
     )
+
+
+# ===========================================================================
+# Round-4 additions: curation-funnel / inequality / cross-source-dup
+# reporting (registered AFTER the r04 recheck window — they queue for
+# the r05 driver gate; all are locally oracle-gated from day one).
+# ===========================================================================
+
+
+@register(
+    "doc_quality_funnel",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             CAST(length(trim(text)) - length(replace(trim(text), ' ', ''))
+                  + 1 AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    dom AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
+      FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT t.doc_id,
+             (t.n_chars BETWEEN 100 AND 20000) AS f_len,
+             (t.n_tok >= 20) AS f_tok,
+             (t.n_chars * 10 BETWEEN t.n_tok * 30 AND t.n_tok * 120)
+               AS f_wordlen,
+             (d.max_tok * 5 <= t.n_tok) AS f_dominance
+      FROM toks t JOIN dom d USING (doc_id)
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, survivors FROM (
+      SELECT 0 AS stage_idx, 'total' AS stage,
+             CAST(count(*) AS BIGINT) AS survivors FROM flags
+      UNION ALL
+      SELECT 1, 'length', CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END)
+             AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 2, 'tokens', CAST(sum(CASE WHEN f_len AND f_tok THEN 1
+             ELSE 0 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 3, 'word_len', CAST(sum(CASE WHEN f_len AND f_tok AND
+             f_wordlen THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 4, 'dominance', CAST(sum(CASE WHEN f_len AND f_tok AND
+             f_wordlen AND f_dominance THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags
+    ) ORDER BY stage_idx
+    """,
+)
+def q_doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: sequential survival counts through the
+    standard pre-training quality gates (length band → minimum token
+    count → mean-word-length band → single-token dominance ≤ 20%) —
+    the C4/Gopher-style screen expressed as ONE conditional-aggregation
+    pass, the report every dataset card needs.
+
+    Scale shape: length/token flags are scan-stage arithmetic; the
+    dominance flag needs per-doc top-token counts — one (doc, token)
+    aggregate feeding a doc-keyed max (both combine map-side), joined
+    back once. All comparisons are integer cross-multiplications (no
+    float ratios near gate boundaries), so the funnel is cross-engine
+    exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.length(F.trim("text"))
+            - F.length(F.regexp_replace(F.trim("text"), " ", ""))
+            + 1
+        ).cast("long").alias("n_tok"),
+    )
+    dom = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    flags = toks.join(dom, "doc_id").select(
+        F.col("n_chars").between(100, 20000).alias("f_len"),
+        (F.col("n_tok") >= 20).alias("f_tok"),
+        (
+            (F.col("n_chars") * 10 >= F.col("n_tok") * 30)
+            & (F.col("n_chars") * 10 <= F.col("n_tok") * 120)
+        ).alias("f_wordlen"),
+        (F.col("max_tok") * 5 <= F.col("n_tok")).alias("f_dominance"),
+    )
+    one = flags.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.when(F.col("f_len"), 1).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("f_len") & F.col("f_tok"), 1).otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("f_len") & F.col("f_tok") & F.col("f_wordlen"), 1
+            ).otherwise(0)
+        ).alias("s3"),
+        F.sum(
+            F.when(
+                F.col("f_len")
+                & F.col("f_tok")
+                & F.col("f_wordlen")
+                & F.col("f_dominance"),
+                1,
+            ).otherwise(0)
+        ).alias("s4"),
+    )
+    stages = [(0, "total"), (1, "length"), (2, "tokens"),
+              (3, "word_len"), (4, "dominance")]
+    rows = None
+    for i, name in stages:
+        r = one.select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"s{i}").cast("long").alias("survivors"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("stage_idx")
+
+
+@register(
+    "doc_length_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS tot,
+             CAST(sum(rk * n_chars) AS BIGINT) AS wsum
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n, tot,
+           round(CAST(2 * wsum AS DOUBLE) / (n * tot)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM agg ORDER BY source
+    """,
+)
+def q_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document lengths — the
+    inequality signal that flags a source whose token mass is
+    concentrated in a few huge documents (dedup and sampling both
+    behave differently there). G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over
+    ascending lengths.
+
+    Scale shape: the rank window partitions by SOURCE (parallel,
+    bounded per-task by the largest single source — for a pathological
+    mono-source corpus swap in the two-level rank of
+    operators/sharding.py); the weighted sums are integer BIGINT (rank
+    · chars at 100 TB needs the int128-free bound rank ≤ 2^31 per
+    source and chars ≤ 2^31 — document-count-per-source territory, not
+    corpus territory) and the single float division happens once per
+    source at the end."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("tot"),
+        F.sum(F.col("rk").cast("long") * F.col("n_chars")).alias("wsum"),
+    )
+    gini = F.round(
+        (2 * F.col("wsum")).cast("double") / (F.col("n") * F.col("tot"))
+        - (F.col("n") + 1).cast("double") / F.col("n"),
+        6,
+    )
+    return agg.select("source", "n", "tot", gini.alias("gini")).orderBy(
+        "source"
+    )
+
+
+@register(
+    "source_dup_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT source, text FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared_texts
+      FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_texts
+      FROM documents GROUP BY source
+    )
+    SELECT p.src_a, p.src_b, p.shared_texts,
+           round(CAST(p.shared_texts AS DOUBLE)
+                 / least(sa.n_texts, sb.n_texts), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.src_a = sa.source
+    JOIN sizes sb ON p.src_b = sb.source
+    ORDER BY shared_texts DESC, src_a, src_b
+    """,
+)
+def q_source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source EXACT-duplicate overlap matrix: for every source
+    pair, how many distinct texts appear in both, and the containment
+    ratio (shared / smaller source) — the "is source B just a re-crawl
+    of source A" screen that runs before any fuzzy dedup.
+
+    Scale shape: texts collapse to (source, xxhash64) pairs before the
+    exchange (8-byte keys, the DEVNOTES-7 trick — the oracle compares
+    counts only, so hashing is safe); the self-join keys on the text
+    hash whose bucket sizes are bounded by duplication depth; source
+    sizes broadcast back onto the (sources²)-bounded pair table."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("source", F.xxhash64("text").alias("h")).distinct()
+    a = d.select(F.col("source").alias("src_a"), "h")
+    b = d.select(F.col("source").alias("src_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_texts"))
+    )
+    sizes = d.groupBy("source").agg(F.count("*").alias("n_texts"))
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_texts").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_texts").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "shared_texts",
+            F.round(
+                F.col("shared_texts").cast("double")
+                / F.least("na", "nb"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("shared_texts"), "src_a", "src_b")
+    )
+
+
+@register(
+    "length_decile_dup_rate",
+    oracle="""
+    WITH dup AS (
+      SELECT doc_id, n_chars,
+             (count(*) OVER (PARTITION BY text) > 1) AS is_dup
+      FROM documents
+    ),
+    coded AS (
+      SELECT is_dup,
+             ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM dup
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup
+    FROM coded GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_length_decile_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate incidence by length decile — the curation diagnostic
+    for "are my duplicates concentrated in short boilerplate or long
+    templates", which decides whether span-level or doc-level dedup
+    pays. Deciles come from the two-level global rank + ntile_expr of
+    operators/sharding.py (same scalable decomposition as
+    rfm_segments — no single-partition ntile window over the corpus);
+    the dup flag is an exact text-hash group count.
+
+    Scale shape: one text-hash exchange for the dup flag, one bounded
+    equi-width bucket exchange + broadcast offsets for the rank, tiny
+    decile aggregate."""
+    from svs_spark.operators import sharding as SH
+
+    docs = load(spark, sf_dir, "documents")
+    wcnt = Window.partitionBy(F.xxhash64("text"))
+    dup = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.count("*").over(wcnt) > 1).alias("is_dup"),
+    )
+    n_stats = dup.agg(F.count("*").alias("_nd"))
+    ranked = SH.ranked_desc_by_value(dup, "n_chars", "doc_id")
+    coded = ranked.crossJoin(F.broadcast(n_stats)).withColumn(
+        "decile", SH.ntile_expr("global_rn", "_nd", 10)
+    )
+    return (
+        coded.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        )
+        .orderBy("decile")
+    )
