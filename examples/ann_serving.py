@@ -54,6 +54,13 @@ def main(sf_dir: str) -> None:
         print(f"top-5 ({precision}):",
               [(r["vec_id"], round(r["score"], 4)) for r in rows])
 
+    # the in-process serving twin: same parquet layout, no Spark job —
+    # the low-latency path (BASELINE.json's stated division of labor);
+    # answers are identical to the Spark path by test
+    reader = IX.IvfLocalReader(idx_path)
+    print("top-5 (local reader):",
+          [(v, round(s, 4)) for v, s in reader.search(qvec, 5, probes=4)])
+
     # IVF-PQ: m-byte codes next to the float column; the ADC screen
     # reads 1/64th the bytes of a float probe, the rerank restores the
     # exact top-k (operators/index_build.py: search_pq_index)

@@ -335,22 +335,20 @@ def update_ivf_index(
 def warm_ivf_cache(
     df: DataFrame, precision: str = "float32"
 ) -> DataFrame:
-    """Persist the probe-ready projection of an IVF index for a warm
-    serving loop and return the cached handle (pass it as ``df`` to
-    :func:`search_ivf_index`).
+    """Persist the probe-ready projection of an IVF index and return
+    the cached handle (pass it as ``df`` to :func:`search_ivf_index`).
 
-    A warm single query's cost is parquet decode + Arrow transfer +
-    job dispatch; caching (vec_id, label, <precision column>) keeps
-    the probe scan in Spark's in-memory columnar store, where the
-    ``label IN (...)`` probe filter prunes cached batches via their
-    min/max stats (the build writes label-clustered, so batches are
-    label-homogeneous). Measured at 1M×1536 (tools/million_bench.py):
-    0.49 s → ~0.3 s per warm query at identical recall. Memory cost is
-    the projected columns only (~6.2 GB float32 / ~1.6 GB int8 at
-    1M×1536; MEMORY_AND_DISK spills, never fails). A long-lived
-    serving session calls this once after ``build_ivf_index`` /
-    ``update_ivf_index``; call ``.unpersist()`` when the index is
-    rebuilt."""
+    MEASURED CAVEAT (1M×1536, tools/million_bench.py, two independent
+    runs): against a warm LOCAL page cache this LOSES to re-reading
+    parquet (~0.88 s vs ~0.65 s/query) — Spark's in-memory columnar
+    store LZ4-compresses cached batches, and decompressing 96 MB of
+    incompressible packed vectors costs more than the parquet decode
+    it saves. Use it when the index lives on REMOTE/object storage
+    (where a probe re-read pays network latency, the case this
+    trades against), not for local serving. For low-latency local
+    serving use :class:`IvfLocalReader`, which is the architecture
+    BASELINE.json prescribes (Spark builds the layout; serving reads
+    it in-process)."""
     cols = ["vec_id", "label"] + (
         ["qemb"] if precision == "int8" else
         ["femb", "qemb"] if precision == "int8_rerank" else ["femb"]
@@ -494,6 +492,98 @@ def search_ivf_index(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+
+class IvfLocalReader:
+    """In-process serving twin of :func:`search_ivf_index` — reads the
+    SAME Spark-built parquet layout with pyarrow, no Spark job.
+
+    The division of labor is the one BASELINE.json states for the
+    reference comparison: "Spark can build/update vector indexes in
+    batch but not handle low-latency ANN queries … a serving system
+    reads the same parquet layout." A warm Spark-job query has a
+    ~0.5 s floor at 1M×1536 (measured: ~0.13 s job dispatch + ~0.25 s
+    scan + ~0.25 s Arrow transfer; the GEMM itself is ~5 ms); this
+    reader memoizes probed label partitions as NumPy matrices (the
+    reference holds its ENTIRE 6 GB matrix in RAM, so caching the
+    probed subset is a strictly smaller footprint) and answers warm
+    queries at GEMM speed. Results are ranked identically to the
+    Spark path (float64 scores, ties broken by descending vec_id) —
+    pinned by tests/test_index_build.py.
+
+    ``max_cached_labels`` bounds memory (LRU eviction); None = cache
+    every touched partition (full-corpus worst case equals the
+    reference's resident matrix).
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        precision: str = "float32",
+        max_cached_labels: int | None = None,
+    ) -> None:
+        import numpy as np
+
+        self.path = index_path
+        self.meta = read_index_meta(index_path)
+        self.precision = precision
+        self.max_cached = max_cached_labels
+        self._cache: "dict[int, tuple]" = {}  # label -> (ids, mat); LRU
+        self._cent = np.asarray(self.meta["centroids"], dtype=np.float32)
+
+    def _load_label(self, label: int):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        hit = self._cache.pop(label, None)
+        if hit is not None:
+            self._cache[label] = hit  # refresh LRU position
+            return hit
+        col = "qemb" if self.precision == "int8" else "femb"
+        tbl = pq.read_table(
+            os.path.join(self.path, f"label={label}"),
+            columns=["vec_id", col],
+        )
+        ids = tbl.column("vec_id").to_numpy()
+        raw = b"".join(tbl.column(col).to_pylist())
+        dt = np.int8 if self.precision == "int8" else np.float32
+        mat = np.frombuffer(raw, dtype=dt).reshape(len(ids), -1)
+        entry = (ids, mat)
+        self._cache[label] = entry
+        if self.max_cached is not None and len(self._cache) > self.max_cached:
+            self._cache.pop(next(iter(self._cache)))  # evict LRU
+        return entry
+
+    def search(self, qvec, k: int, probes: int = 8):
+        """Top-k (vec_id, score) within the probed cells — same
+        semantics and tie order as the Spark path."""
+        import numpy as np
+
+        q = np.asarray(qvec, dtype=np.float32)
+        ranked = np.argsort(-(self._cent @ q))[:probes]
+        if self.precision == "int8":
+            qq = np.clip(
+                np.rint(np.clip(q, -1.0, 1.0) * 127), -127, 127
+            ).astype(np.float64)
+        else:
+            qq = q.astype(np.float64)
+        all_ids, all_scores = [], []
+        for label in (int(x) for x in ranked):
+            ids, mat = self._load_label(label)
+            s = mat.astype(np.float64) @ qq
+            if self.precision == "int8":
+                s = s / np.float64(127 * 127)
+            all_ids.append(ids)
+            all_scores.append(s)
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        if len(scores) > k:
+            part = np.argpartition(-scores, k - 1)[:k]
+            ids, scores = ids[part], scores[part]
+        order = np.lexsort((-ids, -scores))
+        return [
+            (int(ids[i]), float(scores[i])) for i in order[: min(k, len(ids))]
+        ]
 
 
 def search_two_level_index(

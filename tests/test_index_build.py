@@ -386,3 +386,73 @@ class TestIvfPqIndex:
             ).collect()
         }
         assert len(exact & cand) >= 8
+
+
+class TestIvfLocalReader:
+    """The in-process serving twin must return EXACTLY what the Spark
+    job path returns — same probed cells, same float64 scores, same
+    (score desc, vec_id desc) tie order — and its LRU must not change
+    answers."""
+
+    @pytest.fixture(scope="class")
+    def lr_setup(self, spark, tmp_path_factory):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        k, dim, per = 8, 16, 60
+        centers = rng.standard_normal((k, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(k):
+            pts = centers[c] + 0.25 * rng.standard_normal((per, dim)).astype(
+                np.float32
+            )
+            pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+            for p in pts:
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        path = str(tmp_path_factory.mktemp("ivflocal") / "idx")
+        cent = IX.train_centroids_sample(df, n_clusters=8, sample_rows=400,
+                                         iters=6)
+        IX.build_ivf_index(df, path, cent)
+        return df, centers, path
+
+    def _spark_answer(self, spark, path, q, k, probes, prec="float32"):
+        meta = IX.read_index_meta(path)
+        idx = spark.read.parquet(path)
+        return [
+            (r["vec_id"], r["score"])
+            for r in IX.search_ivf_index(
+                idx, meta, q, k, probes, prec
+            ).collect()
+        ]
+
+    def test_matches_spark_path_exactly(self, spark, lr_setup):
+        _, centers, path = lr_setup
+        reader = IX.IvfLocalReader(path)
+        for seed in range(4):
+            q = [float(x) for x in centers[seed % len(centers)]]
+            want = self._spark_answer(spark, path, q, 10, probes=3)
+            got = reader.search(q, 10, probes=3)
+            assert got == want, (seed, got[:3], want[:3])
+
+    def test_int8_precision_matches(self, spark, lr_setup):
+        _, centers, path = lr_setup
+        reader = IX.IvfLocalReader(path, precision="int8")
+        q = [float(x) for x in centers[2]]
+        want = self._spark_answer(spark, path, q, 10, probes=3, prec="int8")
+        got = reader.search(q, 10, probes=3)
+        assert got == want
+
+    def test_lru_eviction_preserves_answers(self, spark, lr_setup):
+        _, centers, path = lr_setup
+        tight = IX.IvfLocalReader(path, max_cached_labels=2)
+        loose = IX.IvfLocalReader(path)
+        for seed in range(6):
+            q = [float(x) for x in centers[seed % len(centers)]]
+            assert tight.search(q, 8, probes=4) == loose.search(
+                q, 8, probes=4
+            )
+        assert len(tight._cache) <= 2
