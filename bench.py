@@ -123,6 +123,16 @@ HEADLINE = [
     "rfm_segments",
     "pareto_abc_parts",
     "purchase_interval_stats",
+    # round-4 widening: curation-report quartet + Hilbert layout cells
+    "doc_quality_funnel",
+    "doc_length_gini",
+    "source_dup_overlap",
+    "length_decile_dup_rate",
+    "hilbert_locality_stats",
+    "dedup_canonical_pick",
+    "ngram_novelty_rate",
+    "bpe_merge_candidates",
+    "embedding_centroid_drift",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -84,6 +84,122 @@ def write_zordered(
     )
 
 
+def with_hilbert_key(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    bits: int = 10,
+    out: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve index of (``x``, ``y``) — the space-filling curve
+    with strictly better locality than Morton: consecutive curve
+    positions are ALWAYS adjacent cells (Morton jumps across the grid
+    at quadrant boundaries), so a contiguous key range covers a tighter
+    region and range-partitioned files prune harder on box predicates.
+
+    Branchless form of the classic top-down algorithm: per bit level,
+    the quadrant Gray code ``3*rx + ry - 2*rx*ry`` (== (3*rx) XOR ry
+    for bits, with no XOR so the DuckDB mirror needs no dialect-
+    specific operator) appends two key bits, then the frame reflects/
+    transposes. Each level is its own projection (one ``select`` per
+    step) — pure integer CASE/shift algebra, codegen'd JVM-side, and
+    the plan stays LINEAR in ``bits`` (a single nested Column would
+    let CollapseProject inline the 3-way CASE exponentially).
+
+    Inputs must be non-negative and < 2**bits (mask/rank-normalize
+    first, as with :func:`zorder_key`).
+    """
+    n = 1 << bits
+    others = [c for c in df.columns if c not in (x, y)]
+    cur = df.select(
+        *others,
+        F.col(x).cast("long").alias("_hx"),
+        F.col(y).cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for i in range(bits - 1, -1, -1):
+        cur = cur.select(
+            *others,
+            "_hx",
+            "_hy",
+            "_hd",
+            F.shiftright("_hx", i).bitwiseAND(F.lit(1)).alias("_rx"),
+            F.shiftright("_hy", i).bitwiseAND(F.lit(1)).alias("_ry"),
+        )
+        quad = (
+            F.lit(3) * F.col("_rx")
+            + F.col("_ry")
+            - F.lit(2) * F.col("_rx") * F.col("_ry")
+        )
+        cur = cur.select(
+            *others,
+            (F.col("_hd") + F.shiftleft(quad, 2 * i)).alias("_hd"),
+            F.when(F.col("_ry") == 1, F.col("_hx"))
+            .when(F.col("_rx") == 0, F.col("_hy"))
+            .otherwise(F.lit(n - 1) - F.col("_hy"))
+            .alias("_hx"),
+            F.when(F.col("_ry") == 1, F.col("_hy"))
+            .when(F.col("_rx") == 0, F.col("_hx"))
+            .otherwise(F.lit(n - 1) - F.col("_hx"))
+            .alias("_hy"),
+        )
+    return cur.select(*others, F.col("_hd").alias(out))
+
+
+def hilbert_ctes(
+    bits: int,
+    passthrough: list[str],
+    source: str = "norm",
+) -> tuple[str, str]:
+    """DuckDB mirror of :func:`with_hilbert_key` — a chain of
+    MATERIALIZED CTEs (one reflect/transpose step per level; inlined
+    CTEs would re-expand the 3-way CASE exponentially, the
+    chained-CTE-depth failure mode), reading ``source`` with columns
+    ``x``, ``y`` plus ``passthrough``. Returns (ctes_sql, final_name);
+    the final CTE exposes ``passthrough`` + ``d`` (the Hilbert key).
+    """
+    n = 1 << bits
+    pt = ", ".join(passthrough)
+    parts = [
+        f"hil AS MATERIALIZED (SELECT {pt}, x, y,"
+        f" CAST(0 AS BIGINT) AS d FROM {source})"
+    ]
+    prev = "hil"
+    for k, i in enumerate(range(bits - 1, -1, -1)):
+        rx, ry = f"((x >> {i}) & 1)", f"((y >> {i}) & 1)"
+        quad = f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        parts.append(
+            f"hil{k} AS MATERIALIZED (SELECT {pt},"
+            f" d + (({quad}) << {2 * i}) AS d,"
+            f" CASE WHEN {ry} = 1 THEN x WHEN {rx} = 0 THEN y"
+            f" ELSE {n - 1} - y END AS x,"
+            f" CASE WHEN {ry} = 1 THEN y WHEN {rx} = 0 THEN x"
+            f" ELSE {n - 1} - x END AS y"
+            f" FROM {prev})"
+        )
+        prev = f"hil{k}"
+    return ",\n".join(parts), prev
+
+
+def write_keyed_layout(
+    df: DataFrame, path: str, key: Column | str, n_files: int = 32
+) -> None:
+    """Range-partition + locally sort by an arbitrary clustering key
+    (z-order, Hilbert, …) and write ``n_files`` parquet files — the
+    generic OPTIMIZE-style write: one sampled range exchange, no
+    global sort task, helper column dropped."""
+    if isinstance(key, str):
+        key = F.col(key)
+    (
+        df.withColumn("_ckey", key)
+        .repartitionByRange(n_files, "_ckey")
+        .sortWithinPartitions("_ckey")
+        .drop("_ckey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def files_touched(df: DataFrame) -> int:
     """Number of distinct files containing at least one row of ``df`` —
     the locality metric: with perfect min-max pruning the scan cost of

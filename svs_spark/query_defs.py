@@ -7629,3 +7629,348 @@ def q_length_decile_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def _hilbert_oracle() -> str:
+    ctes, final = LAY.hilbert_ctes(10, ["user_id", "b"])
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b
+      FROM events
+    ),
+    mn AS (SELECT min(b) AS mnb FROM e),
+    norm AS (
+      SELECT user_id & 1023 AS x, (b - mn.mnb) & 1023 AS y,
+             user_id, b
+      FROM e CROSS JOIN mn
+    ),
+    {ctes}
+    SELECT d >> 8 AS hcell,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(b) AS min_bucket, max(b) AS max_bucket
+    FROM {final}
+    GROUP BY 1
+    """
+
+
+@register("hilbert_locality_stats", oracle=_hilbert_oracle())
+def q_hilbert_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell profile of events over (user_id, hour-bucket)
+    — the locality diagnostic for the second space-filling-curve layout
+    (operators/layout.py:with_hilbert_key). Each hcell groups 256
+    consecutive curve positions, which for the Hilbert curve is EXACTLY
+    one 16x16 subsquare (the curve subdivides in powers of 4, and —
+    unlike Morton — never leaves a subsquare until it is exhausted),
+    so per-cell min/max spans are the tight bounded boxes file-level
+    min-max stats prune on. The curve is the branchless reflect/
+    transpose recurrence as per-level projections: pure integer
+    CASE/shift algebra in ONE WholeStageCodegen span, mirrored
+    level-for-level by the oracle's MATERIALIZED CTE chain.
+
+    Scale shape: one scan, a 1-row broadcast for the bucket origin,
+    one exchange on the cell key.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000 div 3600000000").alias("b")
+    )
+    mn = ev.agg(F.min("b").alias("mnb"))
+    norm = ev.crossJoin(F.broadcast(mn)).select(
+        F.col("user_id").bitwiseAND(F.lit(1023)).alias("x"),
+        (F.col("b") - F.col("mnb")).bitwiseAND(F.lit(1023)).alias("y"),
+        "user_id",
+        "b",
+    )
+    keyed = LAY.with_hilbert_key(norm, bits=10)
+    return (
+        keyed.withColumn("hcell", F.shiftright("hkey", 8))
+        .groupBy("hcell")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("b").alias("min_bucket"),
+            F.max("b").alias("max_bucket"),
+        )
+    )
+
+
+@register(
+    "dedup_canonical_pick",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             array_to_string(string_split(lower(text), ' ')[1:10], ' ')
+               AS pre
+      FROM documents
+    ),
+    g AS (
+      SELECT pre, count(*) AS group_size,
+             count(DISTINCT source) AS n_sources,
+             sum(n_chars) AS total_chars
+      FROM keyed GROUP BY pre HAVING count(*) > 1
+    ),
+    surv AS (
+      SELECT pre, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY pre ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM keyed
+    )
+    SELECT s.doc_id AS survivor_id,
+           CAST(g.group_size AS BIGINT) AS group_size,
+           CAST(g.n_sources AS BIGINT) AS n_sources,
+           CAST(g.total_chars - s.n_chars AS BIGINT) AS chars_removed
+    FROM g JOIN surv s ON g.pre = s.pre AND s.rn = 1
+    """,
+)
+def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of dedup: group near-identical docs by their
+    leading-snippet fingerprint (first 10 tokens — the cheap URL/title/
+    lede key crawl pipelines group on before any fuzzy pass), pick the
+    canonical survivor with the KEEP-THE-LONGEST rule (max n_chars,
+    tie → lowest doc_id: deterministic and idempotent across reruns),
+    and report what the rewrite deletes (group size, source spread,
+    characters reclaimed). dedup_exact/bag_of_words COUNT duplicate
+    groups; this emits the survivor decision a pipeline executes.
+
+    Scale shape: prefixes collapse to xxhash64 longs before the
+    exchange (8-byte keys; the oracle groups raw prefixes and compares
+    only aggregates); the survivor is a struct-max — ONE hash-keyed
+    aggregation with map-side partials, no window, no second join
+    (the oracle's window+join is the spec form)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.xxhash64(F.concat_ws(" ", F.slice(toks, 1, 10))).alias("h"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nd")
+        )
+    )
+    return (
+        keyed.groupBy("h")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            best.alias("best"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select(
+            (-F.col("best.nd")).alias("survivor_id"),
+            "group_size",
+            "n_sources",
+            (F.col("total_chars") - F.col("best.nc")).alias("chars_removed"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH toks AS ({_SHINGLE_SQL}),
+    ex AS (
+      SELECT d.source, t.doc_id, unnest(t.sh) AS g
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_doc_grams,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*), 6) AS novelty_rate
+    FROM ex JOIN first_seen USING (g)
+    GROUP BY source
+    """,
+)
+def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: of each source's distinct-per-doc
+    trigrams, the fraction whose FIRST corpus occurrence (min doc_id)
+    is that very doc — the redundancy-growth signal curation teams
+    watch to decide when additional crawl of a source stops adding
+    information (novelty falling toward 0 = the source is re-serving
+    known text).
+
+    Scale shape: shingles hash to 8-byte keys; the first-occurrence
+    aggregate and the gram join share ONE gram-key exchange
+    (co-partitioned), then a tiny per-source aggregate. Stop-gram
+    skew handling is the same as ngram_jaccard_pairs (AQE skew join).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("g_raw"))
+        .select("doc_id", F.xxhash64("g_raw").alias("g"))
+        .join(F.broadcast(docs), "doc_id")
+    )
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = ex.join(first, "g")
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_doc_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS tk FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    p AS (
+      SELECT unnest(list_transform(
+               range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i + 1])) AS pair
+      FROM t
+    )
+    SELECT string_split(pair, ' ')[1] AS tok_a,
+           string_split(pair, ' ')[2] AS tok_b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p
+    GROUP BY 1, 2
+    ORDER BY n DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE/WordPiece training as a distributed
+    query: count every ADJACENT token pair across the corpus (all
+    occurrences, not distinct) and rank the top merge candidates — the
+    highest-count pair is exactly what a BPE trainer would merge next.
+    Iterating this query with a re-tokenize step between rounds IS
+    distributed BPE training.
+
+    Scale shape: pairs come from a per-row transform over the token
+    array (no self-join, no window — adjacency is intra-row), the
+    aggregate combines map-side (key space is vocab², tiny), top-20 is
+    TakeOrdered. The deterministic tie order makes the merge decision
+    reproducible."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    ex = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("tok_a"),
+            F.split(F.col("pair"), " ").getItem(1).alias("tok_b"),
+        )
+    )
+    return (
+        ex.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS parity, CAST(r.dim AS INTEGER) AS dim,
+             CAST(floor(embedding[r.dim + 1]::DOUBLE * 1000000000 + 0.5)
+                  AS BIGINT) AS v_nanos
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS dim) r
+    ),
+    means AS (
+      SELECT label, parity, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(sum(v_nanos) AS DOUBLE) / count(*) / 1000
+                        + 0.5) AS BIGINT) AS m_micro
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT e.label, e.dim, e.m_micro AS me, o.m_micro AS mo,
+             e.n AS ne, o.n AS no
+      FROM means e JOIN means o
+        ON e.label = o.label AND e.dim = o.dim
+       AND e.parity = 0 AND o.parity = 1
+    )
+    SELECT label, max(ne) AS n_even, max(no) AS n_odd,
+           round(CAST(sum(me * mo) AS DOUBLE)
+                 / sqrt(CAST(sum(me * me) AS DOUBLE))
+                 / sqrt(CAST(sum(mo * mo) AS DOUBLE)), 6) AS centroid_cos
+    FROM paired GROUP BY label
+    """,
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-snapshot drift check: split each label's vectors into
+    two halves (vec_id parity — a deterministic stand-in for "previous
+    snapshot vs current snapshot") and report the cosine between the
+    half-centroids. centroid_cos ≈ 1 means the class's embedding
+    distribution is stable; a drop flags re-embedding drift or a
+    corrupted batch before it poisons retrieval — the monitor a
+    production embedding pipeline runs per model rollout.
+
+    Scale shape: posexplode to (label, parity, dim) keys so centroids
+    aggregate in parallel across dims; means re-quantize to integer
+    MICROS so the cross-parity dot/norm sums are pure BIGINT (order-
+    independent, overflow-safe: |m_micro| ≤ ~1e6, 64 dims ⇒ sums ≤
+    ~1e12) with ONE double op at the end — the invariant-15 recipe.
+    The dim join is co-partitioned on (label, dim); output is
+    |labels| rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("parity"),
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).withColumnsRenamed({"pos": "dim", "col": "v"})
+    v_nanos = F.floor(F.col("v") * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    means = (
+        ex.withColumn("v_nanos", v_nanos)
+        .groupBy("label", "parity", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(
+                F.sum("v_nanos").cast("double") / F.count("*") / F.lit(1000)
+                + F.lit(0.5)
+            ).cast("long").alias("m_micro"),
+        )
+    )
+    e = means.filter(F.col("parity") == 0).select(
+        "label", "dim",
+        F.col("m_micro").alias("me"), F.col("n").alias("ne"),
+    )
+    o = means.filter(F.col("parity") == 1).select(
+        "label", "dim",
+        F.col("m_micro").alias("mo"), F.col("n").alias("no"),
+    )
+    paired = e.join(o, ["label", "dim"])
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.max("ne").alias("n_even"),
+            F.max("no").alias("n_odd"),
+            F.round(
+                F.sum(F.col("me") * F.col("mo")).cast("double")
+                / F.sqrt(F.sum(F.col("me") * F.col("me")).cast("double"))
+                / F.sqrt(F.sum(F.col("mo") * F.col("mo")).cast("double")),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )

@@ -93,6 +93,107 @@ def test_zorder_touches_fewer_files_for_2d_box(spark, layouts):
     assert zf <= tf // 2, f"expected >=2x locality win, got {zf} vs {tf}"
 
 
+def hilbert_ref(x: int, y: int, bits: int) -> int:
+    """Classic top-down xy->d (the branch-y textbook form the
+    branchless Column algebra must reproduce bit-for-bit)."""
+    n = 1 << bits
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        rx = (x >> i) & 1
+        ry = (y >> i) & 1
+        d += ((3 * rx) ^ ry) << (2 * i)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+    return d
+
+
+@pytest.fixture(scope="module")
+def hilbert_grid(spark):
+    """Full 32x32 grid pushed through the SPARK kernel (bits=5)."""
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        F.col("x").alias("ox"), F.col("y").alias("oy"), "x", "y"
+    )
+    out = LAY.with_hilbert_key(df, bits=5)
+    return {(r["ox"], r["oy"]): r["hkey"] for r in out.collect()}
+
+
+def test_hilbert_key_matches_python_reference(hilbert_grid):
+    for (x, y), d in hilbert_grid.items():
+        assert d == hilbert_ref(x, y, 5), (x, y)
+
+
+def test_hilbert_curve_bijective_and_adjacent(hilbert_grid):
+    """The property Morton lacks: consecutive curve positions are
+    ALWAYS Manhattan-adjacent cells, and the key is a bijection onto
+    [0, 4^bits) — together these are what make a contiguous key range
+    a tight connected region (better file boxes than z-order)."""
+    inv = {d: xy for xy, d in hilbert_grid.items()}
+    assert sorted(inv) == list(range(1024))
+    for d in range(1023):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+
+
+def test_hilbert_sql_mirror_matches_kernel(spark, duck):
+    """The oracle-side CTE chain IS the kernel, level for level."""
+    ctes, final = LAY.hilbert_ctes(5, ["ox", "oy"])
+    sql = f"""
+    WITH norm AS (
+      SELECT x AS ox, y AS oy, x, y FROM grid
+    ),
+    {ctes}
+    SELECT ox, oy, d FROM {final}
+    """
+    duck.execute(
+        "CREATE OR REPLACE TABLE grid AS "
+        "SELECT x, y FROM range(32) t1(x), range(32) t2(y)"
+    )
+    got = {(r[0], r[1]): r[2] for r in duck.execute(sql).fetchall()}
+    for (x, y), d in got.items():
+        assert d == hilbert_ref(x, y, 5), (x, y)
+
+
+def test_hilbert_layout_touches_fewer_files_for_2d_box(
+    spark, layouts, tmp_path
+):
+    """Same data-skipping experiment as the z-order gate, driven by
+    the Hilbert key through the generic keyed-layout writer."""
+    _, tdir = layouts
+    ev = load(spark, SF_DIR_ORACLE, "events").select(
+        "user_id", F.expr("ts div 1000 div 3600000000").alias("b"), "value"
+    )
+    mnb = ev.agg(F.min("b")).collect()[0][0]
+    norm = ev.select(
+        "user_id", (F.col("b") - F.lit(mnb)).alias("y"), "value"
+    )
+    # normalize both dims onto [0, 255] before the curve (rank step)
+    hsrc = norm.select(
+        "user_id",
+        "y",
+        "value",
+        (F.col("user_id") * 255 / 149).cast("long").alias("x"),
+        F.expr("y * 255 div 719").alias("ycurve"),
+    ).withColumnRenamed("ycurve", "ynorm")
+    keyed = LAY.with_hilbert_key(hsrc, x="x", y="ynorm", bits=8)
+    hdir = str(tmp_path / "h")
+    LAY.write_keyed_layout(keyed, hdir, "hkey", n_files=32)
+    box = (
+        (F.col("user_id") >= 40)
+        & (F.col("user_id") <= 47)
+        & (F.col("y") >= 100)
+        & (F.col("y") <= 163)
+    )
+    hq = spark.read.parquet(hdir).filter(box)
+    tq = spark.read.parquet(tdir).filter(box)
+    assert hq.count() == tq.count() > 0
+    hf, tf = LAY.files_touched(hq), LAY.files_touched(tq)
+    assert hf <= tf // 2, f"expected >=2x locality win, got {hf} vs {tf}"
+
+
 def test_zorder_files_bound_both_dimensions(spark, layouts):
     """Per-file min-max spans: the 1-D layout bounds only time (every
     file spans ALL users), while z-files bound BOTH dimensions. Note
