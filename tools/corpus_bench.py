@@ -347,6 +347,102 @@ def main() -> None:
 
     run("bloom_decontaminate", bloom_decontaminate)
 
+    # -- round-4 curation additions -----------------------------------
+    # canonical-survivor pick on the 10-token leading snippet: on this
+    # corpus every 50-variant template family shares its prefix, so the
+    # op resolves ~n/50 groups of 50 — the apply-step at dedup scale
+    def canonical_pick():
+        toks = F.split(F.lower(F.col("text")), " ")
+        keyed = docs.select(
+            F.col("doc_id"),
+            (F.col("doc_id") % 20).alias("source"),
+            F.length("text").alias("n_chars"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, 1, 10))).alias("h"),
+        )
+        best = F.max(
+            F.struct(
+                F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nd")
+            )
+        )
+        return (
+            keyed.groupBy("h")
+            .agg(
+                F.count("*").alias("group_size"),
+                F.countDistinct("source").alias("n_sources"),
+                F.sum("n_chars").alias("total_chars"),
+                best.alias("best"),
+            )
+            .filter(F.col("group_size") > 1)
+            .count()
+        )
+
+    run("dedup_canonical_pick", canonical_pick)
+
+    # adjacent-pair counts (the BPE trainer's inner loop) over ~27
+    # tokens/doc: intra-row struct transform, no join
+    def bpe_pairs():
+        tokd = docs.select(F.split(F.lower(F.col("text")), " ").alias("tk"))
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("tk")) - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("tk"), i + 1).alias("a"),
+                F.element_at(F.col("tk"), i + 2).alias("b"),
+            ),
+        )
+        return (
+            tokd.filter(F.size(F.col("tk")) >= 2)
+            .select(F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(20)
+            .count()
+        )
+
+    run("bpe_merge_candidates", bpe_pairs)
+
+    # per-source trigram novelty: first-occurrence agg + gram join on
+    # one 8-byte-key exchange
+    def novelty():
+        toks = F.split(F.lower(F.col("text")), " ")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        )
+        ex = (
+            docs.filter(F.size(toks) >= 3)
+            .select(
+                "doc_id",
+                (F.col("doc_id") % 20).alias("source"),
+                F.explode(sh).alias("g_raw"),
+            )
+            .select("doc_id", "source", F.xxhash64("g_raw").alias("g"))
+        )
+        from pyspark.sql import Window
+
+        return (
+            ex.withColumn(
+                "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+                ).alias("novel"),
+            )
+            .count()
+        )
+
+    run("ngram_novelty", novelty)
+
     print(
         json.dumps(
             {
