@@ -134,6 +134,9 @@ HEADLINE = [
     "bpe_merge_candidates",
     "embedding_centroid_drift",
     "theil_sen_trend",
+    "ngram_containment_pairs",
+    "chunk_boundary_overlap",
+    "embedding_norm_outliers",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

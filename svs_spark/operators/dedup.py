@@ -94,7 +94,11 @@ def minhash_signature(tok_hashes: Column, num_hashes: int = 16) -> Column:
 
 
 def _signature_batch_kernel(
-    id_col: str, text_col: str, num_hashes: int, shingle_size: int
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    passthrough: tuple = (),
 ):
     """Arrow-batched (shingle-hash, minhash-signature) kernel.
 
@@ -152,11 +156,15 @@ def _signature_batch_kernel(
         for pdf in batches:
             docs_toks: list[list[str]] = []
             ids_out: list[int] = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            keep_pos: list[int] = []
+            for pos, (did, text) in enumerate(
+                zip(pdf[id_col], pdf[text_col])
+            ):
                 toks = text.lower().split(" ")
                 if len(toks) < k:
                     continue
                 ids_out.append(did)
+                keep_pos.append(pos)
                 docs_toks.append(toks)
             if not ids_out:
                 # typed empty frame: bare [] columns default to float64,
@@ -166,6 +174,10 @@ def _signature_batch_kernel(
                         "did": pd.Series([], dtype="int64"),
                         "hs": pd.Series([], dtype="object"),
                         "sig": pd.Series([], dtype="object"),
+                        **{
+                            c: pdf[c].iloc[[]].reset_index(drop=True)
+                            for c in passthrough
+                        },
                     }
                 )
                 continue
@@ -254,7 +266,15 @@ def _signature_batch_kernel(
                 lo_doc = hi_doc
             sig = np.concatenate(sig_parts, axis=1)
             yield pd.DataFrame(
-                {"did": ids_out, "hs": hs_out, "sig": sig.T.tolist()}
+                {
+                    "did": ids_out,
+                    "hs": hs_out,
+                    "sig": sig.T.tolist(),
+                    **{
+                        c: pdf[c].iloc[keep_pos].reset_index(drop=True)
+                        for c in passthrough
+                    },
+                }
             )
 
     return run

@@ -8056,3 +8056,179 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH toks AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+    n AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           round(inter::DOUBLE / na.c, 6) AS c_a_in_b,
+           round(inter::DOUBLE / nb.c, 6) AS c_b_in_a
+    FROM p JOIN n na ON p.id_a = na.doc_id
+           JOIN n nb ON p.id_b = nb.doc_id
+    WHERE inter::DOUBLE / na.c >= 0.9 OR inter::DOUBLE / nb.c >= 0.9
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: pairs where one doc's trigram set
+    is ≥90% inside the other's — the signal Jaccard misses when sizes
+    differ (a post embedded in an aggregator page has tiny Jaccard but
+    containment ≈ 1; exactly the subset-duplication that leaks quotes
+    and syndicated text into training data). Both directions reported.
+
+    Scale shape: identical inverted-index join as ngram_jaccard_pairs
+    (8-byte xxhash64 shingle keys, AQE skew join for stop-shingles);
+    only the final filter differs — containment divides by ONE side's
+    size instead of the union."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = (
+        sh.select("doc_id", F.explode("sh").alias("s_raw"))
+        .select("doc_id", F.xxhash64("s_raw").alias("s"))
+        .persist()
+    )
+    n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    nb = n.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    j = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("cab", F.col("inter").cast("double") / F.col("ca"))
+        .withColumn("cba", F.col("inter").cast("double") / F.col("cb"))
+        .filter((F.col("cab") >= 0.9) | (F.col("cba") >= 0.9))
+    )
+    return j.select(
+        "id_a", "id_b", "inter",
+        F.round("cab", 6).alias("c_a_in_b"),
+        F.round("cba", 6).alias("c_b_in_a"),
+    )
+
+
+@register(
+    "chunk_boundary_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    hk AS (
+      SELECT doc_id,
+             array_to_string(tk[1:3], ' ') AS head,
+             array_to_string(tk[len(tk)-2:len(tk)], ' ') AS tail
+      FROM t WHERE len(tk) >= 3
+    )
+    SELECT a.doc_id AS id_tail, b.doc_id AS id_head
+    FROM hk a JOIN hk b
+      ON a.tail = b.head AND a.doc_id <> b.doc_id
+    """,
+)
+def q_chunk_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-artifact detection: doc A's LAST 3 tokens equal doc B's
+    FIRST 3 tokens — the fingerprint of one original document cut into
+    chunks mid-sentence by a crawler/chunker. Curation pipelines stitch
+    or drop these before packing, since boundary-duplicated fragments
+    both waste tokens and teach the model to repeat section seams.
+
+    Scale shape: each doc contributes ONE head key and ONE tail key
+    (scan-stage slices — no explode), both collapsed to xxhash64
+    longs; the tail=head equi-join exchanges n 8-byte keys with bucket
+    sizes bounded by boundary-phrase popularity (a stop-phrase cap à
+    la the banded joins applies at web scale; the oracle joins the raw
+    strings and compares the identical id-pair set)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    hk = docs.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("head"),
+        F.xxhash64(F.concat_ws(" ", F.slice(toks, -3, 3))).alias("tail"),
+    )
+    a = hk.select(F.col("doc_id").alias("id_tail"), "tail")
+    b = hk.select(F.col("doc_id").alias("id_head"), "head")
+    return (
+        a.join(b, a["tail"] == b["head"])
+        .filter(F.col("id_tail") != F.col("id_head"))
+        .select("id_tail", "id_head")
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH nv AS (
+      SELECT label, vec_id,
+             CAST(list_sum(list_transform(embedding,
+                    x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)
+                         * CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS n2
+      FROM embeddings
+    ),
+    base AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n2) AS BIGINT) AS s,
+             CAST(sum(n2 * n2) AS BIGINT) AS ss
+      FROM nv GROUP BY 1
+    )
+    SELECT nv.label, b.n AS n_vecs,
+           CAST(sum(CASE WHEN abs(round(
+                  (nv.n2 - CAST(b.s AS DOUBLE) / b.n)
+                  / sqrt(CAST(b.ss AS DOUBLE) / b.n
+                         - (CAST(b.s AS DOUBLE) / b.n)
+                           * (CAST(b.s AS DOUBLE) / b.n)), 6)) > 3
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(b.s AS DOUBLE) / b.n / 1000000, 6) AS mean_norm2
+    FROM nv JOIN base b USING (label)
+    GROUP BY 1, 2, 4
+    """,
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline health monitor: per label, count vectors
+    whose squared norm is a >3σ outlier against the label's own norm
+    distribution — the cheap detector for truncated/zeroed/double-
+    scaled vectors from a bad embedding batch (norms are the first
+    thing that breaks, before retrieval quality visibly degrades).
+
+    Scale shape: the per-row norm² is an integer-MILLI fold over the
+    array (scan-stage; milli² × 64 dims ≤ ~1e6, and its square ≤
+    ~1e12·n stays in BIGINT — the sum-of-squares overflow ceiling that
+    rules out micro scale, cf. seasonal_outliers); per-label moments
+    are a tiny aggregate broadcast back; the flag is scan-stage
+    arithmetic. One exchange on label, no window. At >>64 dims the
+    fold swaps for the Arrow GEMM kernel (invariant 5)."""
+    emb = load(spark, sf_dir, "embeddings")
+    milli = "CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+    n2 = F.expr(
+        f"aggregate(embedding, 0L, (acc, x) -> acc + {milli} * {milli})"
+    )
+    nv = emb.select("label", "vec_id", n2.alias("n2"))
+    base = nv.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("n2").alias("s"),
+        F.sum(F.col("n2") * F.col("n2")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = F.round((F.col("n2") - mean) / F.sqrt(var), 6)
+    return (
+        nv.join(F.broadcast(base), "label")
+        .groupBy(
+            "label",
+            F.col("n").alias("n_vecs"),
+            F.round(mean / F.lit(1_000_000), 6).alias("mean_norm2"),
+        )
+        .agg(
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).alias("n_outliers")
+        )
+        .select("label", "n_vecs", "n_outliers", "mean_norm2")
+    )
