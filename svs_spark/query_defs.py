@@ -7988,21 +7988,19 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS sm
       FROM events GROUP BY 1, 2
     ),
-    nd AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-      FROM daily GROUP BY 1
-    ),
     sl AS (
       SELECT a.event_type,
              CAST(b.sm - a.sm AS DOUBLE) / (b.d - a.d) / 1000 AS slope
       FROM daily a JOIN daily b
         ON a.event_type = b.event_type AND a.d < b.d
     )
-    SELECT sl.event_type, nd.n_days,
+    SELECT event_type,
+           CAST(floor((1 + sqrt(1 + 8.0 * count(*))) / 2 + 0.5)
+                AS BIGINT) AS n_days,
            CAST(count(*) AS BIGINT) AS n_pairs,
            round(median(slope), 6) AS slope_per_day
-    FROM sl JOIN nd USING (event_type)
-    GROUP BY sl.event_type, nd.n_days
+    FROM sl
+    GROUP BY event_type
     """,
 )
 def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8030,8 +8028,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.sum("m").alias("sm"))
+        # feeds both join sides — materialize once, not two scans+aggs
+        .persist()
     )
-    nd = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
     a = daily.select("event_type", F.col("d").alias("da"), F.col("sm").alias("sa"))
     b = daily.select("event_type", F.col("d").alias("db"), F.col("sm").alias("sb"))
     sl = (
@@ -8047,13 +8046,22 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sl.join(F.broadcast(nd), "event_type")
-        .groupBy("event_type", "n_days")
+        sl.groupBy("event_type")
         .agg(
             F.count("*").alias("n_pairs"),
             F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
                 "slope_per_day"
             ),
+        )
+        # n_days recovered EXACTLY from n_pairs = n(n-1)/2 — no third
+        # read of the daily table, no broadcast join
+        .select(
+            "event_type",
+            F.floor(
+                (F.lit(1) + F.sqrt(1 + 8.0 * F.col("n_pairs"))) / 2 + 0.5
+            ).cast("long").alias("n_days"),
+            "n_pairs",
+            "slope_per_day",
         )
     )
 
@@ -8231,4 +8239,85 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).alias("n_outliers")
         )
         .select("label", "n_vecs", "n_outliers", "mean_norm2")
+    )
+
+
+@register(
+    "dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      FROM events
+    ),
+    mx AS (SELECT max(d) AS dmax FROM ud),
+    ex AS (
+      SELECT ud.user_id, ud.d + o.off AS td, o.off
+      FROM ud
+      CROSS JOIN (SELECT unnest(range(30)) AS off) o
+      CROSS JOIN mx
+      WHERE ud.d + o.off <= mx.dmax
+    )
+    SELECT td AS day,
+           CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN off <= 6 THEN user_id END)
+                AS BIGINT) AS wau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+           round(count(DISTINCT CASE WHEN off = 0 THEN user_id END)
+                 ::DOUBLE
+                 / count(DISTINCT CASE WHEN off <= 6 THEN user_id END),
+                 6) AS stickiness
+    FROM ex
+    GROUP BY td
+    """,
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: per day, the distinct active
+    users that day (DAU), over the trailing 7 days (WAU), and the
+    trailing 30 days (MAU), plus DAU/WAU stickiness. Rolling DISTINCT
+    cannot use a running window (distinct doesn't decompose), so each
+    (user, day) row SCATTERS into the up-to-30 future days it keeps
+    alive — turning the rolling distinct into a plain per-day distinct
+    count.
+
+    Scale shape: events first crush to the distinct (user, day) table
+    (one exchange); the 30× scatter is an intra-row sequence explode
+    bounded by the horizon; the three conditional distincts share one
+    day-keyed aggregation. At 100 TB the exact form's scatter is the
+    cost ceiling — the sketch swap is streaming/hll_window.py: keep
+    per-day HLL register tables and max-merge 7 or 30 of them per
+    window, no scatter at all (tested there).
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        F.expr("ts div 1000 div 86400000000").alias("d"), "user_id"
+    ).distinct()
+    mx = ud.agg(F.max("d").alias("dmax"))
+    ex = (
+        ud.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"),
+            "d",
+            "dmax",
+        )
+        .withColumn("td", F.col("d") + F.col("off"))
+        .filter(F.col("td") <= F.col("dmax"))
+    )
+    dau = F.countDistinct(
+        F.when(F.col("off") == 0, F.col("user_id"))
+    ).alias("dau")
+    wau = F.countDistinct(
+        F.when(F.col("off") <= 6, F.col("user_id"))
+    ).alias("wau")
+    mau = F.countDistinct("user_id").alias("mau")
+    return (
+        ex.groupBy(F.col("td").alias("day"))
+        .agg(dau, wau, mau)
+        .select(
+            "day", "dau", "wau", "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
     )

@@ -319,3 +319,67 @@ def test_rfm_and_pareto_windows_are_bucket_partitioned(spark, registry):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(_bucket" in plan, (name, plan[:2000])
         assert "ntile" not in plan, (name, plan[:2000])
+
+
+def test_hilbert_key_is_one_codegen_span(spark, registry):
+    """The per-level projections of the Hilbert recurrence must stay
+    inside ONE WholeStageCodegen span with a LINEAR plan — if
+    CollapseProject ever starts inlining the 3-way CASEs, the plan
+    explodes 3^bits and this gate catches it as a span/size blowup."""
+    df = registry["hilbert_locality_stats"](spark, SF_DIR)
+    plan = X.plan_string(df)
+    # bit-level projections must not have been inlined into one
+    # mega-expression: the plan text stays small
+    assert len(plan) < 200_000, len(plan)
+    # no per-row join/UDF anywhere in the curve computation; the only
+    # nested-loop allowed is the 1-row broadcast bucket-origin join
+    # (the accepted crossJoin(broadcast(1-row-agg)) pattern)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each node twice (tree + detail): one
+    # BroadcastNestedLoopJoin node == 2 occurrences
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_chunk_boundary_single_equi_join(spark, registry):
+    """tail==head must be a hash equi-join on 8-byte keys — never a
+    cartesian/nested-loop over docs, and no explode (one row per doc
+    on each side)."""
+    df = registry["chunk_boundary_overlap"](spark, SF_DIR)
+    plan = X.plan_string(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Generate" not in plan, "boundary keys must not explode"
+
+
+def test_containment_reuses_inverted_index_shape(spark, registry):
+    """Same plan contract as ngram_jaccard_pairs: shingle equi-join,
+    sizes broadcast back onto the bounded pair table."""
+    df = registry["ngram_containment_pairs"](spark, SF_DIR)
+    plan = X.plan_string(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert X.uses_broadcast_join(df), "doc sizes must broadcast"
+
+
+def test_embedding_norm_outliers_no_window_no_explode(spark, registry):
+    """The norm fold happens at scan stage: no posexplode of the
+    embedding array, no window — one label exchange plus the broadcast
+    moments."""
+    df = registry["embedding_norm_outliers"](spark, SF_DIR)
+    plan = X.plan_string(df)
+    assert "Generate" not in plan, "norm must fold per-row, not explode"
+    assert "Window" not in plan
+    assert X.uses_broadcast_join(df)
+
+
+def test_theil_sen_pair_join_is_on_daily_aggregate(spark, registry):
+    """The O(n^2) self-join must consume the daily AGGREGATE, not raw
+    events: both join children aggregate before the join, and the join
+    is an equi-join on event_type."""
+    df = registry["theil_sen_trend"](spark, SF_DIR)
+    plan = X.plan_string(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the daily rollup is persisted and feeds both join sides from the
+    # cache — one real parquet scan (the cached InMemoryRelation
+    # re-prints its child scan under every reference, so count the
+    # cache reads, not the textual scans)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
