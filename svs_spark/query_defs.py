@@ -8028,8 +8028,6 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.sum("m").alias("sm"))
-        # feeds both join sides — materialize once, not two scans+aggs
-        .persist()
     )
     a = daily.select("event_type", F.col("d").alias("da"), F.col("sm").alias("sa"))
     b = daily.select("event_type", F.col("d").alias("db"), F.col("sm").alias("sb"))

@@ -378,8 +378,7 @@ def test_theil_sen_pair_join_is_on_daily_aggregate(spark, registry):
     df = registry["theil_sen_trend"](spark, SF_DIR)
     plan = X.plan_string(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    # the daily rollup is persisted and feeds both join sides from the
-    # cache — one real parquet scan (the cached InMemoryRelation
-    # re-prints its child scan under every reference, so count the
-    # cache reads, not the textual scans)
-    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+    # both join sides consume the (event_type, day) rollup: the raw
+    # events parquet appears at most twice (one scan per side pre-AQE
+    # reuse; each node prints twice in formatted mode => <= 4)
+    assert plan.count("Scan parquet") <= 4, plan[:1500]
