@@ -299,6 +299,11 @@ def minhash_lsh_pairs(
     at 100 TB band buckets are small by construction (a hot bucket
     means actual duplicates, which is the signal we want).
 
+    Pre-flight: ``operators.sketch.estimate_join_size`` on the band
+    keys (self-join form) predicts the candidate volume from one scan
+    — run it before committing a 100 TB banded join to decide
+    ``bucket_cap``.
+
     ``bucket_cap``: per-band-bucket candidate ceiling for adversarial
     corpora (a B-row bucket emits O(B²) candidates). Over-cap buckets
     are excluded; a pair survives iff at least one of its agreeing

@@ -485,3 +485,50 @@ def count_min(
     # exactly once) — recover n without a second pass
     n = int(table[0].sum()) if depth else 0
     return CountMin(width, depth, table, n)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from count-min sketches (AGMS/CM inner product).
+# For an equi-join A ⋈ B on one key, |result| = Σ_k fA(k)·fB(k); since
+# each CM row holds per-bucket sums of frequencies, the row inner
+# product Σ_j CMA[r,j]·CMB[r,j] OVERestimates that sum (colliding keys
+# only add cross terms), and min over the d independent rows tightens
+# it — the classic pre-flight for "will this self-join explode" that a
+# 100 TB pipeline runs BEFORE a shingle/band/skewed-key join, at the
+# cost of one scan per side instead of the join itself. The self-join
+# case (B = A) estimates Σ_k f(k)² — exactly the candidate-pair volume
+# of an LSH bucket join (up to the ×2 ordered/unordered convention).
+# ---------------------------------------------------------------------------
+
+
+def join_size_estimate(cm_a: CountMin, cm_b: CountMin) -> int:
+    """Upper estimate of the equi-join cardinality between the two
+    sketched key multisets: true <= est, est - true <= ||fA||·||fB||
+    ·d'/width in expectation per row (collision mass)."""
+    if cm_a.width != cm_b.width or cm_a.depth != cm_b.depth:
+        raise ValueError("sketches must share (width, depth)")
+    import numpy as np
+
+    return int(
+        min(
+            int(np.dot(cm_a.table[r], cm_b.table[r]))
+            for r in range(cm_a.depth)
+        )
+    )
+
+
+def estimate_join_size(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    width: int = 8192,
+    depth: int = 4,
+) -> int:
+    """One scan per side → the join-size estimate. Keys are sketched as
+    strings (cast) with the same portable fingerprint family as
+    count_min, so both sides bucket identically."""
+    return join_size_estimate(
+        count_min(df_a, key_a, width=width, depth=depth),
+        count_min(df_b, key_b, width=width, depth=depth),
+    )

@@ -268,3 +268,53 @@ def test_event_outliers_mad_approx_twin(spark):
         assert abs(a.n_outliers - e.n_outliers) <= max(
             5, 0.2 * max(e.n_outliers, 1)
         ), (et, e, a)
+
+
+class TestJoinSizeEstimate:
+    """AGMS/CM join-cardinality pre-flight: one-sided overcount, tight
+    when width >> key cardinality, and the self-join form predicts
+    LSH-bucket candidate volume."""
+
+    def test_fk_join_upper_and_tight(self, spark):
+        from svs_spark.operators.sketch import estimate_join_size
+        from svs_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        o = load(spark, SF_DIR, "orders").select("o_custkey")
+        c = load(spark, SF_DIR, "customer").select("c_custkey")
+        exact = o.join(
+            c, o["o_custkey"] == c["c_custkey"]
+        ).count()
+        est = estimate_join_size(o, "o_custkey", c, "c_custkey")
+        assert est >= exact
+        # width 8192 >> |customers| at sf0.001: collisions are rare
+        assert est <= exact * 1.05 + 10, (est, exact)
+
+    def test_self_join_predicts_squared_frequency_mass(self, spark):
+        from pyspark.sql import functions as F
+
+        from svs_spark.operators.sketch import count_min, join_size_estimate
+
+        # skewed keys: value k appears ~1000/k times (harmonic) — the
+        # hot-bucket shape banded dedup joins worry about
+        df = spark.range(1, 4000).select(
+            (F.lit(4000) / F.col("id")).cast("long").alias("k")
+        )
+        exact = (
+            df.groupBy("k").count().agg(F.sum(F.expr("count * count")))
+        ).first()[0]
+        cm = count_min(df, "k", width=4096, depth=4)
+        est = join_size_estimate(cm, cm)
+        assert est >= exact
+        assert est <= exact * 1.1, (est, exact)
+
+    def test_mismatched_shapes_rejected(self, spark):
+        from svs_spark.operators.sketch import CountMin, join_size_estimate
+        import numpy as np
+
+        a = CountMin(64, 4, np.zeros((4, 64), dtype=np.int64), 0)
+        b = CountMin(128, 4, np.zeros((4, 128), dtype=np.int64), 0)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            join_size_estimate(a, b)
