@@ -138,6 +138,9 @@ HEADLINE = [
     "chunk_boundary_overlap",
     "embedding_norm_outliers",
     "dau_wau_mau",
+    "token_lang_affinity",
+    "supplier_hhi_concentration",
+    "source_provenance_matrix",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

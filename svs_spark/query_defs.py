@@ -8319,3 +8319,237 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "token_lang_affinity",
+    oracle="""
+    WITH occ AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT tok, count(*) AS c_t FROM occ GROUP BY tok),
+    lc AS (SELECT lang, count(*) AS c_l FROM occ GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM occ),
+    joint AS (
+      SELECT tok, lang, count(*) AS c_tl FROM occ GROUP BY 1, 2
+    )
+    SELECT j.tok, j.lang, CAST(j.c_tl AS BIGINT) AS c_tl,
+           round(ln(j.c_tl::DOUBLE * tot.n
+                    / (tc.c_t::DOUBLE * lc.c_l)), 6) AS pmi
+    FROM joint j
+    JOIN tc USING (tok) JOIN lc USING (lang) CROSS JOIN tot
+    WHERE j.c_tl >= 5
+    ORDER BY pmi DESC, tok, lang LIMIT 50
+    """,
+)
+def q_token_lang_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-feature association for feature selection / corpus
+    auditing: top (token, language) pairs by pointwise mutual
+    information over token occurrences — the screen that surfaces
+    which vocabulary is language-exclusive (tokenizer planning,
+    leakage checks: a "language-neutral" corpus whose top PMI pairs
+    are strong is mislabeled or contaminated).
+
+    Scale shape: one occurrence explode; the joint (tok, lang)
+    aggregate and the token-marginal aggregate share the token-keyed
+    exchange; the language marginal is |langs| rows and the total is
+    one broadcast row. AQE decides the tok-marginal join strategy at
+    runtime (corpus-dependent vocabulary, same policy as
+    bigram_pmi_top). ln() on an all-integer ratio is the only float,
+    rounded at 6dp in both engines; TakeOrdered top-50."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    tc = occ.groupBy("tok").agg(F.count("*").alias("c_t"))
+    lc = occ.groupBy("lang").agg(F.count("*").alias("c_l"))
+    tot = occ.agg(F.count("*").alias("n"))
+    joint = occ.groupBy("tok", "lang").agg(F.count("*").alias("c_tl"))
+    j = (
+        joint.filter(F.col("c_tl") >= 5)
+        .join(tc, "tok")
+        .join(F.broadcast(lc), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c_tl").cast("double")
+            * F.col("n")
+            / (F.col("c_t").cast("double") * F.col("c_l"))
+        ),
+        6,
+    )
+    return (
+        j.select("tok", "lang", "c_tl", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "tok", "lang")
+        .limit(50)
+    )
+
+
+@register(
+    "supplier_hhi_concentration",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    part_hhi AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(q * q) AS BIGINT) AS sq2,
+             CAST(sum(q) AS BIGINT) AS qt
+      FROM ps GROUP BY pk HAVING count(*) >= 2
+    )
+    SELECT CAST(floor(CAST(sq2 AS DOUBLE) / qt / qt * 10) AS BIGINT)
+             AS hhi_decile,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n_suppliers) AS BIGINT) AS total_supplier_links,
+           round(CAST(sum(CAST(floor(CAST(sq2 AS DOUBLE) / qt / qt
+                                     * 1000000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1000000000, 6) AS avg_hhi
+    FROM part_hhi
+    GROUP BY 1
+    """,
+)
+def q_supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-risk concentration: per part, the Herfindahl-Hirschman
+    index of supplier quantity shares (HHI = Σ share² ∈ (1/n, 1]; 1 =
+    single-sourced), reported as the decile histogram over multi-
+    supplier parts — the procurement analytics staple for "how exposed
+    is the catalog to single-supplier failure".
+
+    Scale shape: one (part, supplier) aggregate on integer-cent
+    quantities, then a part-keyed rollup whose Σq² / (Σq)² needs only
+    BIGINT sums (q ≤ ~5e3 cents per pair at any SF, squares ≤ ~2.5e7
+    × links — far inside int64) and ONE double division; the decile
+    histogram is a tiny final aggregate. Both aggregations share the
+    partkey-prefixed exchange lineage.
+
+    avg_hhi follows the invariant-15 recipe: each per-part ratio
+    (deterministic — integer inputs, one division) quantizes to
+    integer nanos BEFORE the group sum, so the average is
+    order-independent under partial aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    qc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    ps = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            qc.alias("qc"),
+        )
+        .groupBy("pk", "sk")
+        .agg(F.sum("qc").alias("q"))
+    )
+    part = (
+        ps.groupBy("pk")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("q") * F.col("q")).alias("sq2"),
+            F.sum("q").alias("qt"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+    hhi = F.col("sq2").cast("double") / F.col("qt") / F.col("qt")
+    return (
+        part.groupBy(
+            F.floor(hhi * 10).cast("long").alias("hhi_decile")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("n_suppliers").alias("total_supplier_links"),
+            F.round(
+                F.sum(
+                    F.floor(hhi * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.count("*")
+                / F.lit(1_000_000_000),
+                6,
+            ).alias("avg_hhi"),
+        )
+    )
+
+
+@register(
+    "source_provenance_matrix",
+    oracle=f"""
+    WITH toks AS ({_SHINGLE_SQL}),
+    ex AS (
+      SELECT d.source, t.doc_id, unnest(t.sh) AS g
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g
+    ),
+    fs AS (
+      SELECT f.g, d.source AS src_origin
+      FROM first_seen f JOIN documents d ON f.first_doc = d.doc_id
+    ),
+    reader AS (
+      SELECT DISTINCT source AS src_reader, g FROM ex
+    ),
+    cells AS (
+      SELECT fs.src_origin, r.src_reader,
+             CAST(count(*) AS BIGINT) AS n_grams
+      FROM reader r JOIN fs USING (g)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT src_reader, CAST(sum(n_grams) AS BIGINT) AS total
+      FROM cells GROUP BY 1
+    )
+    SELECT c.src_origin, c.src_reader, c.n_grams,
+           round(c.n_grams::DOUBLE / s.total, 6) AS share
+    FROM cells c JOIN sizes s USING (src_reader)
+    WHERE c.n_grams >= 20
+    ORDER BY share DESC, src_origin, src_reader LIMIT 100
+    """,
+)
+def q_source_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional content provenance: for each source pair, the share
+    of the READER source's distinct trigrams whose global FIRST
+    occurrence lives in the ORIGIN source — the matrix that separates
+    "B re-serves A's content" from "A re-serves B's" (symmetric
+    overlap matrices like source_overlap_matrix can't tell the
+    direction; crawl-dedup keep-first policies need it).
+
+    Scale shape: the first-occurrence table reuses the single gram-key
+    exchange (window-free min aggregate); origin attribution is one
+    point join on first_doc (broadcast doc→source map); the
+    reader×gram distinct shares the same gram key; the matrix is
+    bounded by sources². Top-100 by share is TakeOrdered."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("g_raw"))
+        .select("doc_id", F.xxhash64("g_raw").alias("g"))
+        .join(F.broadcast(docs), "doc_id")
+    )
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    fs = first.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("first_doc"),
+                                F.col("source").alias("src_origin"))),
+        "first_doc",
+    ).select("g", "src_origin")
+    reader = ex.select(F.col("source").alias("src_reader"), "g").distinct()
+    cells = (
+        reader.join(fs, "g")
+        .groupBy("src_origin", "src_reader")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    w_tot = Window.partitionBy("src_reader")
+    return (
+        cells.withColumn("total", F.sum("n_grams").over(w_tot))
+        .filter(F.col("n_grams") >= 20)
+        .select(
+            "src_origin", "src_reader", "n_grams",
+            F.round(
+                F.col("n_grams").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("share"), "src_origin", "src_reader")
+        .limit(100)
+    )
