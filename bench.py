@@ -141,6 +141,7 @@ HEADLINE = [
     "token_lang_affinity",
     "supplier_hhi_concentration",
     "source_provenance_matrix",
+    "price_size_regression",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

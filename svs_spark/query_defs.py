@@ -8553,3 +8553,81 @@ def q_source_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("share"), "src_origin", "src_reader")
         .limit(100)
     )
+
+
+@register(
+    "price_size_regression",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+      FROM part
+    ),
+    m AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT p_brand, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / 100, 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - sx * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)))
+                 / n / 100, 6) AS intercept,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+                 6) AS r2
+    FROM m
+    """,
+)
+def q_price_size_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS as a pure aggregate: per brand, the slope /
+    intercept / R² of retail price vs size from the five BIGINT moment
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) — the regression-without-a-
+    regression-library primitive every pricing/forecasting pipeline
+    needs, and the template for ANY single-feature OLS at 100 TB: one
+    scan, map-side partials, |groups| rows out, closed-form algebra
+    at the end.
+
+    Scale/exactness: prices quantize to integer cents per row, so all
+    six sums are exact order-independent BIGINTs (max |Σxy| ≈ 50 ·
+    2e6 cents · rows — int64-safe to ~1e11 rows/brand); the doubles
+    appear only in the final closed forms, identically sequenced in
+    both engines and rounded at 6dp."""
+    part = load(spark, sf_dir, "part")
+    p = part.select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    m = p.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = n * F.col("sxy") - sx * F.col("sy")
+    var_x = n * F.col("sxx") - sx * F.col("sx")
+    var_y = n * F.col("syy") - sy * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope / 100, 6).alias("slope"),
+        F.round((sy - sx * slope) / n / 100, 6).alias("intercept"),
+        F.round(cov_n * cov_n / var_x / var_y, 6).alias("r2"),
+    )

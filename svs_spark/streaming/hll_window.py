@@ -31,10 +31,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 def _rho_expr(hash_col: Column, p: int) -> Column:
     """Rank of the first set bit (1-based) of the hash bits AFTER the
     p register-index bits, i.e. rho(w) for w = h >> p over 64-p bits.
-    Implemented as 64-p minus the bit length of (w with a sentinel):
-    rho = (64-p) - floor(log2(w)) when w > 0, else 64-p+1 — done with
-    ``bin``-free integer algebra: number of leading zeros of w in
-    64-p bits + 1."""
+    Implemented as (64-p) - bit_length(w) + 1 for w > 0 (number of
+    leading zeros in 64-p bits, 1-based), else 64-p+1; bit_length
+    comes from ``length(bin(w))`` — a codegen'd JVM string op, no
+    Python anywhere."""
     w = F.shiftrightunsigned(hash_col, p)
     # bit_length(w) via length(bin(w)) — bin() of 0 is "0" (length 1),
     # handled by the w=0 branch

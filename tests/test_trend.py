@@ -74,3 +74,21 @@ def test_robust_to_planted_outlier():
     assert lsq_shift > 10, lsq_shift  # the spike wrecks least squares
     assert ts_shift < 0.1 * lsq_shift, (ts_shift, lsq_shift)
     assert abs(spiked_ts - 3) < 1.0  # still near the true slope
+
+
+def test_regression_matches_numpy(spark, registry):
+    """price_size_regression vs np.polyfit per brand — a second oracle
+    independent of the SQL mirror."""
+    out = registry["price_size_regression"](spark, SF_DIR).toPandas()
+    parts = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        g = parts[parts["p_brand"] == row["p_brand"]]
+        x = g["p_size"].to_numpy(dtype="float64")
+        y = (np.floor(g["p_retailprice"].to_numpy() * 100 + 0.5)) / 100
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(row["slope"] - slope) < 1e-4
+        assert abs(row["intercept"] - intercept) < 1e-3
+        assert abs(row["r2"] - r * r) < 1e-4
+        assert row["n"] == len(g)
