@@ -175,3 +175,24 @@ def test_concurrent_queries_outside_bulk(akb):
         assert counts == [1] * 8
 
     run(flow())
+
+
+def test_commit_time_validation_error_propagates_and_recovers(akb):
+    """An error raised BY the bulk's exit-commit (batched graph
+    validation) — as opposed to one thrown INTO the context — must
+    propagate out of the async context manager, write nothing, and
+    leave the KB lock usable for the next bulk."""
+
+    async def flow():
+        async with akb.bulk_add_docs() as adder:
+            d1 = await adder.add_doc("a")
+            d2 = await adder.add_doc("b")
+        with pytest.raises(ValueError):
+            async with akb.bulk_graph_update() as g:
+                await g.add_edge(d1, 99999, d2)  # missing endpoint
+        assert await akb.count_edges() == 0
+        async with akb.bulk_graph_update() as g:
+            await g.add_edge(d1, d2, d1)
+        assert await akb.count_edges() == 1
+
+    run(flow())
