@@ -8631,3 +8631,76 @@ def q_price_size_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - sx * slope) / n / 100, 6).alias("intercept"),
         F.round(cov_n * cov_n / var_x / var_y, 6).alias("r2"),
     )
+
+
+@register("sketch_rollup_check")
+def q_sketch_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-validating probe of the persisted sketch rollups
+    (operators/hll_rollup.py, operators/cm_rollup.py): builds per-day
+    HLL register and CM cell tables from events into a process-local
+    temp dir, answers DAU/WAU/MAU-style range-distinct and point-
+    frequency questions from the ROLLUPS alone (partition-pruned
+    kilobyte reads, no second events pass), and reports each estimate
+    NEXT TO its exact recomputation with the pass/fail of the sketch's
+    error contract — so the single DataFrame is its own oracle.
+
+    No SQL oracle: register/cell contents depend on xxhash64, which
+    DuckDB cannot mirror — the driver records the rows-only check
+    (one row per probe, stable schema); the full accuracy and
+    append-isolation contracts are pytest-gated in
+    tests/test_hll_rollup.py / test_cm_rollup.py.
+    """
+    import os
+    import tempfile
+
+    from svs_spark.operators import cm_rollup as CR
+    from svs_spark.operators import hll_rollup as HR
+
+    day = F.expr("ts div 1000 div 86400000000")
+    ev = load(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(), f"sketch_rollup_{os.getpid()}"
+    )
+    hll_path, cm_path = base + "_hll", base + "_cm"
+    HR.build_hll_rollup(ev, hll_path, "user_id", day, p=12)
+    CR.build_cm_rollup(ev, cm_path, "user_id", day, width=2048, depth=4)
+    lo, hi = HR.rollup_day_range(spark, hll_path)
+
+    evd = ev.withColumn("d", day)
+
+    def exact_distinct(a: int, b: int) -> int:
+        return (
+            evd.filter((F.col("d") >= a) & (F.col("d") <= b))
+            .select("user_id").distinct().count()
+        )
+
+    probes = []
+    for name, a, b in (
+        ("dau_first_day", lo, lo),
+        ("wau_first_week", lo, lo + 6),
+        ("mau_full_range", lo, hi),
+    ):
+        exact = exact_distinct(a, b)
+        est = HR.distinct_over_days(spark, hll_path, a, b, p=12)
+        probes.append(
+            (name, int(b - a + 1), int(exact), round(float(est), 2),
+             bool(abs(est - exact) <= 0.05 * max(exact, 1)))
+        )
+    # CM point probe: hottest user's exact count vs rollup estimate
+    top = (
+        evd.filter((F.col("d") >= lo) & (F.col("d") <= hi))
+        .groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").first()
+    )
+    cm_est = CR.count_over_days(
+        spark, cm_path, [str(top["user_id"])], lo, hi, width=2048, depth=4
+    )[str(top["user_id"])]
+    probes.append(
+        ("cm_hottest_user", int(hi - lo + 1), int(top["count"]),
+         float(cm_est), bool(top["count"] <= cm_est <= top["count"] + 5))
+    )
+    return spark.createDataFrame(
+        probes,
+        "probe string, n_days int, exact long, estimate double,"
+        " within_bound boolean",
+    ).orderBy("probe")
