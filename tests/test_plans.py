@@ -353,11 +353,33 @@ def test_chunk_boundary_single_equi_join(spark, registry):
 
 def test_containment_reuses_inverted_index_shape(spark, registry):
     """Same plan contract as ngram_jaccard_pairs: shingle equi-join,
-    sizes broadcast back onto the bounded pair table."""
+    size join on the 8-byte id keys."""
     df = registry["ngram_containment_pairs"](spark, SF_DIR)
     plan = X.plan_string(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    assert X.uses_broadcast_join(df), "doc sizes must broadcast"
+
+
+def test_no_forced_broadcast_of_per_doc_tables(spark, registry):
+    """The na/nb doc-size relations have ONE ROW PER DOCUMENT — corpus
+    cardinality. A forced F.broadcast() hint there OOMs every executor
+    at 100 TB (round-4 verdict, What's wrong #1). Detection: with the
+    auto-broadcast threshold disabled, a stats-driven broadcast (fine —
+    the optimizer knows the table is small) disappears, while a forced
+    hint survives. Assert no BroadcastHashJoin remains."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in (
+            "ngram_jaccard_pairs",
+            "dedup_clusters",
+            "ngram_containment_pairs",
+        ):
+            df = registry[name](spark, SF_DIR)
+            plan = X.plan_string(df, "simple")
+            assert "BroadcastHashJoin" not in plan, (name, plan[:2000])
+            assert "BroadcastNestedLoop" not in plan, (name, plan[:2000])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_embedding_norm_outliers_no_window_no_explode(spark, registry):
