@@ -204,6 +204,11 @@ def main() -> None:
             assert rows is not None
         timings[n] = round(best, 4)
 
+    from svs_spark.queries import release_caches
+
+    release_caches()  # building each query already released its
+    # predecessor's caches; this drops the final query's set too
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -982,6 +982,71 @@ def embedding_near_dup_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+def boundary_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int = 3,
+    phrase_cap: int | None = None,
+    skip_report: dict | None = None,
+) -> DataFrame:
+    """Split-artifact pairs: doc A's LAST ``n_tokens`` tokens equal doc
+    B's FIRST ``n_tokens`` — the fingerprint of one original document
+    cut into chunks mid-sentence. Returns (id_tail, id_head).
+
+    Each doc contributes ONE head key and ONE tail key (scan-stage
+    slices, no explode), both collapsed to xxhash64 longs; the
+    tail=head equi-join exchanges 8-byte keys.
+
+    ``phrase_cap``: stop-phrase ceiling for web scale — the same
+    hot-bucket discipline as the banded joins (simhash_pairs /
+    minhash_lsh_pairs above): a boilerplate boundary phrase ("click
+    here to read", sentence-initial stock phrases) shared by B docs
+    emits O(B²) pairs; any join key whose head-side + tail-side row
+    count exceeds the cap is excluded from BOTH sides, with the
+    skipped mass reported in ``skip_report`` ({"skipped_phrases",
+    "skipped_rows"}) — no silent caps. Over-cap phrases are by
+    construction boilerplate, not chunking seams.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hk = docs.filter(F.size(toks) >= n_tokens).select(
+        id_col,
+        F.xxhash64(F.concat_ws(" ", F.slice(toks, 1, n_tokens))).alias(
+            "head"
+        ),
+        F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, -n_tokens, n_tokens))
+        ).alias("tail"),
+    )
+    a = hk.select(F.col(id_col).alias("id_tail"), "tail")
+    b = hk.select(F.col(id_col).alias("id_head"), "head")
+    if phrase_cap is not None:
+        # only over-cap keys come back to the driver — bounded by the
+        # stop-phrase population, not the corpus
+        hot_rows = (
+            a.select(F.col("tail").alias("k"))
+            .unionByName(b.select(F.col("head").alias("k")))
+            .groupBy("k")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > phrase_cap)
+            .collect()
+        )
+        if skip_report is not None:
+            skip_report["skipped_phrases"] = len(hot_rows)
+            skip_report["skipped_rows"] = int(
+                sum(r["_bn"] for r in hot_rows)
+            )
+        if hot_rows:
+            hot = [r["k"] for r in hot_rows]
+            a = a.filter(~F.col("tail").isin(hot))
+            b = b.filter(~F.col("head").isin(hot))
+    return (
+        a.join(b, a["tail"] == b["head"])
+        .filter(F.col("id_tail") != F.col("id_head"))
+        .select("id_tail", "id_head")
+    )
+
+
 # Span-level exact-substring dedup (Lee et al. 2022 "Deduplicating
 # Training Data Makes Language Models Better", windowed approximation)
 # and line-level boilerplate removal (C4 recipe).

@@ -26,12 +26,44 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, SparkQuery] = {}
 _ORACLES: dict[str, str] = {}
 
+# Registry-scoped persist() lifetime (invariant 25 / round-4 verdict
+# What's wrong #3): a bare .persist() inside a registered query never
+# gets released — the query function returns the DataFrame and the
+# caller owns the action, so in a long-lived session (the driver's
+# 50-query window, the bench loop) dead InMemoryRelations accumulate.
+# cached() records the persist; building ANY registered query first
+# releases every cache the previous query left behind, bounding live
+# cache to one query's working set. unpersist() is always
+# correctness-safe in Spark (lineage recomputes), so early release can
+# only cost recompute, never wrong results.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def cached(df: DataFrame) -> DataFrame:
+    """persist() whose lifetime is scoped to the current registered
+    query: released when the next one is built or on release_caches()."""
+    df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def register(
     name: str, oracle: str | None = None
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
-        _QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches()
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -63,14 +95,17 @@ def register(
 # already had a green row map to 4 here; rewrites of never-checked
 # queries need no entry.)
 _FORCE_RECHECK: dict[str, int] = {
-    # round 4: history-side cutoff filter moved from float ns→s division
-    # to integer div (exactness at the cutoff boundary) — r03's green row
-    # verified the float path
-    "hypertable_rollup": 4,
-    # round 4: bulk_graph_update rewritten to commit-time batched
-    # validation (3 bounded jobs + sequential replay) — r03's green row
-    # verified the per-edge-job path
-    "kb_delete_cascade": 4,
+    # (round 4's hypertable_rollup / kb_delete_cascade entries
+    # re-verified green in CORRECTNESS_r04 and were dropped.)
+    # round 5: per-document size joins switched from forced broadcast
+    # to shuffle joins (scale fix) — earlier green rows verified the
+    # broadcast plan
+    "ngram_jaccard_pairs": 5,
+    "dedup_clusters": 5,
+    # round 5: persist dropped in favor of ReusedExchange on the shared
+    # aggregate subplan — earlier green rows verified the persisted plan
+    "tpch_q15ish": 5,
+    "tpch_q11ish": 5,
 }
 
 

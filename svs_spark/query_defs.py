@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from svs_spark.queries import (
+    cached,
     fixed_query_vec,
     load,
     register,
@@ -474,10 +475,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit longs first so the self-join exchange carries 8-byte keys
     # instead of ~20-byte strings (the oracle compares only the final
     # Jaccard counts, which hashing preserves)
-    ex = (
+    ex = cached(
         sh.select("doc_id", F.explode("sh").alias("s_raw"))
         .select("doc_id", F.xxhash64("s_raw").alias("s"))
-        .persist()
     )
     n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = ex.select(F.col("doc_id").alias("id_a"), "s")
@@ -1318,6 +1318,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with a recursive transitive closure."""
     sh = _doc_shingles(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("sh").alias("s")).persist()
+    # (both persists below are released in-function: connected_components
+    # materializes its result eagerly via localCheckpoint, so the
+    # returned labels have no lineage back to pairs/ex)
     n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = ex.select(F.col("doc_id").alias("id_a"), "s")
     b = ex.select(F.col("doc_id").alias("id_b"), "s")
@@ -1342,7 +1345,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()  # und references pairs twice (both directions)
     )
-    return D.connected_components(pairs)
+    out = D.connected_components(pairs)
+    pairs.unpersist()
+    ex.unpersist()
+    return out
 
 
 @register(
@@ -1682,10 +1688,9 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "prints": prints})
 
-    base = (
+    base = cached(
         docs.select("doc_id", "text")
         .mapInPandas(kernel, schema="doc_id long, prints array<long>")
-        .persist()
     )
     ex = base.select("doc_id", F.explode("prints").alias("p"))
     a = ex.select(F.col("doc_id").alias("id_a"), "p")
@@ -2705,13 +2710,12 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
         >= 900
     )
-    ex = (
+    ex = cached(
         docs.filter(F.size(toks) >= 5)
         .select(
             "doc_id", is_test.alias("is_test"),
             F.explode(ngram_hashes("text", 5)).alias("h"),
         )
-        .persist()
     )
     train_idx = ex.filter(~F.col("is_test")).select("h").distinct()
     return (
@@ -2770,13 +2774,12 @@ def q_decontaminate_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
         >= 900
     )
-    ex = (
+    ex = cached(
         docs.filter(F.size(toks) >= 5)
         .select(
             "doc_id", is_test.alias("is_test"),
             F.explode(ngram_hashes("text", 5)).alias("h"),
         )
-        .persist()
     )
     test_idx = ex.filter(F.col("is_test")).select("h").distinct()
     bitmap = bloom_bitmap(test_idx, "h", num_bits=1 << 19, num_hashes=4)
@@ -2906,8 +2909,14 @@ def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
-    rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total_rev"))
-    rev = rev.persist()
+    # rev feeds both the max probe and the final filter; ReusedExchange
+    # does NOT fire here (the join branch pushes an extra isnotnull
+    # into its scan, breaking canonical equality), so cache the
+    # supplier-cardinality aggregate — bounded size, registry-scoped
+    # lifetime (invariant 25)
+    rev = cached(
+        li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total_rev"))
+    )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     supp = load(spark, sf_dir, "supplier")
     best = rev.join(F.broadcast(mx)).filter(
@@ -3240,7 +3249,7 @@ def q_graph_motif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arc set on the (s, t) pair). High-degree hubs are the skew
     risk — cap or salt them at web scale; no theta join anywhere.
     """
-    arcs = _analysis_edges(spark, sf_dir).persist()
+    arcs = cached(_analysis_edges(spark, sf_dir))
     a = arcs.select(F.col("src").alias("s"), F.col("dst").alias("m"))
     b = arcs.select(F.col("src").alias("m"), F.col("dst").alias("t"))
     wedges = a.join(b, "m").filter(F.col("s") != F.col("t"))
@@ -4336,8 +4345,10 @@ def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
-        .persist()
     )
+    # part-cardinality aggregate feeding two consumers — bounded size,
+    # registry-scoped cache (invariant 25)
+    val = cached(val)
     thresh = val.agg(
         (F.sum("value").cast("double") * F.lit(0.001)).alias("thresh")
     )
@@ -8133,10 +8144,9 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the final filter differs — containment divides by ONE side's
     size instead of the union."""
     sh = _doc_shingles(spark, sf_dir)
-    ex = (
+    ex = cached(
         sh.select("doc_id", F.explode("sh").alias("s_raw"))
         .select("doc_id", F.xxhash64("s_raw").alias("s"))
-        .persist()
     )
     n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = ex.select(F.col("doc_id").alias("id_a"), "s")
@@ -8191,24 +8201,17 @@ def q_chunk_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each doc contributes ONE head key and ONE tail key
     (scan-stage slices — no explode), both collapsed to xxhash64
-    longs; the tail=head equi-join exchanges n 8-byte keys with bucket
-    sizes bounded by boundary-phrase popularity (a stop-phrase cap à
-    la the banded joins applies at web scale; the oracle joins the raw
-    strings and compares the identical id-pair set)."""
+    longs; the tail=head equi-join exchanges n 8-byte keys. The
+    stop-phrase cap (operators/dedup.py:boundary_overlap_pairs, same
+    hot-bucket discipline as the banded joins) excludes boilerplate
+    boundary phrases whose bucket exceeds 1024 rows — inert on this
+    corpus (max observed bucket is 4, so the result matches the
+    oracle's uncapped raw-string join exactly), load-bearing at web
+    scale (tests/test_bucket_cap.py spikes it)."""
+    from svs_spark.operators.dedup import boundary_overlap_pairs
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    hk = docs.filter(F.size(toks) >= 3).select(
-        "doc_id",
-        F.xxhash64(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("head"),
-        F.xxhash64(F.concat_ws(" ", F.slice(toks, -3, 3))).alias("tail"),
-    )
-    a = hk.select(F.col("doc_id").alias("id_tail"), "tail")
-    b = hk.select(F.col("doc_id").alias("id_head"), "head")
-    return (
-        a.join(b, a["tail"] == b["head"])
-        .filter(F.col("id_tail") != F.col("id_head"))
-        .select("id_tail", "id_head")
-    )
+    return boundary_overlap_pairs(docs, phrase_cap=1024)
 
 
 @register(

@@ -101,3 +101,61 @@ def test_minhash_cap_drops_cluster_keeps_planted(corpus):
     assert not (got & cluster)
     assert report["skipped_buckets"] >= 4  # all 4 bands of the cluster
     assert report["skipped_rows"] >= 60 * 4
+
+
+# ---------------------------------------------------------------------------
+# Stop-phrase cap for the chunk-boundary seam join (round-4 verdict,
+# What's wrong #5): same discipline, single join key instead of bands.
+# ---------------------------------------------------------------------------
+
+
+def _boundary_pairset(df):
+    rows = df.select("id_tail", "id_head").collect()
+    pairs = [(r.id_tail, r.id_head) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    return set(pairs)
+
+
+@pytest.fixture(scope="module")
+def boundary_corpus(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = []
+    # stop-phrase spike: 40 docs END with the phrase, 40 docs START
+    # with it → 1600 seam pairs from pure boilerplate
+    stop = "click here now"
+    for i in range(40):
+        rows.append((i, f"{_text(i)} {stop}"))
+        rows.append((100 + i, f"{stop} {_text(900 + i)}"))
+    # planted genuine seam: unique boundary phrase
+    seam = "zq1 zq2 zq3"
+    rows.append((500, f"{_text(777)} {seam}"))
+    rows.append((501, f"{seam} {_text(778)}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boundary_cap_none_vs_huge_identical(boundary_corpus):
+    from svs_spark.operators.dedup import boundary_overlap_pairs
+
+    exact = _boundary_pairset(boundary_overlap_pairs(boundary_corpus))
+    capped = _boundary_pairset(
+        boundary_overlap_pairs(boundary_corpus, phrase_cap=10**6)
+    )
+    assert exact == capped
+    assert (500, 501) in exact
+    # the spike really is in the uncapped set
+    assert (0, 100) in exact and len(exact) >= 1600
+
+
+def test_boundary_cap_drops_stop_phrase_keeps_planted(boundary_corpus):
+    from svs_spark.operators.dedup import boundary_overlap_pairs
+
+    report: dict = {}
+    got = _boundary_pairset(
+        boundary_overlap_pairs(
+            boundary_corpus, phrase_cap=50, skip_report=report
+        )
+    )
+    assert got == {(500, 501)}
+    assert report["skipped_phrases"] == 1
+    assert report["skipped_rows"] == 80  # 40 tails + 40 heads
