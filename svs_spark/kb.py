@@ -752,11 +752,29 @@ class KnowledgeBase:
         return {tuple(r) for r in rows}
 
     @contextmanager
-    def bulk_graph_update(self):
+    def bulk_graph_update(self, eager_validation: bool = False):
         """kb.py:1673-1729: transactional edge mutations with (src, dst,
         rel) uniqueness (kb.py:650-651) — duplicates raise RuntimeError,
         missing endpoint/relationship docs ValueError, missing del ids
         ValueError.
+
+        **Deferred-raise contract (deliberate divergence from the
+        reference):** by default, only the in-bulk duplicate check runs
+        at call time; every persisted-state violation (duplicate
+        against stored edges, missing doc, missing del id) raises at
+        context-manager EXIT, before anything is written — the whole
+        bulk is then discarded. The reference raises at each call
+        (reference kb.py:651/670), so callers that catch per-call
+        errors to skip bad edges and keep the rest must pass
+        ``eager_validation=True``: every call then validates against
+        persisted state immediately (reference-parity semantics, at the
+        cost of per-call lookup jobs — use only for small bulks).
+        "First violation wins" is exact under eager validation; under
+        deferred validation the commit REPLAYS the calls in order (so
+        among staged ops the earliest violation raises first), with one
+        caveat: a call-time in-bulk-duplicate error still fires before
+        an EARLIER op's persisted-state violation is discovered at
+        exit.
 
         Scale shape: calls only stage ops in a driver-side buffer (the
         single per-call check — duplicate key within this bulk — is
@@ -779,6 +797,11 @@ class KnowledgeBase:
         # or ("del", edge_id)
         ops: list[tuple] = []
         batch_keys: dict[tuple, int] = {}  # live in-bulk adds, call-time dup gate
+        # eager-mode state: docs verified present, keys of persisted
+        # edges deleted in this bulk, persisted ids already deleted
+        eager_docs_ok: set[int] = set()
+        eager_del_keys: set[tuple] = set()
+        eager_dels: set[int] = set()
 
         def _add(src: int, dst: int, rel: int, weight: Optional[float],
                  directed: bool) -> int:
@@ -787,6 +810,21 @@ class KnowledgeBase:
                 raise RuntimeError(
                     f"edge ({src}, {dst}, {rel}) already exists"
                 )
+            if eager_validation:
+                for i in (src, dst, rel):
+                    if i not in eager_docs_ok:
+                        if not self._collect_found(
+                            self.docs, ["id"], [(i,)]
+                        ):
+                            raise ValueError(f"no such doc: {i}")
+                        eager_docs_ok.add(i)
+                if key not in eager_del_keys and self._collect_found(
+                    self.edges, ["src", "dst", "rel"], [key]
+                ):
+                    raise RuntimeError(
+                        f"edge ({src}, {dst}, {rel}) already exists"
+                    )
+                eager_del_keys.discard(key)
             eid = counter[0]
             counter[0] += 1
             batch_keys[key] = eid
@@ -798,6 +836,22 @@ class KnowledgeBase:
             # in THIS bulk; the op itself still replays (a rolled-back
             # add must still fail validation the way sequential
             # execution would have)
+            if eager_validation:
+                if edge_id >= start_eid:
+                    if edge_id not in batch_keys.values():
+                        raise ValueError(f"no such edge: [{edge_id}]")
+                else:
+                    if edge_id in eager_dels:
+                        raise ValueError(f"no such edge: [{edge_id}]")
+                    row = (
+                        self.edges.filter(F.col("edge_id") == edge_id)
+                        .select("src", "dst", "rel")
+                        .first()
+                    )
+                    if row is None:
+                        raise ValueError(f"no such edge: [{edge_id}]")
+                    eager_dels.add(edge_id)
+                    eager_del_keys.add((row["src"], row["dst"], row["rel"]))
             for key, eid in list(batch_keys.items()):
                 if eid == edge_id:
                     del batch_keys[key]

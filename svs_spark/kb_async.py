@@ -81,8 +81,13 @@ class AsyncKnowledgeBase:
                 )
 
             self._kb = await _to_thread(heavy)
-            # force_fresh_db applies only to the FIRST open, as in the
-            # reference (close() then reopen must not wipe again)
+            # force_fresh_db applies only to the FIRST open — a
+            # DELIBERATE DIVERGENCE from the reference, whose AsyncKB
+            # keeps the flag sticky and re-wipes the DB on every reopen
+            # after close() (reference kb.py: force_fresh_db is never
+            # cleared). Silently destroying data on reopen is a
+            # footgun; callers wanting the reference behavior can set
+            # ._force_fresh_db = True again before reopening.
             self._force_fresh_db = False
         return self._kb
 
@@ -168,10 +173,19 @@ class AsyncKnowledgeBase:
                 yield AsyncDocumentDeleter(del_doc, guard, inner)
 
     @asynccontextmanager
-    async def bulk_graph_update(self) -> AsyncIterator["AsyncGraphUpdater"]:
+    async def bulk_graph_update(
+        self, eager_validation: bool = False
+    ) -> AsyncIterator["AsyncGraphUpdater"]:
+        """See KnowledgeBase.bulk_graph_update for the deferred-raise
+        contract: by default persisted-state violations raise at
+        context exit (discarding the bulk); pass
+        ``eager_validation=True`` for the reference's raise-at-call
+        semantics."""
         async with self._get_lock():
             kb = await self._ensure_kb()
-            async with _async_over_sync_cm(kb.bulk_graph_update()) as (
+            async with _async_over_sync_cm(
+                kb.bulk_graph_update(eager_validation=eager_validation)
+            ) as (
                 updater,
                 guard,
                 inner,

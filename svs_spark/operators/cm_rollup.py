@@ -14,7 +14,10 @@ mergeable, cell-identical sketches.
 
 from __future__ import annotations
 
-import os
+from svs_spark.operators._rollup_common import (
+    overwrite_day_partitions,
+    rollup_day_range as _shared_day_range,
+)
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -74,17 +77,9 @@ def append_cm_rollup(
         .groupBy("day", "row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # writer-scoped dynamic overwrite; single-writer contract —
+    # see operators/_rollup_common.py
+    overwrite_day_partitions(merged, path)
     return sorted(int(d) for d in days)
 
 
@@ -115,9 +110,6 @@ def count_over_days(
 
 
 def rollup_day_range(spark: SparkSession, path: str) -> tuple[int, int]:
-    days = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("day=")
-    ]
-    return min(days), max(days)
+    """Min/max day present — partition metadata only, any
+    filesystem (delegates to operators/_rollup_common.py)."""
+    return _shared_day_range(spark, path)

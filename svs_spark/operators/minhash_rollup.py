@@ -15,7 +15,10 @@ produce identical tables for identical rows and merge freely.
 
 from __future__ import annotations
 
-import os
+from svs_spark.operators._rollup_common import (
+    overwrite_day_partitions,
+    rollup_day_range as _shared_day_range,
+)
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -32,6 +35,10 @@ def _day_sigs(
     num_hashes: int,
     shingle_size: int,
 ) -> DataFrame:
+    # the passthrough group column keeps its SOURCE type (an int source
+    # id must not be declared string — the Arrow writer would mismatch
+    # the declared schema at runtime)
+    group_type = df.schema[group_col].dataType.simpleString()
     base = df.withColumn("_day", day).mapInPandas(
         _signature_batch_kernel(
             id_col,
@@ -42,7 +49,7 @@ def _day_sigs(
         ),
         schema=(
             f"did long, hs array<long>, sig array<long>, "
-            f"{group_col} string, _day long"
+            f"{group_col} {group_type}, _day long"
         ),
     )
     return (
@@ -97,17 +104,9 @@ def append_minhash_rollup(
         .groupBy("day", group_col, "hash_idx")
         .agg(F.min("sig_min").alias("sig_min"))
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # writer-scoped dynamic overwrite; single-writer contract —
+    # see operators/_rollup_common.py
+    overwrite_day_partitions(merged, path)
     return sorted(int(d) for d in days)
 
 
@@ -150,9 +149,6 @@ def slice_jaccard(
 
 
 def rollup_day_range(spark: SparkSession, path: str) -> tuple[int, int]:
-    days = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("day=")
-    ]
-    return min(days), max(days)
+    """Min/max day present — partition metadata only, any
+    filesystem (delegates to operators/_rollup_common.py)."""
+    return _shared_day_range(spark, path)

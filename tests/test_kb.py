@@ -334,6 +334,35 @@ class TestGraph:
                 g.del_edge(eid)
         assert kb.count_edges() == 1  # nothing written by the failed bulk
 
+    def test_eager_validation_raises_at_call_time(self, kb):
+        """Reference-parity mode (ADVICE round 4): with
+        eager_validation=True every persisted-state violation raises at
+        the CALL, so callers can catch per-call errors, skip the bad
+        edge, and keep the rest of the bulk."""
+        self._setup(kb)
+        kb.add_edge(2, 4, 6)
+        kept = []
+        with kb.bulk_graph_update(eager_validation=True) as g:
+            for args in [(2, 4, 6), (1, 3, 6), (1, 99, 6), (3, 4, 6)]:
+                try:
+                    kept.append(g.add_edge(*args))
+                except (RuntimeError, ValueError):
+                    pass  # skip dup (2,4,6) and missing doc 99
+        assert len(kept) == 2
+        assert kb.count_edges() == 3  # the persisted one + the 2 kept
+
+    def test_eager_validation_del_semantics(self, kb):
+        """Eager del: missing ids raise immediately; del-then-re-add of
+        the same triplet still works inside one eager bulk."""
+        self._setup(kb)
+        e1 = kb.add_edge(2, 4, 6)
+        with kb.bulk_graph_update(eager_validation=True) as g:
+            with pytest.raises(ValueError, match="no such edge"):
+                g.del_edge(999)
+            g.del_edge(e1)
+            g.add_edge(2, 4, 6)  # key freed by the eager del
+        assert kb.count_edges() == 1
+
     def test_bulk_job_count_is_constant(self, spark, kb):
         """The round-3 scale fix: a bulk of N adds must run O(1) Spark
         jobs (start-id agg + 3 batched validation lookups + commit

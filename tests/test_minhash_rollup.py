@@ -129,3 +129,23 @@ def test_append_touches_only_new_day(spark, docs, rollup):
         assert after[d] == files, d
     sig = MR.slice_signature(spark, rollup, "srcX", "source", far, far)
     assert len(sig) == NH
+
+
+def test_non_string_group_column(spark, docs, tmp_path):
+    """ADVICE round 4: the passthrough group column must keep its
+    source type — an integer group id used to be hardcoded as string
+    in the mapInPandas output schema and mismatched at runtime."""
+    int_docs = docs.withColumn(
+        "src_id", F.xxhash64("source") % 100
+    ).select("doc_id", "text", "src_id")
+    path = str(tmp_path / "mh_int")
+    MR.build_minhash_rollup(
+        int_docs, path, "text", "doc_id", "src_id", day_col(),
+        num_hashes=NH, shingle_size=K,
+    )
+    out = spark.read.parquet(path)
+    assert dict(out.dtypes)["src_id"] == "bigint"
+    lo, hi = MR.rollup_day_range(spark, path)
+    grp = int_docs.select("src_id").first()[0]
+    sig = MR.slice_signature(spark, path, grp, "src_id", lo, hi)
+    assert len(sig) == NH
