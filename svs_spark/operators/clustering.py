@@ -1,0 +1,157 @@
+"""Multi-round Lloyd k-means driver over the distributed assignment /
+recompute kernels (round-4 verdict, Next round #8).
+
+The loop composes two already-driver-gated stages:
+
+  assign   — ``operators/similarity.centroid_assign``: map-only GEMM
+             argmax, zero joins, corpus never shuffled
+             (driver-checked by ``kmeans_assign_profile``);
+  recompute — posexplode to (cluster, dim) keys + one hash exchange of
+             8-byte-keyed integer-nano partial sums
+             (driver-checked by ``kmeans_lloyd_round``).
+
+Per iteration exactly ONE Spark job runs (assignment + mean recompute
+fused in one plan, collecting k×d doubles to the driver — kilobytes),
+centroids round-trip through the driver (no lineage growth, no
+checkpointing needed), and the loop stops when the max centroid L2
+shift drops below ``tol`` or ``max_iter`` rounds elapse. Empty
+clusters keep their previous centroid (the standard Lloyd fallback).
+
+Determinism: scores round to 6 decimals with ties to the lowest
+centroid id (centroid_assign's oracle-checked rule) and the mean uses
+the same order-independent integer-nano fixed-point sum as the
+registered ``kmeans_lloyd_round`` query, so a run is reproducible
+across partitionings and cluster sizes.
+
+100 TB shape: per round, one corpus scan (map-only assignment — the
+(k × d) centroid matrix ships in the task closure) plus one exchange
+of n·d (cluster, dim, nano) rows with map-side partial aggregation.
+Nothing corpus-sized is broadcast, collected, or cached beyond the
+caller-provided DataFrame.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from svs_spark.operators.similarity import centroid_assign
+
+_NANO = 1_000_000_000
+
+
+def _recompute_means(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """(cluster_id, dim, n_assigned, centroid_v) from an assignment
+    that carried the vector through (keep_vec=True)."""
+    exploded = assigned.select(
+        "cluster_id",
+        F.posexplode(F.col(vec_col).cast("array<double>")),
+    ).withColumnsRenamed({"pos": "dim", "col": "v"})
+    v_nanos = F.floor(F.col("v") * F.lit(float(_NANO)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        exploded.withColumn("v_nanos", v_nanos)
+        .groupBy("cluster_id", "dim")
+        .agg(F.count("*").alias("n_assigned"), F.sum("v_nanos").alias("s"))
+        .select(
+            "cluster_id",
+            "dim",
+            "n_assigned",
+            (F.col("s").cast("double") / F.col("n_assigned") / _NANO).alias(
+                "centroid_v"
+            ),
+        )
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    seed_ids: Sequence[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> tuple[list[tuple[int, list[float]]], dict]:
+    """Run Lloyd's algorithm to convergence.
+
+    Seeds are the vectors of ``seed_ids`` (default: the ``k`` lowest
+    ids — deterministic, matching ``kmeans_lloyd_round``'s seed rule).
+    ``normalize=True`` re-normalizes each centroid to unit length after
+    the mean (spherical k-means — appropriate for the unit-norm cosine
+    geometry the svs reference uses; reference kb.py retrieval is
+    dot-product on unit vectors).
+
+    Returns ``(centroids, info)`` where centroids is ``[(cluster_id,
+    vector)]`` sorted by id and info records ``n_iter``, ``converged``,
+    ``shifts`` (max L2 centroid movement per iteration) and
+    ``cluster_sizes`` for the final assignment.
+    """
+    base = embeddings.select(id_col, vec_col)
+    if seed_ids is None:
+        seed_rows = base.orderBy(id_col).limit(k).collect()
+    else:
+        seed_rows = (
+            base.filter(F.col(id_col).isin(list(seed_ids)))
+            .orderBy(id_col)
+            .collect()
+        )
+        if len(seed_rows) != len(seed_ids):
+            raise ValueError("some seed_ids not present in embeddings")
+    cents: dict[int, list[float]] = {
+        int(r[id_col]): [float(x) for x in r[vec_col]] for r in seed_rows
+    }
+
+    shifts: list[float] = []
+    sizes: dict[int, int] = {}
+    converged = False
+    for _ in range(max_iter):
+        assigned = centroid_assign(
+            base,
+            sorted(cents.items()),
+            id_col=id_col,
+            vec_col=vec_col,
+            keep_vec=True,
+        )
+        rows = _recompute_means(assigned, vec_col).collect()
+        new_cents: dict[int, list[float]] = {}
+        sizes = {}
+        for r in rows:
+            cid = int(r["cluster_id"])
+            vec = new_cents.setdefault(cid, [0.0] * len(next(iter(cents.values()))))
+            vec[int(r["dim"])] = float(r["centroid_v"])
+            sizes[cid] = int(r["n_assigned"])
+        # empty clusters keep their previous centroid
+        for cid, old in cents.items():
+            if cid not in new_cents:
+                new_cents[cid] = list(old)
+                sizes.setdefault(cid, 0)
+        if normalize:
+            for cid, vec in new_cents.items():
+                nrm = math.sqrt(sum(x * x for x in vec))
+                if nrm > 0:
+                    new_cents[cid] = [x / nrm for x in vec]
+        shift = max(
+            math.sqrt(
+                sum((a - b) ** 2 for a, b in zip(cents[cid], new_cents[cid]))
+            )
+            for cid in cents
+        )
+        shifts.append(shift)
+        cents = new_cents
+        if shift < tol:
+            converged = True
+            break
+
+    centroids = sorted((cid, vec) for cid, vec in cents.items())
+    info = {
+        "n_iter": len(shifts),
+        "converged": converged,
+        "shifts": shifts,
+        "cluster_sizes": {c: sizes.get(c, 0) for c, _ in centroids},
+    }
+    return centroids, info

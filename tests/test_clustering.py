@@ -1,0 +1,95 @@
+"""Multi-round Lloyd driver: convergence on planted clusters, shift
+monotonicity at the fixed point, empty-cluster fallback, determinism,
+and the spherical (normalize) variant."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from svs_spark.operators.clustering import kmeans_lloyd
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Three tight clusters around orthogonal-ish unit anchors in d=4,
+    deterministic jitter; seeded so each cluster contributes one of the
+    3 lowest ids (ids 0,1,2 are the anchors themselves)."""
+    anchors = [
+        _unit([1.0, 0.05, 0.0, 0.0]),
+        _unit([0.0, 1.0, 0.05, 0.0]),
+        _unit([0.0, 0.0, 1.0, 0.05]),
+    ]
+    # interleave ids across clusters so ids 0,1,2 (the default seeds)
+    # land in three distinct clusters
+    rows = []
+    for j in range(40):
+        for c, a in enumerate(anchors):
+            vid = j * 3 + c
+            jit = [
+                a[d] + 0.02 * (((vid * 37 + d * 11) % 7) - 3) / 7.0
+                for d in range(4)
+            ]
+            rows.append((vid, _unit(jit)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_converges_on_planted_clusters(planted):
+    cents, info = kmeans_lloyd(planted, k=3, max_iter=10, tol=1e-9)
+    assert info["converged"], info
+    # must take at least one real improvement round then reach the
+    # fixed point: shifts strictly 0 at the end, >0 at the start
+    assert info["n_iter"] >= 2
+    assert info["shifts"][-1] < 1e-9
+    assert info["shifts"][0] > 1e-4
+    # every planted cluster recovered with its 40 members
+    assert sorted(info["cluster_sizes"].values()) == [40, 40, 40]
+    # each centroid is near its anchor (same argmax direction)
+    import numpy as np
+
+    a = np.array([[1, 0.05, 0, 0], [0, 1, 0.05, 0], [0, 0, 1, 0.05]])
+    a = a / np.linalg.norm(a, axis=1, keepdims=True)
+    got = np.array([v for _, v in cents])
+    sims = got @ a.T
+    assert (sims.argmax(axis=1) == [0, 1, 2]).all()
+    assert (sims.max(axis=1) > 0.99).all()
+
+
+def test_three_iteration_run_is_deterministic(planted):
+    r1 = kmeans_lloyd(planted, k=3, max_iter=3, tol=0.0)
+    r2 = kmeans_lloyd(planted.repartition(7), k=3, max_iter=3, tol=0.0)
+    assert r1[1]["n_iter"] == r2[1]["n_iter"] == 3
+    for (c1, v1), (c2, v2) in zip(r1[0], r2[0]):
+        assert c1 == c2
+        assert v1 == pytest.approx(v2, abs=1e-12)
+
+
+def test_empty_cluster_keeps_previous_centroid(planted):
+    # seed two centroids inside the SAME planted cluster plus one far
+    # outlier id; with k=4 one seed will likely end up empty — the
+    # fallback must keep it instead of crashing or dropping the id
+    cents, info = kmeans_lloyd(
+        planted, k=4, seed_ids=[0, 3, 1, 2], max_iter=5, tol=1e-9
+    )
+    assert len(cents) == 4
+    assert sum(info["cluster_sizes"].values()) == 120
+
+
+def test_spherical_normalize(planted):
+    cents, info = kmeans_lloyd(
+        planted, k=3, max_iter=10, tol=1e-9, normalize=True
+    )
+    assert info["converged"]
+    for _, v in cents:
+        assert math.sqrt(sum(x * x for x in v)) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_missing_seed_raises(planted):
+    with pytest.raises(ValueError, match="seed_ids"):
+        kmeans_lloyd(planted, k=2, seed_ids=[0, 10**9])
