@@ -17,6 +17,7 @@ from svs_spark.queries import (
     fixed_query_vec,
     load,
     register,
+    shared_cached,
     vec_sql_literal,
 )
 from svs_spark.operators import similarity as sim
@@ -448,6 +449,79 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tri3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared corpus trigram inverted index: (doc_id, g) with g =
+    xxhash64 of each distinct-per-doc 3-word shingle. 8-byte join keys
+    instead of ~20-byte strings; hashing preserves the intersection /
+    size COUNTS, which is all the n-gram family compares. Materialized
+    once per (session, corpus) via shared_cached — five registered
+    queries (jaccard / containment / clusters / novelty / provenance)
+    derive from it, the way a production pipeline builds its n-gram
+    index once and runs many analyses over it."""
+    return shared_cached(
+        spark, "tri3", sf_dir,
+        lambda: _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("g_raw"))
+        .select("doc_id", F.xxhash64("g_raw").alias("g")),
+    )
+
+
+def _tri3_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair-intersection table (id_a < id_b, inter, ca, cb):
+    the inverted-index self-join + per-doc sizes that jaccard,
+    containment and dedup-clusters all filter differently. The self-
+    join shuffles on the 8-byte gram key (AQE skew-join splits stop-
+    shingle buckets); na/nb are per-document counts — corpus
+    cardinality — so they join as plain shuffle joins on the id keys,
+    NEVER broadcast (at 100 TB that table is billions of rows and a
+    broadcast OOMs every executor)."""
+
+    def build() -> DataFrame:
+        ex = _tri3_index(spark, sf_dir)
+        n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
+        a = ex.select(F.col("doc_id").alias("id_a"), "g")
+        b = ex.select(F.col("doc_id").alias("id_b"), "g")
+        inter = (
+            a.join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        na = n.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+        nb = n.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+        return inter.join(na, "id_a").join(nb, "id_b")
+
+    return shared_cached(spark, "tri3_pairs", sf_dir, build)
+
+
+def _pent5_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 5-gram contamination index: (doc_id, is_test, h) with h =
+    xxhash64 of each distinct-per-doc 5-word shingle and is_test the
+    same Knuth-hash split as train_test_split. Feeds both
+    decontamination directions (test-probe and bloom-pruned
+    train-probe); the 5-gram arithmetic is the streaming screen's
+    helper, keeping batch index and stream bit-identical."""
+    from svs_spark.streaming.decontaminate import ngram_hashes
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        toks = F.split(F.lower(F.col("text")), " ")
+        is_test = (
+            (F.col("doc_id") * F.lit(2654435761))
+            % F.lit(4294967296) % F.lit(1000)
+            >= 900
+        )
+        return (
+            docs.filter(F.size(toks) >= 5)
+            .select(
+                "doc_id", is_test.alias("is_test"),
+                F.explode(ngram_hashes("text", 5)).alias("h"),
+            )
+        )
+
+    return shared_cached(spark, "pent5", sf_dir, build)
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -469,42 +543,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B|/(|A|+|B|-|A∩B|). The exploded join shuffles on the shingle
     key — at 100 TB you'd first drop ultra-frequent shingles (stop-
     shingles) to kill skew; AQE skew-join splitting handles the rest."""
-    sh = _doc_shingles(spark, sf_dir)
-    # ex feeds the pair join twice plus the size counts — persist so the
-    # shingle expressions evaluate once; shingles are xxhash64'd to
-    # 64-bit longs first so the self-join exchange carries 8-byte keys
-    # instead of ~20-byte strings (the oracle compares only the final
-    # Jaccard counts, which hashing preserves)
-    ex = cached(
-        sh.select("doc_id", F.explode("sh").alias("s_raw"))
-        .select("doc_id", F.xxhash64("s_raw").alias("s"))
-    )
-    n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "s")
-    b = ex.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (
-        a.join(b, ["s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    # na/nb have ONE ROW PER DOCUMENT — corpus cardinality. Never
-    # broadcast them: at 100 TB that's billions of rows and every
-    # executor OOMs. Plain shuffle joins on the 8-byte id keys instead;
-    # the id_a exchange co-partitions with the `inter` aggregate's
-    # exchange so AQE reuses it.
-    na = n.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
-    nb = n.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
-    j = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "jac",
-            F.col("inter").cast("double")
-            / (F.col("ca") + F.col("cb") - F.col("inter")),
-        )
-        .filter(F.col("jac") >= 0.8)
-    )
+    j = _tri3_pair_stats(spark, sf_dir).withColumn(
+        "jac",
+        F.col("inter").cast("double")
+        / (F.col("ca") + F.col("cb") - F.col("inter")),
+    ).filter(F.col("jac") >= 0.8)
     return j.select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
 
 
@@ -1316,27 +1359,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (n-gram Jaccard ≥ 0.8) → connected components →
     (doc_id, canonical_id) dedup clusters. The oracle computes the same
     components with a recursive transitive closure."""
-    sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).persist()
-    # (both persists below are released in-function: connected_components
+    # pairs persist is released in-function: connected_components
     # materializes its result eagerly via localCheckpoint, so the
-    # returned labels have no lineage back to pairs/ex)
-    n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "s")
-    b = ex.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (
-        a.join(b, ["s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = n.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
-    nb = n.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
-    # na/nb are per-document counts (corpus cardinality): shuffle join,
-    # never broadcast — see q_ngram_jaccard_pairs.
+    # returned labels have no lineage back to pairs
     pairs = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        _tri3_pair_stats(spark, sf_dir)
         .filter(
             F.col("inter").cast("double")
             / (F.col("ca") + F.col("cb") - F.col("inter"))
@@ -1347,7 +1374,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = D.connected_components(pairs)
     pairs.unpersist()
-    ex.unpersist()
     return out
 
 
@@ -2702,21 +2728,7 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 5-gram shingle arithmetic is the SHARED helper also used by
     # the streaming decontamination screen — one definition keeps the
     # batch-built index and the stream bit-identical by construction
-    from svs_spark.streaming.decontaminate import ngram_hashes
-
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    is_test = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
-        >= 900
-    )
-    ex = cached(
-        docs.filter(F.size(toks) >= 5)
-        .select(
-            "doc_id", is_test.alias("is_test"),
-            F.explode(ngram_hashes("text", 5)).alias("h"),
-        )
-    )
+    ex = _pent5_index(spark, sf_dir)
     train_idx = ex.filter(~F.col("is_test")).select("h").distinct()
     return (
         ex.filter(F.col("is_test"))
@@ -2766,21 +2778,8 @@ def q_decontaminate_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks (operators/bloom.py).
     """
     from svs_spark.operators.bloom import bloom_bitmap, bloom_prune
-    from svs_spark.streaming.decontaminate import ngram_hashes
 
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    is_test = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
-        >= 900
-    )
-    ex = cached(
-        docs.filter(F.size(toks) >= 5)
-        .select(
-            "doc_id", is_test.alias("is_test"),
-            F.explode(ngram_hashes("text", 5)).alias("h"),
-        )
-    )
+    ex = _pent5_index(spark, sf_dir)
     test_idx = ex.filter(F.col("is_test")).select("h").distinct()
     bitmap = bloom_bitmap(test_idx, "h", num_bits=1 << 19, num_hashes=4)
     pruned = bloom_prune(
@@ -7860,12 +7859,7 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-source aggregate. Stop-gram skew handling is the same as
     ngram_jaccard_pairs (AQE skew join)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    ex = (
-        _doc_shingles(spark, sf_dir)
-        .select("doc_id", F.explode("sh").alias("g_raw"))
-        .select("doc_id", F.xxhash64("g_raw").alias("g"))
-        .join(F.broadcast(docs), "doc_id")
-    )
+    ex = _tri3_index(spark, sf_dir).join(F.broadcast(docs), "doc_id")
     j = ex.withColumn(
         "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
     )
@@ -8143,27 +8137,8 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8-byte xxhash64 shingle keys, AQE skew join for stop-shingles);
     only the final filter differs — containment divides by ONE side's
     size instead of the union."""
-    sh = _doc_shingles(spark, sf_dir)
-    ex = cached(
-        sh.select("doc_id", F.explode("sh").alias("s_raw"))
-        .select("doc_id", F.xxhash64("s_raw").alias("s"))
-    )
-    n = ex.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "s")
-    b = ex.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = n.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
-    nb = n.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
-    # na/nb are per-document counts (corpus cardinality): shuffle join,
-    # never broadcast — see q_ngram_jaccard_pairs.
     j = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        _tri3_pair_stats(spark, sf_dir)
         .withColumn("cab", F.col("inter").cast("double") / F.col("ca"))
         .withColumn("cba", F.col("inter").cast("double") / F.col("cb"))
         .filter((F.col("cab") >= 0.9) | (F.col("cba") >= 0.9))
@@ -8567,12 +8542,7 @@ def q_source_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader×gram distinct shares the same gram key; the matrix is
     bounded by sources². Top-100 by share is TakeOrdered."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    ex = (
-        _doc_shingles(spark, sf_dir)
-        .select("doc_id", F.explode("sh").alias("g_raw"))
-        .select("doc_id", F.xxhash64("g_raw").alias("g"))
-        .join(F.broadcast(docs), "doc_id")
-    )
+    ex = _tri3_index(spark, sf_dir).join(F.broadcast(docs), "doc_id")
     first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     fs = first.join(
         F.broadcast(docs.select(F.col("doc_id").alias("first_doc"),

@@ -42,6 +42,47 @@ def test_registered_queries_release_their_caches(spark):
     assert not leaked, f"leaked cached RDD ids: {sorted(leaked)}"
 
 
+def test_same_query_rerun_keeps_caches_warm(spark):
+    """bench.py warms each query then times repeated runs: rebuilding
+    the SAME query must not release its per-query caches (CacheManager
+    swaps the warm InMemoryRelation into the identical rebuilt
+    subplan), while building a DIFFERENT query must. winnow_pairs is
+    the probe because its cached() fingerprint table is per-query
+    (not shared-tier)."""
+    registry = queries()
+    release_caches()
+    before = _persisted_ids(spark)
+    registry["winnow_pairs"](spark, SF_DIR).collect()
+    warm = _persisted_ids(spark) - before
+    assert warm, "expected winnow_pairs to persist its fingerprints"
+    # same name again: caches survive the rebuild
+    registry["winnow_pairs"](spark, SF_DIR).collect()
+    assert warm <= _persisted_ids(spark)
+    # different name: the previous query's caches are released
+    registry["tpch_q1"](spark, SF_DIR).collect()
+    assert not (warm & _persisted_ids(spark))
+    release_caches()
+
+
+def test_shared_corpus_index_survives_query_switch(spark):
+    """The shared tier (trigram inverted index + pair-intersection
+    table) outlives individual queries: five n-gram-family queries
+    derive from it, so it is released only by release_caches() or by
+    switching corpus (sf_dir)."""
+    registry = queries()
+    release_caches()
+    before = _persisted_ids(spark)
+    registry["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    shared = _persisted_ids(spark) - before
+    assert shared, "expected the shared trigram index to persist"
+    # a DIFFERENT query does not evict the shared tier...
+    registry["ngram_containment_pairs"](spark, SF_DIR).collect()
+    assert shared <= _persisted_ids(spark)
+    # ...and full release clears it
+    release_caches()
+    assert not (shared & _persisted_ids(spark))
+
+
 def test_release_is_idempotent_and_correctness_safe(spark):
     registry = queries()
     df = registry["ngram_jaccard_pairs"](spark, SF_DIR)
