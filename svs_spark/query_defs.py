@@ -8753,3 +8753,351 @@ def q_sketch_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes,
         "probe string, n_days int, exact long, within_bound boolean",
     ).orderBy("probe")
+
+
+# ===========================================================================
+# Round-5 widening: BM25 lexical retrieval, distributed Naive-Bayes
+# language classification, bigram stupid-backoff LM quality scoring
+# ===========================================================================
+
+_BM25_TERMS = ("merge", "vector", "scan")
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      len(string_split(lower(text), ' ')) AS dl,
+                      unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+    stats AS (SELECT count(*) AS nd,
+                     avg(len(string_split(lower(text), ' '))) AS avgdl
+              FROM documents),
+    q AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+          WHERE term IN ('merge', 'vector', 'scan') GROUP BY 1),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+           WHERE term IN ('merge', 'vector', 'scan') GROUP BY 1, 2, 3),
+    s AS (SELECT tf.doc_id,
+                 sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+          FROM tf JOIN q USING (term) CROSS JOIN stats
+          GROUP BY 1)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM s ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query (k1=1.2, b=0.75,
+    Robertson-Sparck Jones idf with the +1 floor) — the classic
+    lexical-retrieval counterpart of retrieve_topk, adding the tf
+    saturation and length normalization that hybrid_search_rrf's plain
+    IDF-sum branch lacks.
+
+    Scale shape: doc length comes from size(split(...)) in the scan
+    stage (no full-corpus explode survives — only rows containing a
+    query term leave the generate+filter), the per-term df table and
+    the 1-row corpus stats broadcast, and the only exchange keys on
+    doc_id for the final per-doc sum. Ordering is on the ROUNDED score
+    in both engines so the top-10 cut is ulp-stable cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.col("text")), " ")
+    t = (
+        docs.select("doc_id", F.size(tk).alias("dl"),
+                    F.explode(tk).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("nd"),
+        F.avg(F.size(tk)).alias("avgdl"),
+    )
+    q = t.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf = t.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    idf = F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    s = (
+        tf.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                idf * F.col("tf") * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    ord_score = F.round(F.col("score"), 6)
+    return (
+        s.select("doc_id", ord_score.alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "nb_lang_confusion",
+    oracle="""
+    WITH split AS (SELECT doc_id, lang, text,
+                          ((doc_id * 2654435761) % 4294967296) % 1000 >= 900
+                            AS is_test
+                   FROM documents),
+    t AS (SELECT doc_id, lang, is_test,
+                 unnest(string_split(lower(text), ' ')) AS term
+          FROM split),
+    train AS (SELECT * FROM t WHERE NOT is_test),
+    cls AS (SELECT lang, count(*) AS tot FROM train GROUP BY 1),
+    vn AS (SELECT count(DISTINCT term) AS v FROM train),
+    prior AS (SELECT lang,
+                     CAST(round(ln(nl::DOUBLE / ntr) * 1000000) AS BIGINT)
+                       AS prior_fp
+              FROM (SELECT lang, count(*) AS nl FROM split
+                    WHERE NOT is_test GROUP BY 1)
+              CROSS JOIN (SELECT count(*) AS ntr FROM split
+                          WHERE NOT is_test)),
+    counts AS (SELECT term, lang, count(*) AS cnt FROM train GROUP BY 1, 2),
+    dense AS (SELECT vo.term, l.lang,
+                     CAST(round(ln((coalesce(c.cnt, 0) + 1)::DOUBLE
+                                   / (cls.tot + vn.v)) * 1000000) AS BIGINT)
+                       AS w_fp
+              FROM (SELECT DISTINCT term FROM train) vo
+              CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+              LEFT JOIN counts c ON c.term = vo.term AND c.lang = l.lang
+              JOIN cls ON cls.lang = l.lang
+              CROSS JOIN vn),
+    ttf AS (SELECT doc_id, lang AS true_lang, term, count(*) AS tf
+            FROM t WHERE is_test GROUP BY 1, 2, 3),
+    sc AS (SELECT ttf.doc_id, ttf.true_lang, d.lang AS cand,
+                  sum(ttf.tf * d.w_fp) AS ll_fp
+           FROM ttf JOIN dense d USING (term) GROUP BY 1, 2, 3),
+    sc2 AS (SELECT sc.doc_id, sc.true_lang, sc.cand,
+                   sc.ll_fp + p.prior_fp AS score_fp
+            FROM sc JOIN prior p ON p.lang = sc.cand),
+    pred AS (SELECT doc_id, true_lang, cand AS predicted
+             FROM (SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_fp DESC, cand) AS rn
+                   FROM sc2)
+             WHERE rn = 1)
+    SELECT true_lang AS lang, predicted, count(*) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes: train Laplace-smoothed
+    per-language term log-probabilities on the Knuth-hash train split
+    (same 90/10 split as train_test_split), classify the held-out test
+    docs, and emit the (true language, predicted, count) confusion
+    matrix — the quality-classifier shape every curation pipeline
+    needs (fastText-style lang-ID / quality gating), as pure
+    aggregation + join, no ML library.
+
+    Cross-engine determinism: per-(term, lang) weights are FIXED-POINT
+    integers, round(ln(p) * 1e6) AS BIGINT, so per-doc scores are
+    integer sums — order-independent under partial aggregation and
+    ulp-exact across engines; argmax ties break on lang ascending
+    (min-struct of (-score, lang) in Spark ≡ the oracle's row_number).
+    Test tokens unseen in the train vocabulary drop out via the inner
+    join in BOTH engines (standard NB OOV handling).
+
+    Scale shape: the model is vocabulary-cardinality (vocab × 5 langs
+    + 5-row class table + 1-row vocab size) — it broadcasts at any
+    corpus size because vocabulary growth is sublinear (heaps' law);
+    the only corpus-sized exchanges key on term (scoring join) and
+    doc_id (per-doc argmax)."""
+    docs = load(spark, sf_dir, "documents")
+    is_test = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        % F.lit(1000) >= 900
+    )
+    toks = docs.select(
+        "doc_id", "lang", is_test.alias("is_test"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    train = toks.filter(~F.col("is_test"))
+    cls = train.groupBy("lang").agg(F.count("*").alias("tot"))
+    vn = train.agg(F.count_distinct("term").alias("v"))
+    tr_docs = docs.filter(~is_test)
+    prior = (
+        tr_docs.groupBy("lang").agg(F.count("*").alias("nl"))
+        .crossJoin(F.broadcast(tr_docs.agg(F.count("*").alias("ntr"))))
+        .select(
+            "lang",
+            F.round(F.log(F.col("nl").cast("double") / F.col("ntr")) * 1e6)
+            .cast("long").alias("prior_fp"),
+        )
+    )
+    counts = train.groupBy("term", "lang").agg(F.count("*").alias("cnt"))
+    dense = (
+        train.select("term").distinct()
+        .crossJoin(F.broadcast(docs.select("lang").distinct()))
+        .join(counts, ["term", "lang"], "left")
+        .join(F.broadcast(cls), "lang")
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "term", F.col("lang").alias("cand"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                ) * 1e6
+            ).cast("long").alias("w_fp"),
+        )
+    )
+    ttf = (
+        toks.filter(F.col("is_test"))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        ttf.join(dense, "term")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum(F.col("tf") * F.col("w_fp")).alias("ll_fp"))
+        .join(F.broadcast(prior.withColumnRenamed("lang", "cand")), "cand")
+        .select(
+            "doc_id", "true_lang", "cand",
+            (F.col("ll_fp") + F.col("prior_fp")).alias("score_fp"),
+        )
+    )
+    pred = (
+        scored.groupBy("doc_id", "true_lang")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_fp")).alias("neg"),
+                    F.col("cand").alias("cand"),
+                )
+            ).alias("p")
+        )
+        .select("doc_id", "true_lang", F.col("p.cand").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"), "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "bigram_backoff_quality",
+    oracle="""
+    WITH split AS (SELECT doc_id, source,
+                          string_split(lower(text), ' ') AS tk,
+                          ((doc_id * 2654435761) % 4294967296) % 1000 >= 900
+                            AS is_test
+                   FROM documents),
+    uni AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(tk) AS w FROM split WHERE NOT is_test)
+            GROUP BY 1),
+    tot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+    b AS (SELECT doc_id, source, is_test,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i]))
+                   AS w1,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i + 1]))
+                   AS w2
+          FROM split WHERE len(tk) >= 2),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM b
+           WHERE NOT is_test GROUP BY 1, 2),
+    s AS (SELECT tb.doc_id, tb.source,
+                 CAST(round(ln(CASE WHEN bi.c12 IS NOT NULL
+                                    THEN bi.c12::DOUBLE / u1.c
+                                    ELSE 0.4 * u2.c / t END) * 1000000)
+                      AS BIGINT) AS w_fp
+          FROM (SELECT * FROM b WHERE is_test) tb
+          LEFT JOIN bi ON bi.w1 = tb.w1 AND bi.w2 = tb.w2
+          LEFT JOIN uni u1 ON u1.w = tb.w1
+          JOIN uni u2 ON u2.w = tb.w2
+          CROSS JOIN tot)
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_bigrams,
+           round(sum(w_fp)::DOUBLE / 1000000 / count(*), 6) AS avg_lp
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with stupid backoff (Brants
+    et al. 2007, alpha = 0.4): train bigram/unigram counts on the
+    Knuth-hash train split, score every held-out doc's bigrams with
+    p(w2|w1) = c12/c1, backing off to 0.4 * c(w2)/T for unseen pairs,
+    and report per-source mean log-probability per bigram — the
+    perplexity-style corpus-quality signal one step up from
+    unigram_logprob_quality. Bigrams whose w2 is train-OOV drop out in
+    both engines (inner join on the unigram table).
+
+    Cross-engine determinism: per-bigram log-probs quantize to
+    fixed-point BIGINT (round(ln(p) * 1e6)) so the per-source sum is
+    an exact integer in any aggregation order; only the final
+    integer-derived mean is floating.
+
+    Scale shape: the model tables are vocabulary-cardinality (bigram
+    table vocab²-bounded, in practice Heaps-sublinear) — the scoring
+    joins key on xxhash64(w1,w2) 8-byte pair keys and on w2
+    (invariant 7: hash string keys before the exchange; the oracle
+    compares only count aggregates, which hashing preserves). One
+    per-source aggregate ends the plan; no per-doc table is ever
+    broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    is_test = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        % F.lit(1000) >= 900
+    )
+    base = docs.select(
+        "doc_id", "source", is_test.alias("is_test"),
+        F.split(F.lower(F.col("text")), " ").alias("tk"),
+    )
+    uni = (
+        base.filter(~F.col("is_test"))
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("t"))
+    bg = F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+    )
+    b = (
+        base.filter(F.size("tk") >= 2)
+        .select("doc_id", "source", "is_test", F.explode(bg).alias("bg"))
+        .select(
+            "doc_id", "source", "is_test",
+            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"),
+            F.xxhash64("bg.w1", "bg.w2").alias("pk"),
+        )
+    )
+    bi = (
+        b.filter(~F.col("is_test"))
+        .groupBy("pk").agg(F.count("*").alias("c12"))
+    )
+    tb = b.filter(F.col("is_test"))
+    s = (
+        tb.join(bi, "pk", "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+              "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+              "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "source",
+            F.round(
+                F.log(
+                    F.when(
+                        F.col("c12").isNotNull(),
+                        F.col("c12").cast("double") / F.col("c1"),
+                    ).otherwise(0.4 * F.col("c2") / F.col("t"))
+                ) * 1e6
+            ).cast("long").alias("w_fp"),
+        )
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("w_fp").cast("double") / 1e6 / F.count("*"), 6
+            ).alias("avg_lp"),
+        )
+        .orderBy("source")
+    )

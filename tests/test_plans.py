@@ -365,7 +365,15 @@ def test_no_forced_broadcast_of_per_doc_tables(spark, registry):
     at 100 TB (round-4 verdict, What's wrong #1). Detection: with the
     auto-broadcast threshold disabled, a stats-driven broadcast (fine —
     the optimizer knows the table is small) disappears, while a forced
-    hint survives. Assert no BroadcastHashJoin remains."""
+    hint survives. Assert no BroadcastHashJoin remains.
+
+    release_caches() first: the shared-tier pair-stats table may be
+    cached from an earlier test WITH stats-driven broadcasts baked
+    into its materialized plan — the detection trick only works on a
+    plan rebuilt under the disabled threshold."""
+    from svs_spark.queries import release_caches
+
+    release_caches()
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -380,6 +388,8 @@ def test_no_forced_broadcast_of_per_doc_tables(spark, registry):
             assert "BroadcastNestedLoop" not in plan, (name, plan[:2000])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # don't leave the no-broadcast plans cached for later tests
+        release_caches()
 
 
 def test_embedding_norm_outliers_no_window_no_explode(spark, registry):
