@@ -147,6 +147,11 @@ HEADLINE = [
     "bm25_topk",
     "nb_lang_confusion",
     "bigram_backoff_quality",
+    # round-5 widening: filter evaluation, sparse lexical near-dup,
+    # embedding moments
+    "quality_score_auc",
+    "tfidf_cosine_pairs",
+    "embedding_covariance",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

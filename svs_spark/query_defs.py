@@ -9101,3 +9101,262 @@ def q_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ===========================================================================
+# Round-5: filter evaluation (ROC-AUC), TF-IDF cosine near-dup pairs,
+# fixed-point embedding covariance block
+# ===========================================================================
+
+
+@register(
+    "quality_score_auc",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             (n_chars * 1000) // len(string_split(text, ' ')) AS s,
+             CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    pv AS (SELECT source, s, sum(y) AS p, count(*) - sum(y) AS n
+           FROM d GROUP BY 1, 2),
+    sc AS (SELECT source, p, n,
+                  sum(n) OVER (PARTITION BY source ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS cb
+           FROM pv),
+    a AS (SELECT source, sum(p) AS n_pos, sum(n) AS n_neg,
+                 sum(p * (2 * cb + n)) AS num2
+          FROM sc GROUP BY 1)
+    SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round(num2::DOUBLE / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source
+    """,
+)
+def q_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a curation signal against per-doc labels — the
+    filter-evaluation step a pipeline runs before believing any
+    quality score (operators/evaluation.py holds the tie-exact
+    Mann-Whitney fold). Signal under test: mean characters per token
+    (fixed-point: chars * 1000 DIV tokens); label: the document is
+    CJK ('zh'), which whitespace tokenization cannot segment — so the
+    AUC per source measures how cleanly the signal would route docs to
+    a CJK-aware tokenizer (near 1.0 everywhere = the signal works;
+    a source where it drops = mixed-script content needing review).
+
+    Scale shape: label and score are scan-stage expressions (no
+    exchange to build them); the AUC itself is a (source, score)
+    aggregate, a window over distinct score VALUES per source (bounded
+    by the score's fixed-point domain, not the corpus), integer
+    pair-counting, one division per source."""
+    from svs_spark.operators import evaluation as EV
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.expr(
+            "CAST(n_chars * 1000 AS BIGINT) DIV size(split(text, ' '))"
+        ).alias("s"),
+        (F.col("lang") == "zh").alias("is_zh"),
+    )
+    return EV.binary_auc(base, "s", "is_zh", ["source"]).orderBy("source")
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    t AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents)
+          GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS dfc FROM t GROUP BY 1),
+    vocab AS (SELECT term, dfc FROM dfq CROSS JOIN nn
+              WHERE dfc <= least(CAST(ceil(0.4 * n) AS BIGINT), 1000)),
+    w AS (SELECT t.doc_id, t.term, v.dfc, t.tf * ln(nn.n / v.dfc) AS wt
+          FROM t JOIN vocab v USING (term) CROSS JOIN nn),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nr FROM w GROUP BY 1),
+    dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    sum(a.wt * b.wt) AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             WHERE a.dfc >= 2
+             GROUP BY 1, 2),
+    c AS (SELECT id_a, id_b,
+                 round(dot / (na.nr * nb.nr), 6) AS cos_sim
+          FROM dots
+          JOIN nrm na ON na.doc_id = id_a
+          JOIN nrm nb ON nb.doc_id = id_b)
+    SELECT id_a, id_b, cos_sim FROM c WHERE cos_sim >= 0.3
+    ORDER BY cos_sim DESC, id_a, id_b LIMIT 2000
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2000 TF-IDF-weighted cosine document pairs >= 0.3 — the
+    sparse lexical near-dup signal between exact hashing and MinHash:
+    unlike n-gram Jaccard it down-weights ubiquitous terms, so
+    template pages differing only in boilerplate don't pair. The cut
+    is total-ordered (rounded cos DESC, id_a, id_b) so the LIMIT is
+    deterministic cross-engine, and large duplicate cliques (k^2/2
+    pairs each) can't blow up the output as the corpus grows.
+
+    Scale shape: the inverted-index self-join is the only quadratic
+    risk and is bounded two ways — vocabulary is df-capped at
+    least(0.4*N, 1000) (relative cap governs at test scale, the
+    absolute hot-term cap governs at web scale: per-term join fan-out
+    <= 1000^2, the same discipline as the LSH hot-bucket cap), and
+    df=1 terms are excluded from the JOIN side (they cannot pair) while
+    still counting toward norms. Terms cross the exchange as 8-byte
+    xxhash64 keys (DEVNOTES-7); per-doc norms join by doc_id as a
+    plain shuffle join — doc-cardinality tables are never broadcast
+    (round-4 verdict)."""
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    nn = docs.agg(F.count("*").cast("double").alias("n"))
+    dfq = t.groupBy("term").agg(F.count("*").alias("dfc"))
+    vocab = dfq.crossJoin(F.broadcast(nn)).filter(
+        F.col("dfc")
+        <= F.least(F.ceil(0.4 * F.col("n")).cast("long"), F.lit(1000))
+    )
+    # 3-reference fan-out (norms + both pair sides): without cached()
+    # the tokenize+tf+vocab-join subtree is rebuilt four times and the
+    # 1-row stats cross joins replicate with it (invariant 26).
+    w = cached(
+        t.join(vocab.select("term", "dfc"), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.xxhash64("term").alias("tk"),
+            "dfc",
+            (F.col("tf") * F.log(F.col("n") / F.col("dfc"))).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nr")
+    )
+    wj = w.filter(F.col("dfc") >= 2)
+    a = wj.select(F.col("doc_id").alias("id_a"), "tk", F.col("wt").alias("wa"))
+    b = wj.select(F.col("doc_id").alias("id_b"), "tk", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "tk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nr").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nr").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(2000)
+    )
+
+
+_COV_DIMS = 8
+
+
+def _covariance_oracle(dims: int = _COV_DIMS) -> str:
+    xs = ",\n           ".join(
+        f"CAST(round(embedding[{i + 1}] * 1000000) AS BIGINT) AS x{i}"
+        for i in range(dims)
+    )
+    sums = ", ".join(f"sum(x{i}) AS s{i}" for i in range(dims))
+    prods = ", ".join(
+        f"sum(x{i} * x{j}) AS p{i}_{j}"
+        for i in range(dims)
+        for j in range(i, dims)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, round((p{i}_{j}::HUGEINT * n"
+        f" - s{i}::HUGEINT * s{j})::DOUBLE"
+        f" / (n::DOUBLE * (n - 1) * 1e12), 6) AS cov FROM m"
+        for i in range(dims)
+        for j in range(i, dims)
+    )
+    return f"""
+    WITH x AS (SELECT {xs} FROM embeddings),
+    m AS (SELECT count(*) AS n, {sums}, {prods} FROM x)
+    SELECT i, j, cov FROM ({rows}) ORDER BY i, j
+    """
+
+
+@register("embedding_covariance", oracle=_covariance_oracle())
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the first 8 embedding
+    dimensions — the moment computation behind embedding whitening /
+    PCA (operators/pca.py holds the full d x d mapInPandas path; this
+    registered block is the driver-gateable window into the same
+    moments).
+
+    Determinism + scale shape: values quantize to fixed-point BIGINT
+    (round(x * 1e6)) at the scan, so every moment is an INTEGER sum —
+    exact in any aggregation order and partition count (invariant:
+    integer fixed-point for order-independent sums); the numerator
+    n*P_ij - S_i*S_j is computed in DECIMAL(38,0)/HUGEINT before the
+    single float division. The whole query is one map-side-combined
+    aggregate to ONE row (no shuffle wider than 36 partial sums), then
+    a literal explode to (i, j) rows."""
+    dims = _COV_DIMS
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        *[
+            F.round(F.col("embedding")[i] * 1e6).cast("long").alias(f"x{i}")
+            for i in range(dims)
+        ]
+    )
+    aggs = (
+        [F.count("*").alias("n")]
+        + [F.sum(f"x{i}").alias(f"s{i}") for i in range(dims)]
+        + [
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}")
+            for i in range(dims)
+            for j in range(i, dims)
+        ]
+    )
+    row = x.agg(*aggs)
+    dec = "decimal(38,0)"
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            (
+                (
+                    F.col(f"p{i}_{j}").cast(dec) * F.col("n").cast(dec)
+                    - F.col(f"s{i}").cast(dec) * F.col(f"s{j}").cast(dec)
+                ).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") - 1).cast("double")
+                    * F.lit(1e12)
+                )
+            ).alias("c"),
+        )
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    return (
+        row.select(F.explode(F.array(*cells)).alias("e"))
+        .select(
+            F.col("e.i").alias("i"),
+            F.col("e.j").alias("j"),
+            F.round(F.col("e.c"), 6).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

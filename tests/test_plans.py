@@ -414,3 +414,53 @@ def test_theil_sen_pair_join_is_on_daily_aggregate(spark, registry):
     # events parquet appears at most twice (one scan per side pre-AQE
     # reuse; each node prints twice in formatted mode => <= 4)
     assert plan.count("Scan parquet") <= 4, plan[:1500]
+
+
+def test_embedding_covariance_single_exchange(spark, registry):
+    """The covariance block is moments: map-side-combined integer sums
+    to ONE row. Exactly one exchange (the final single-partition agg);
+    anything more means the fixed-point fold stopped being a pure
+    aggregate."""
+    df = registry["embedding_covariance"](spark, SF_DIR)
+    plan = X.plan_string(df, "simple")
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "Broadcast" not in plan, plan[:2000]
+
+
+def test_quality_score_auc_window_over_aggregate(spark, registry):
+    """The AUC window must consume the (source, score) AGGREGATE (its
+    input is bounded by score cardinality), never raw corpus rows: the
+    plan's Window sits above a HashAggregate, and there is no explode/
+    per-row window anywhere."""
+    df = registry["quality_score_auc"](spark, SF_DIR)
+    plan = X.plan_string(df, "simple")
+    assert "Generate" not in plan, plan[:2000]
+    w = plan.find("Window")
+    assert w != -1, plan[:2000]
+    assert "HashAggregate" in plan[w:], plan[w:w + 2000]
+
+
+def test_tfidf_pairs_no_forced_doc_table_broadcast(spark, registry):
+    """tfidf_cosine_pairs joins per-doc norm tables (corpus
+    cardinality) — with the auto-broadcast threshold disabled, the
+    only broadcasts allowed to survive are the forced 1-row corpus
+    stats (BroadcastNestedLoop cross joins, harmless at any scale);
+    any surviving BroadcastHashJoin would be a forced per-doc/per-term
+    hint (the round-4 OOM shape). Also: the weight table has a
+    3-reference fan-out (norms + both pair sides), so it must come
+    from the registry cache tier, and the top-2000 cut must be
+    TakeOrdered, not a global sort."""
+    from svs_spark.queries import release_caches
+
+    release_caches()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry["tfidf_cosine_pairs"](spark, SF_DIR)
+        plan = X.plan_string(df, "simple")
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        release_caches()
