@@ -8799,38 +8799,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query term leave the generate+filter), the per-term df table and
     the 1-row corpus stats broadcast, and the only exchange keys on
     doc_id for the final per-doc sum. Ordering is on the ROUNDED score
-    in both engines so the top-10 cut is ulp-stable cross-engine."""
+    in both engines so the top-10 cut is ulp-stable cross-engine.
+    Kernel: operators/lexical.bm25_scores (shared with the 1M-doc
+    scale harness)."""
+    from svs_spark.operators import lexical as LX
+
     docs = load(spark, sf_dir, "documents")
-    tk = F.split(F.lower(F.col("text")), " ")
-    t = (
-        docs.select("doc_id", F.size(tk).alias("dl"),
-                    F.explode(tk).alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-    )
-    stats = docs.agg(
-        F.count("*").cast("double").alias("nd"),
-        F.avg(F.size(tk)).alias("avgdl"),
-    )
-    q = t.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    tf = t.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
-    idf = F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    s = (
-        tf.join(F.broadcast(q), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                idf * F.col("tf") * 2.2
-                / (
-                    F.col("tf")
-                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score")
-        )
-    )
-    ord_score = F.round(F.col("score"), 6)
+    s = LX.bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
     return (
-        s.select("doc_id", ord_score.alias("bm25"))
+        s.select("doc_id", F.round(F.col("score"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
@@ -9212,61 +9189,13 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain shuffle join — doc-cardinality tables are never broadcast
     (round-4 verdict)."""
     docs = load(spark, sf_dir, "documents")
-    t = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    nn = docs.agg(F.count("*").cast("double").alias("n"))
-    dfq = t.groupBy("term").agg(F.count("*").alias("dfc"))
-    vocab = dfq.crossJoin(F.broadcast(nn)).filter(
-        F.col("dfc")
-        <= F.least(F.ceil(0.4 * F.col("n")).cast("long"), F.lit(1000))
-    )
+    from svs_spark.operators import lexical as LX
+
     # 3-reference fan-out (norms + both pair sides): without cached()
     # the tokenize+tf+vocab-join subtree is rebuilt four times and the
     # 1-row stats cross joins replicate with it (invariant 26).
-    w = cached(
-        t.join(vocab.select("term", "dfc"), "term")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "doc_id",
-            F.xxhash64("term").alias("tk"),
-            "dfc",
-            (F.col("tf") * F.log(F.col("n") / F.col("dfc"))).alias("wt"),
-        )
-    )
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nr")
-    )
-    wj = w.filter(F.col("dfc") >= 2)
-    a = wj.select(F.col("doc_id").alias("id_a"), "tk", F.col("wt").alias("wa"))
-    b = wj.select(F.col("doc_id").alias("id_b"), "tk", F.col("wt").alias("wb"))
-    dots = (
-        a.join(b, "tk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nr").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nr").alias("nb"))
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
-        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
-        .limit(2000)
-    )
+    w = cached(LX.tfidf_weights(docs, rel_df_cap=0.4, abs_df_cap=1000))
+    return LX.tfidf_cosine_pairs(w, threshold=0.3, limit=2000)
 
 
 _COV_DIMS = 8
@@ -9359,4 +9288,99 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("e.c"), 6).alias("cov"),
         )
         .orderBy("i", "j")
+    )
+
+
+@register(
+    "temperature_resample",
+    oracle="""
+    WITH cnt AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+    tot AS (SELECT sum(nl) AS n, sum(pow(nl, 0.3)) AS z FROM cnt),
+    quota AS (
+      SELECT lang, nl,
+             least(nl, greatest(1,
+               CAST(floor(ceil(0.2 * n) * pow(nl, 0.3) / z + 0.5)
+                    AS BIGINT))) AS q
+      FROM cnt CROSS JOIN tot
+    ),
+    keyed AS (
+      SELECT doc_id, lang,
+             round(ln((((doc_id * 2654435761) % 4294967296) + 1)
+                      / 4294967296.0) / n_chars, 6) AS key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT k.doc_id, k.lang, k.key, q.q,
+             row_number() OVER (PARTITION BY k.lang
+                                ORDER BY k.key DESC, k.doc_id DESC) AS rn
+      FROM keyed k JOIN quota q USING (lang)
+    )
+    SELECT lang, CAST(q AS BIGINT) AS quota,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           sum(doc_id) AS id_checksum
+    FROM ranked WHERE rn <= q
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual subcorpus selection (the
+    mT5 / XLM-R alpha-sampling trick, alpha = 0.3): per-language
+    quotas proportional to p_lang^alpha — low-resource languages get
+    a larger share than their raw frequency, high-resource ones are
+    downsampled — filled by Efraimidis-Spirakis length-weighted
+    priority keys (same key as priority_sample_per_lang) so the draw
+    is deterministic and exact-n. Budget = 20% of the corpus; quotas
+    clamp to [1, n_lang]. Output is the per-language audit row
+    (quota, realized count, id checksum) rather than the sampled rows
+    themselves, keeping the result corpus-size-independent.
+
+    Scale shape: quota computation aggregates to #langs rows
+    (broadcast); priority keys are scan-stage arithmetic; the only
+    corpus exchange hash-partitions on lang for the per-stratum
+    window (few-strata note of priority_sample_per_lang applies);
+    the audit aggregate reuses the same partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("nl"))
+    tot = cnt.agg(
+        F.sum("nl").alias("n"),
+        F.sum(F.pow(F.col("nl").cast("double"), 0.3)).alias("z"),
+    )
+    quota = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "nl",
+            F.least(
+                F.col("nl"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        F.ceil(0.2 * F.col("n"))
+                        * F.pow(F.col("nl").cast("double"), 0.3)
+                        / F.col("z")
+                        + 0.5
+                    ).cast("long"),
+                ),
+            ).alias("q"),
+        )
+    )
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) + F.lit(1)
+    ) / F.lit(4294967296.0)
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "lang",
+        F.round(F.log(u) / F.col("n_chars"), 6).alias("key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("key"), F.desc("doc_id"))
+    ranked = keyed.join(F.broadcast(quota.select("lang", "q")), "lang")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("q"))
+        .groupBy("lang", F.col("q").alias("quota"))
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
     )

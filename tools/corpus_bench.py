@@ -443,6 +443,78 @@ def main() -> None:
 
     run("ngram_novelty", novelty)
 
+    # -- round-5 additions: lexical retrieval, TF-IDF pair mining, the
+    # BPE trainer loop, Newton logistic regression, Mann-Whitney AUC --
+    from svs_spark.operators import bpe as B
+    from svs_spark.operators import lexical as LX
+    from svs_spark.operators import logreg as LR
+    from svs_spark.operators.evaluation import binary_auc
+
+    # 'contact'/'done' appear in EVERY doc — full-corpus posting lists,
+    # the worst case for the per-doc score aggregation
+    run(
+        "bm25_full_posting",
+        lambda: LX.bm25_scores(docs, ("contact", "done", "nosuchterm"))
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(100)
+        .count(),
+    )
+
+    def tfidf_pairs():
+        # template tokens have df=50 (well under the 1000 hot cap); the
+        # ubiquitous 'contact'/'done' (df=n) are dropped BY the cap —
+        # candidate volume is the legitimate sum(df^2) of the template
+        # family structure, the same mass minhash_lsh_pairs verifies
+        w = LX.tfidf_weights(docs).persist()
+        try:
+            w.count()
+            return LX.tfidf_cosine_pairs(w, threshold=0.5, limit=None).count()
+        finally:
+            w.unpersist()
+
+    run("tfidf_cosine_pairs_t05", tfidf_pairs, warm=False)
+
+    def bpe_8_merges():
+        words = B.words_from_corpus(docs, "text").localCheckpoint(eager=True)
+        merges, _ = B.bpe_train(words, n_merges=8, min_count=2)
+        return len(merges)
+
+    run("bpe_train_8merges", bpe_8_merges, warm=False)
+
+    def logreg_fit():
+        toks = F.split(F.lower(F.col("text")), " ")
+        feats = docs.select(
+            F.array(
+                (F.length("text") / 1000.0).cast("double"),
+                (F.size(toks) / 100.0).cast("double"),
+                (F.size(F.array_distinct(toks)) / 100.0).cast("double"),
+                (F.length(F.regexp_replace("text", "[a-z ]", "")) / 100.0)
+                .cast("double"),
+            ).alias("features"),
+            ((F.col("doc_id") % 50) < 5).cast("double").alias("label"),
+        )
+        m = LR.fit(feats, dim=4, iters=3)
+        return m["n"]
+
+    run("logreg_newton_3it", logreg_fit, warm=False)
+
+    run(
+        "quality_auc_1m",
+        lambda: binary_auc(
+            docs.select(
+                (F.col("doc_id") % 20).alias("source"),
+                F.expr(
+                    "CAST(length(text) * 1000 AS BIGINT)"
+                    " DIV size(split(text, ' '))"
+                ).alias("s"),
+                ((F.col("doc_id") % 50) < 5).alias("y"),
+            ),
+            "s",
+            "y",
+            ["source"],
+        ).count(),
+    )
+
     print(
         json.dumps(
             {

@@ -126,24 +126,30 @@ def main() -> None:
 
     qvec = fixed_query_vec(dim)
 
-    # warm both paths once (JIT, Arrow setup)
+    # warm both paths once (JIT, Arrow setup); best-of-2 timed runs —
+    # a single GC pause or scheduler hiccup otherwise dominates
+    # (observed: one 17 s batch_path outlier vs 2.9 s steady state)
     retrieve_topk(emb, qvec, 100).count()
-    t0 = time.perf_counter()
-    retrieve_topk(emb, qvec, 100).collect()
-    sql_s = time.perf_counter() - t0
+    sql_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        retrieve_topk(emb, qvec, 100).collect()
+        sql_s = min(sql_s, time.perf_counter() - t0)
 
     batch = with_scores_batch(emb, qvec).orderBy(
         F.desc("score"), F.desc("vec_id")
     ).limit(100)
     batch.count()
-    t0 = time.perf_counter()
-    rows = (
-        with_scores_batch(emb, qvec)
-        .orderBy(F.desc("score"), F.desc("vec_id"))
-        .limit(100)
-        .collect()
-    )
-    batch_s = time.perf_counter() - t0
+    batch_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rows = (
+            with_scores_batch(emb, qvec)
+            .orderBy(F.desc("score"), F.desc("vec_id"))
+            .limit(100)
+            .collect()
+        )
+        batch_s = min(batch_s, time.perf_counter() - t0)
     assert len(rows) == 100
 
     # bulk retrieval throughput: 64 queries, one corpus scan (the
