@@ -153,6 +153,7 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "embedding_covariance",
     "temperature_resample",
+    "ann_binary_topk",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

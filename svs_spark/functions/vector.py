@@ -105,3 +105,63 @@ def dot_int8(a: Column | str, b: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def sign_bits_packed(a: Column | str, dim: int) -> Column:
+    """Pack the sign bits of a float vector (x >= 0 → 1) into
+    ceil(dim/64) LONGs — the 1-bit quantization tier: 32× smaller than
+    float32 (vs 4× for int8, ~64× for PQ at dim 1536/m 96). With
+    clustered unit vectors the sign-agreement count is a monotone
+    proxy for cosine, so a packed Hamming screen + exact rerank gives
+    high recall at 1/32nd the scan bytes. Pure integer fold — one
+    codegen span, no UDF; the fold shifts with SHIFTLEFT (bitwise, no
+    overflow check — the top bit of a full 64-bit word is payload, and
+    `acc * 2` would throw under ANSI mode when it flips the sign)."""
+    col = _col(a)
+    words = []
+    for g in range(0, dim, 64):
+        width = min(64, dim - g)
+        words.append(
+            F.aggregate(
+                F.sequence(F.lit(g), F.lit(g + width - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: F.shiftleft(acc, 1)
+                + F.when(
+                    F.element_at(col, (i + 1).cast("int")) >= 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        )
+    return F.array(*words)
+
+
+def hamming_packed(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed sign-bit vectors
+    (ARRAY<LONG> from sign_bits_packed): Σ popcount(xor) — integer,
+    exact, codegen."""
+    return F.aggregate(
+        F.zip_with(
+            _col(a),
+            _col(b),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sign_agreement(a: Column | str, qsigns: Sequence[int]) -> Column:
+    """Sign-agreement score of a float vector against a ±1 query sign
+    pattern: Σ (x_i >= 0 ? s_i : -s_i) = dim − 2·hamming. The unpacked
+    twin of the packed Hamming screen — SQL-mirrorable, used by the
+    oracle-gated query; tests assert packed ≡ unpacked."""
+    qlit = F.array(*[F.lit(int(s)) for s in qsigns])
+    return F.aggregate(
+        F.zip_with(
+            _col(a),
+            qlit,
+            lambda x, y: F.when(x >= 0, y).otherwise(-y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

@@ -9384,3 +9384,64 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+QSIGN = [1 if v >= 0 else -1 for v in QVEC]
+QSIGN_SQL = "[" + ", ".join(str(v) for v in QSIGN) + "]::DOUBLE[]"
+
+
+@register(
+    "ann_binary_topk",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_dot_product(
+               list_transform(embedding,
+                 x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END),
+               {QSIGN_SQL}) AS agree
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM s
+      ORDER BY agree DESC, vec_id DESC LIMIT 200
+    )
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], {QVEC_SQL}), 6)
+             AS score
+    FROM cand ORDER BY score DESC, vec_id DESC LIMIT 10
+    """,
+)
+def q_ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit quantized retrieval: sign-agreement screen (top-200) +
+    exact float rerank (top-10) — the third rung of the compression
+    ladder (1-bit = 32× vs int8 = 4× vs PQ ≈ 64× at dim 1536). The
+    registered form scores the UNPACKED sign agreement so DuckDB can
+    mirror it exactly (integer counts, deterministic vec_id ties);
+    the production representation is functions/vector.sign_bits_packed
+    + hamming_packed (popcount over ceil(dim/64) LONGs, 1/32nd the
+    scan bytes) — tests/test_binary_ann.py proves packed ≡ unpacked
+    and measures recall on clustered corpora.
+
+    Scale shape: both stages are TakeOrdered heaps over scan-stage
+    integer arithmetic — no exchange wider than the 200-row candidate
+    set; at serving scale the packed column is materialized at ingest
+    (like quantize_int8) and the float column is read only for the
+    200 rerank rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    cand = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            V.sign_agreement("embedding", QSIGN).alias("agree"),
+        )
+        .orderBy(F.desc("agree"), F.desc("vec_id"))
+        .limit(200)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(V.dot_literal("embedding", QVEC), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(10)
+    )
