@@ -9117,10 +9117,12 @@ def q_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score (operators/evaluation.py holds the tie-exact
     Mann-Whitney fold). Signal under test: mean characters per token
     (fixed-point: chars * 1000 DIV tokens); label: the document is
-    CJK ('zh'), which whitespace tokenization cannot segment — so the
-    AUC per source measures how cleanly the signal would route docs to
-    a CJK-aware tokenizer (near 1.0 everywhere = the signal works;
-    a source where it drops = mixed-script content needing review).
+    CJK ('zh'). On real web text this signal saturates (unsegmented
+    CJK has huge chars/token); on THIS synthetic corpus zh is
+    whitespace-tokenized like every other language, so the honest
+    verdict is AUC ~ 0.5 per source — the evaluation op correctly
+    reporting an uninformative filter, which is exactly the decision
+    ("don't gate on this signal here") the harness exists to make.
 
     Scale shape: label and score are scan-stage expressions (no
     exchange to build them); the AUC itself is a (source, score)
