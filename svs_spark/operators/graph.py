@@ -163,3 +163,60 @@ def lpa_communities(edges: DataFrame, iterations: int = 3) -> DataFrame:
         )
     und.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition: iteratively peel nodes of degree < k
+    until the residual graph is stable; returns the surviving
+    (node, degree) rows — degree measured INSIDE the core.
+
+    The standard cohesion screen before community detection: spam
+    link-farms and long chains peel away, the dense interaction core
+    stays. Every iteration is two node-keyed exchanges (degree count +
+    semi-join filter) over the CURRENT edge set, which only shrinks;
+    localCheckpoint truncates the per-iteration lineage exactly like
+    bfs_depths/pagerank above. Terminates when an iteration removes
+    nothing (checked via a driver-side count — one scalar per round,
+    same discipline as the Lloyd driver's convergence test).
+
+    Edges are treated as undirected: callers pass each edge once and
+    degrees count both endpoints.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_before, n_after = e.count(), e2.count()
+        e = e2
+        if n_after == n_before or n_after == 0:
+            break
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

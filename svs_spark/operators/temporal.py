@@ -203,3 +203,68 @@ def banded_range_join(
     return joined.drop(r_bands[key]).drop(r_bands["_band"]).drop(
         l_banded["_band"]
     )
+
+
+def ewma_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-series exponential smoothing + residual anomaly flags.
+
+    For each series (``key_col``), scan rows in ``ts_col`` order and
+    maintain the EWMA level and an EWMA of squared residuals (same
+    alpha); flag rows where |value − level_before| exceeds
+    ``z_threshold``·sqrt(var_before). Returns the input columns plus
+    (level, resid, is_anomaly).
+
+    The recurrence is inherently sequential PER SERIES — no window
+    frame expresses it — so this is the documented applyInPandas
+    case: one exchange partitions by series key, each series folds
+    in-memory with NumPy (bounded by the longest single series, the
+    same bound every per-series op in this module carries; a series
+    too long for one task should be rolled up first — see rollup.py).
+    First rows of a series: level seeds at the first value, variance
+    at 0, so rows 1-2 are never flagged (var needs two residuals).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = float(alpha)
+    zt = float(z_threshold)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        level = np.empty(n)
+        resid = np.empty(n)
+        flag = np.zeros(n, dtype=bool)
+        lv = v[0] if n else 0.0
+        var = 0.0
+        seen = 0
+        for i in range(n):
+            r = v[i] - lv
+            resid[i] = r
+            if seen >= 2 and var > 0:
+                flag[i] = abs(r) > zt * (var ** 0.5)
+            lv = lv + a * r
+            var = var + a * (r * r - var)
+            level[i] = lv
+            seen += 1
+        out = pdf.copy()
+        out["level"] = level
+        out["resid"] = resid
+        out["is_anomaly"] = flag
+        return out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, level double, resid double, is_anomaly boolean"
+    return df.groupBy(key_col).applyInPandas(fold, schema)
