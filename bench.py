@@ -154,6 +154,13 @@ HEADLINE = [
     "embedding_covariance",
     "temperature_resample",
     "ann_binary_topk",
+    # round-5 session 3: semantic dedup, fuzzy decontamination,
+    # packing audit, drift + calibration monitors
+    "semdedup_pairs",
+    "decontaminate_fuzzy",
+    "sequence_packing_stats",
+    "source_length_ks",
+    "score_calibration_bins",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -464,3 +464,60 @@ def test_tfidf_pairs_no_forced_doc_table_broadcast(spark, registry):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         release_caches()
+
+
+def test_sequence_packing_cumsum_is_bucket_partitioned(spark, registry):
+    """The packing audit's global token cumsum must run through the
+    two-level decomposition: the corpus-sized running-sum window
+    hash-partitions on the equi-width doc_id bucket, and the only
+    single-partition exchanges feed the bounded (<=1024-row) offsets
+    window and the final 1-row aggregates — never the corpus."""
+    df = registry["sequence_packing_stats"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+    # every corpus window must carry a partition spec (_bucket)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(_bucket" in line, line
+
+
+def test_semdedup_assignment_is_map_only(spark, registry):
+    """SemDeDup's cluster assignment must be the map-only GEMM
+    (MapInPandas), never a crossJoin + per-id window; the pairwise
+    stage must be an equi-join on cluster_id, not a cartesian
+    product."""
+    df = registry["semdedup_pairs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_source_length_ks_windows_are_source_partitioned(spark, registry):
+    """Both ECDF windows and the argmax rank in the KS query must
+    partition by source over the value-cardinality grid — no corpus
+    window may collapse to a single partition (the 1-row corpus-total
+    aggregate is the only allowed SinglePartition)."""
+    df = registry["source_length_ks"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(source" in line, line
+    # rank<=1 should be pushed down as a WindowGroupLimit
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_decontaminate_fuzzy_never_broadcasts_doc_sizes(spark, registry):
+    """The per-eval-doc shingle-size table is corpus-cardinality — it
+    must join as a plain shuffle join on the id key, never via a
+    forced broadcast hint (the round-4 verdict's OOM shape). Detection
+    mirrors test_no_forced_broadcast_of_per_doc_tables: with the
+    auto-broadcast threshold disabled, a stats-driven broadcast
+    disappears; only an unconditional F.broadcast() hint survives."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry["decontaminate_fuzzy"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
