@@ -161,6 +161,10 @@ HEADLINE = [
     "sequence_packing_stats",
     "source_length_ks",
     "score_calibration_bins",
+    # round-5 session 3: multimodal plumbing family
+    "multimodal_frame_stats",
+    "multimodal_resize_meta",
+    "audio_window_energy",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -149,3 +149,122 @@ def frame_sample(
         run,
         schema="asset_id long, frame_idx int, frame binary",
     )
+
+
+def resize_stub(
+    assets: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Image-resize plumbing — STUB kernel, real pipeline: the payload
+    bytes stand in for a row-major pixel grid of width ceil(sqrt(n))
+    (height = ceil(n / w)), and "resize" is deterministic
+    nearest-neighbor sampling to (out_h, out_w): sampled (r, c) reads
+    source index (r*h // out_h) * w + (c*w // out_w), 0 past the end.
+    A real Pillow `Image.resize` drops into the same loop (see
+    decode_image); everything around it — Arrow batching, the binary
+    output column, the metadata struct with the NEW dimensions — is
+    exactly what the real op ships.
+
+    At 100 TB: resize is the classic payload-shrinking map (output
+    bytes ≪ input bytes), so it runs early, streams Arrow batches, and
+    never shuffles; downstream stages scan only the small column."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, sums = [], [], []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                n = len(content)
+                w = int(np.ceil(np.sqrt(n))) if n else 1
+                h = (n + w - 1) // w if n else 1
+                buf = bytearray(out_w * out_h)
+                total = 0
+                for r in range(out_h):
+                    sr = r * h // out_h
+                    for c in range(out_w):
+                        idx = sr * w + (c * w // out_w)
+                        b = content[idx] if idx < n else 0
+                        buf[r * out_w + c] = b
+                        total += b
+                ids.append(aid)
+                outs.append(bytes(buf))
+                sums.append(total)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": outs,
+                    "byte_checksum": sums,
+                }
+            )
+
+    return assets.select(id_col, content_col).mapInPandas(
+        run,
+        schema=(
+            "asset_id long, out_w int, out_h int, resized binary, "
+            "byte_checksum long"
+        ),
+    )
+
+
+def audio_window_features(
+    assets: DataFrame,
+    win: int = 256,
+    hop: int = 128,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Audio framing plumbing: treat the payload as unsigned 8-bit PCM
+    (center 128) and emit one row per fully-contained analysis window
+    of ``win`` samples at stride ``hop`` — the frame/hop decomposition
+    every real audio featurizer (MFCC, VAD, spectrogram) starts from.
+    Per-window features are integer-exact so an SQL oracle can mirror
+    them bit-for-bit: energy = Σ(s−128)², zero_crossings = #strict
+    sign flips between consecutive centered samples, peak = max|s−128|.
+    Assets shorter than one window emit no rows (standard librosa
+    center=False semantics).
+
+    At 100 TB: windows overlap by win/hop×, so this is a payload
+    EXPANDING map — run it after filtering, keep only the feature
+    columns (drop the frame bytes) unless a downstream stage needs
+    them, and aggregate per-asset features map-side."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energy, zc, peak = [], [], [], [], []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                n = len(content)
+                if n < win:
+                    continue
+                s = np.frombuffer(content, dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
+                for wi, start in enumerate(range(0, n - win + 1, hop)):
+                    seg = s[start : start + win]
+                    ids.append(aid)
+                    idxs.append(wi)
+                    energy.append(int(np.dot(seg, seg)))
+                    zc.append(int(np.sum(seg[:-1] * seg[1:] < 0)))
+                    peak.append(int(np.max(np.abs(seg))))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "win_idx": idxs,
+                    "energy": energy,
+                    "zero_crossings": zc,
+                    "peak": peak,
+                }
+            )
+
+    return assets.select(id_col, content_col).mapInPandas(
+        run,
+        schema=(
+            "asset_id long, win_idx int, energy long, "
+            "zero_crossings long, peak long"
+        ),
+    )

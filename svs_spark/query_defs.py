@@ -9881,3 +9881,165 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal widening: frame-sampling, resize, audio-window plumbing over
+# the same stand-in binary assets as multimodal_features (text bytes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_stats",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           (length(text) + 63) // 64 AS n_frames,
+           ((length(text) + 63) // 64 - 1) * ((length(text) + 63) // 64)
+             // 2 AS sum_frame_idx,
+           length(text)::BIGINT AS bytes_total
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing check: run the mapInPandas frame
+    sampler (operators/multimodal.frame_sample — one row per 64-byte
+    "frame", the row-explosion shape an ffmpeg sampler produces) and
+    verify the explosion arithmetic per asset: frame count, the
+    0..n-1 index sequence (checksummed as Σidx = n(n-1)/2), and that
+    the frame byte lengths re-assemble to the payload exactly. The
+    SQL oracle recomputes all three from the payload length alone.
+
+    Scale shape: the sampler is a streaming Arrow map (no shuffle);
+    the per-asset aggregate combines map-side on asset_id. Payload
+    bytes never cross an exchange — only lengths do."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = MM.frame_sample(assets, every_n_bytes=64)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+        F.sum(F.length("frame")).cast("long").alias("bytes_total"),
+    )
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n,
+             CAST(ceil(sqrt(length(text))) AS BIGINT) AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    g AS (SELECT doc_id, text, n, w, (n + w - 1) // w AS h FROM d),
+    px AS (
+      SELECT g.doc_id,
+             (r.range * h // 16) * w + (c.range * w // 16) AS idx,
+             g.n, g.text
+      FROM g, range(0, 16) r, range(0, 16) c
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16 AS INT) AS out_w, CAST(16 AS INT) AS out_h,
+           CAST(256 AS BIGINT) AS out_bytes,
+           CAST(sum(CASE WHEN idx < n
+                         THEN ascii(substr(text, CAST(idx + 1 AS INT), 1))
+                         ELSE 0 END) AS BIGINT) AS byte_checksum
+    FROM px GROUP BY 1
+    """,
+)
+def q_multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing check: nearest-neighbor downsample of the
+    byte-grid stand-in image to 16×16 (operators/multimodal.resize_stub
+    — the kernel is the deterministic stub, the Arrow batching /
+    binary output column / new-dimension metadata are the real op) and
+    verify the sampled-byte checksum, output dims and output size
+    against an SQL oracle that replays the index arithmetic
+    (r·h div 16)·w + (c·w div 16) per output pixel.
+
+    Scale shape: resize is the payload-SHRINKING map a 100 TB image
+    pipeline runs first — streaming Arrow batches, no exchange; only
+    the 256-byte outputs and their checksums flow on."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    rs = MM.resize_stub(assets, out_w=16, out_h=16)
+    return rs.select(
+        "asset_id",
+        "out_w",
+        "out_h",
+        F.length("resized").cast("long").alias("out_bytes"),
+        "byte_checksum",
+    )
+
+
+@register(
+    "audio_window_energy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n
+      FROM documents WHERE doc_id < 200 AND length(text) >= 256
+    ),
+    posr AS (
+      SELECT doc_id, n, text, unnest(range(1, n + 1)) AS i FROM d
+    ),
+    pos AS (
+      SELECT doc_id, n, i,
+             ascii(substr(text, CAST(i AS INT), 1)) - 128 AS b
+      FROM posr
+    ),
+    pp AS (
+      SELECT doc_id, i, b,
+             lead(b) OVER (PARTITION BY doc_id ORDER BY i) AS bn
+      FROM pos
+    ),
+    win AS (SELECT doc_id, unnest(range(0, (n - 256) // 128 + 1)) AS wi
+            FROM d),
+    f AS (
+      SELECT w.doc_id, w.wi,
+             sum(p.b * p.b) AS energy,
+             sum(CASE WHEN p.i < w.wi * 128 + 256 AND p.b * p.bn < 0
+                      THEN 1 ELSE 0 END) AS zc,
+             max(abs(p.b)) AS peak
+      FROM win w JOIN pp p ON p.doc_id = w.doc_id
+                          AND p.i > w.wi * 128
+                          AND p.i <= w.wi * 128 + 256
+      GROUP BY 1, 2
+    )
+    SELECT doc_id AS asset_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS total_energy,
+           CAST(sum(zc) AS BIGINT) AS total_zero_crossings,
+           CAST(max(peak) AS BIGINT) AS peak_abs
+    FROM f GROUP BY 1
+    """,
+)
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing: frame the stand-in PCM
+    payload into overlapping 256-sample windows at hop 128
+    (operators/multimodal.audio_window_features) and aggregate the
+    integer-exact per-window features — energy Σ(s−128)², strict
+    zero-crossing count, peak amplitude — per asset. The SQL oracle
+    recomputes every window from character codes, including the
+    boundary semantics (fully-contained windows only, crossings
+    counted within a window's first 255 sample pairs).
+
+    Scale shape: framing is a streaming Arrow map; window rows (the
+    win/hop≈2× expansion) aggregate map-side on asset_id before the
+    only exchange. A real MFCC/VAD featurizer swaps the kernel, not
+    the plumbing."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    aw = MM.audio_window_features(assets, win=256, hop=128)
+    return aw.groupBy("asset_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("energy").cast("long").alias("total_energy"),
+        F.sum("zero_crossings").cast("long").alias("total_zero_crossings"),
+        F.max("peak").cast("long").alias("peak_abs"),
+    )
