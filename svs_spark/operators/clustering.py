@@ -155,3 +155,84 @@ def kmeans_lloyd(
         "cluster_sizes": {c: sizes.get(c, 0) for c, _ in centroids},
     }
     return centroids, info
+
+
+def within_cluster_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    cluster_cap: int | None = None,
+    skip_report: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup pair stage (Abbas et al. 2023): given (id, cluster,
+    vector) rows from ``centroid_assign``/``kmeans_lloyd``, emit every
+    within-cluster pair with rounded cosine >= ``threshold`` as
+    (cluster_id, id_a, id_b, score), id_a < id_b. Each cluster's
+    pairwise block runs as ONE local BLAS GEMM inside applyInPandas —
+    the corpus crosses exactly one cluster_id exchange and the
+    all-pairs work never touches the shuffle.
+
+    ``cluster_cap``: per-cluster row ceiling for the adversarial case
+    (a mega-cluster makes C(c,2) explode). Over-cap clusters are
+    SKIPPED ENTIRELY and reported via ``skip_report`` (keys
+    ``skipped_clusters`` / ``skipped_rows``) — the hot-bucket
+    discipline of operators/dedup: no silent caps, and in production
+    you re-run the skipped clusters with a finer k rather than
+    pretending they were compared. At SemDeDup's operating point k
+    grows with the corpus so cluster sizes stay bounded by design;
+    the cap is the guard rail, not the plan.
+
+    Scale shape: one hash exchange on cluster_id; per-task memory is
+    O(cap * dim + cap^2) floats (choose cap so the score block fits);
+    only pairs above threshold leave the task."""
+    import numpy as np
+    import pandas as pd
+
+    if cluster_cap is not None:
+        sizes = assigned.groupBy(cluster_col).agg(
+            F.count("*").alias("_cn")
+        )
+        hot = sizes.filter(F.col("_cn") > cluster_cap).collect()
+        if skip_report is not None:
+            skip_report["skipped_clusters"] = len(hot)
+            skip_report["skipped_rows"] = int(sum(r["_cn"] for r in hot))
+        hot_ids = {r[cluster_col] for r in hot}
+        if hot_ids:
+            assigned = assigned.filter(
+                ~F.col(cluster_col).isin(list(hot_ids))
+            )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster_id": [], "id_a": [], "id_b": [], "score": []}
+            ).astype(
+                {"cluster_id": "int64", "id_a": "int64",
+                 "id_b": "int64", "score": "float64"}
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        scores = np.round(mat @ mat.T, round_decimals)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = scores[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()),
+                                      pdf[cluster_col].iloc[0]),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "score": scores[ia[keep], ib[keep]],
+            }
+        )
+
+    return assigned.select(cluster_col, id_col, vec_col).groupBy(
+        cluster_col
+    ).applyInPandas(
+        pairs,
+        schema="cluster_id long, id_a long, id_b long, score double",
+    )

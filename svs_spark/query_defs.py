@@ -9494,13 +9494,15 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes in production).
 
     Scale shape: assignment is the map-only GEMM of
-    ``operators/similarity.centroid_assign`` (no exchange); the
-    pairwise stage shuffles once on cluster_id and the self-join is
-    bounded by the cluster-size cap the k schedule enforces — a hot
-    cluster (skewed modality) gets the same over-cap treatment as the
-    banded LSH joins (operators/dedup hot-bucket cap). Vectors ride
-    the single cluster exchange once; nothing is broadcast.
+    ``operators/similarity.centroid_assign`` (no exchange); the pair
+    stage is ``operators/clustering.within_cluster_pairs`` — ONE hash
+    exchange on cluster_id, then each cluster's all-pairs block runs
+    as a single local BLAS GEMM inside applyInPandas, so only the
+    above-threshold pairs ever leave a task. A hot cluster (skewed
+    modality) gets the same over-cap skip-and-report treatment as the
+    banded LSH joins (``cluster_cap``); nothing is broadcast.
     """
+    from svs_spark.operators.clustering import within_cluster_pairs
     from svs_spark.operators.similarity import centroid_assign
 
     emb = load(spark, sf_dir, "embeddings")
@@ -9509,25 +9511,7 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.orderBy("vec_id").limit(8).collect()
     ]
     asg = centroid_assign(emb, seeds, keep_vec=True)
-    a = asg.select(
-        F.col("cluster_id").alias("cid"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-    )
-    b = asg.select(
-        F.col("cluster_id").alias("cid"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    )
-    return (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(V.dot("ea", "eb"), 6))
-        .filter(F.col("score") >= 0.42)
-        .select(
-            F.col("cid").alias("cluster_id"), "id_a", "id_b", "score"
-        )
-    )
+    return within_cluster_pairs(asg, threshold=0.42)
 
 
 @register(
@@ -10042,4 +10026,61 @@ def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("energy").cast("long").alias("total_energy"),
         F.sum("zero_crossings").cast("long").alias("total_zero_crossings"),
         F.max("peak").cast("long").alias("peak_abs"),
+    )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH und AS ({_ANALYSIS_UND_SQL}),
+    deg AS (SELECT a, count(*) AS c FROM und GROUP BY 1),
+    w AS (
+      SELECT u1.a AS x, u2.a AS y, d.c AS cn_deg
+      FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+      JOIN deg d ON d.a = u1.b
+    )
+    SELECT x, y, CAST(count(*) AS BIGINT) AS common,
+           CAST(sum(CAST(round(1000000.0 / ln(cn_deg)) AS BIGINT))
+                AS BIGINT) AS aa_fp
+    FROM w GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction — the degree-weighted refinement of
+    graph_common_neighbors: score(x,y) = Σ_{n ∈ N(x)∩N(y)} 1/ln|N(n)|,
+    so a shared neighbor that links to everything contributes almost
+    nothing while a rare shared neighbor is strong evidence. Each
+    wedge term is rounded to fixed-point millionths BEFORE the sum, so
+    the aggregate is an order-independent BIGINT under any
+    partitioning (the char_entropy integer-ln discipline). A shared
+    neighbor always has degree ≥2 (it closes a wedge), so ln never
+    sees 1.
+
+    Scale shape: identical to common_neighbors — the wedge join
+    shuffles on the shared-neighbor id (inverted-index shape; cap hub
+    degrees first at web scale, AQE splits the rest); the degree table
+    is node-cardinality and joins the wedge stream BEFORE the (x,y)
+    aggregate so the per-term weight is scan-side; the final
+    aggregate combines map-side on the pair key."""
+    und_ = _analysis_edges(spark, sf_dir)
+    und = (
+        und_.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(und_.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("c"))
+    u1 = und.select(F.col("a").alias("x"), F.col("b").alias("n"))
+    u2 = und.select(F.col("a").alias("y"), F.col("b").alias("n"))
+    dn = deg.select(F.col("a").alias("n"), F.col("c").alias("cn_deg"))
+    term = F.round(F.lit(1000000.0) / F.log(F.col("cn_deg"))).cast("long")
+    return (
+        u1.join(u2, "n")
+        .filter(F.col("x") < F.col("y"))
+        .join(F.broadcast(dn), "n")
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum(term).alias("aa_fp"),
+        )
+        .filter(F.col("common") >= 2)
     )

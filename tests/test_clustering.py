@@ -93,3 +93,83 @@ def test_spherical_normalize(planted):
 def test_missing_seed_raises(planted):
     with pytest.raises(ValueError, match="seed_ids"):
         kmeans_lloyd(planted, k=2, seed_ids=[0, 10**9])
+
+
+class TestWithinClusterPairs:
+    def _assigned(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(120):
+            v = rng.normal(size=16)
+            v /= np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], int(i % 5)))
+        # plant two near-identical pairs inside cluster 2
+        base = np.array(rows[2][1])
+        for j, eps in ((200, 1e-4), (201, 2e-4)):
+            v = base + eps
+            v /= np.linalg.norm(v)
+            rows.append((j, [float(x) for x in v], 2))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, cluster_id long"
+        )
+
+    def test_matches_join_formulation(self, spark):
+        from pyspark.sql import functions as F
+
+        from svs_spark.functions import vector as V
+        from svs_spark.operators.clustering import within_cluster_pairs
+
+        asg = self._assigned(spark)
+        got = {
+            (r["cluster_id"], r["id_a"], r["id_b"]): r["score"]
+            for r in within_cluster_pairs(asg, threshold=0.9).collect()
+        }
+        a = asg.select(
+            F.col("cluster_id").alias("cid"),
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("ea"),
+        )
+        b = asg.select(
+            F.col("cluster_id").alias("cid"),
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"),
+        )
+        want = {
+            (r["cid"], r["id_a"], r["id_b"]): r["score"]
+            for r in a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("score", F.round(V.dot("ea", "eb"), 6))
+            .filter(F.col("score") >= 0.9)
+            .collect()
+        }
+        assert got == want
+        assert len(got) >= 3  # planted near-dups found
+        assert (2, 2, 200) in got and (2, 2, 201) in got
+
+    def test_cluster_cap_skips_and_reports(self, spark):
+        from svs_spark.operators.clustering import within_cluster_pairs
+
+        asg = self._assigned(spark)
+        report: dict = {}
+        got = within_cluster_pairs(
+            asg, threshold=0.9, cluster_cap=25, skip_report=report
+        ).collect()
+        # cluster 2 has 26 members (24 + 2 planted) -> skipped entirely
+        assert report["skipped_clusters"] == 1
+        assert report["skipped_rows"] == 26
+        assert all(r["cluster_id"] != 2 for r in got)
+
+    def test_partitioning_invariance(self, spark):
+        from svs_spark.operators.clustering import within_cluster_pairs
+
+        asg = self._assigned(spark)
+        a = sorted(
+            map(tuple, within_cluster_pairs(asg.repartition(13), 0.9)
+                .collect())
+        )
+        b = sorted(
+            map(tuple, within_cluster_pairs(asg.coalesce(1), 0.9).collect())
+        )
+        assert a == b

@@ -515,6 +515,133 @@ def main() -> None:
         ).count(),
     )
 
+    # -- round-5 session 3: packing audit, KS drift, fuzzy decon ------
+    def sequence_packing():
+        from svs_spark.operators.sharding import bucketed_global_cumsum
+
+        d = docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+        rng = d.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        d2 = (
+            d.crossJoin(F.broadcast(rng))
+            .withColumn("_w", F.expr("(_hi - _lo) div 1024 + 1"))
+            .withColumn("_b", F.expr("(doc_id - _lo) div _w"))
+            .drop("_lo", "_hi", "_w")
+        )
+        cum = bucketed_global_cumsum(
+            d2, F.col("_b"), [F.col("doc_id")], "n_tok", "cum"
+        )
+        spans = cum.select(
+            F.expr("(cum - n_tok) div 512").alias("f"),
+            F.expr("(cum - 1) div 512").alias("l"),
+        )
+        return (
+            spans.select(F.explode(F.sequence("f", "l")).alias("win"))
+            .groupBy("win")
+            .agg(F.count("*").alias("dc"))
+            .count()
+        )
+
+    run("sequence_packing_512", sequence_packing)
+
+    def length_ks():
+        from pyspark.sql.window import Window
+
+        d = docs.select("source", F.length("text").alias("n_chars"))
+        cnt = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+        vals = cnt.groupBy("n_chars").agg(F.sum("c").alias("call"))
+        srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+        tot = vals.agg(F.sum("call").alias("N"))
+        grid = (
+            srcs.crossJoin(F.broadcast(vals))
+            .join(cnt, ["source", "n_chars"], "left")
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        g = grid.select(
+            "source", "n_s", "n_chars",
+            F.sum("c").over(w).alias("cums"),
+            F.sum("call").over(w).alias("cumall"),
+        ).crossJoin(F.broadcast(tot))
+        wr = Window.partitionBy("source").orderBy(
+            F.desc("dnum"), F.asc("n_chars")
+        )
+        return (
+            g.withColumn(
+                "dnum",
+                F.abs(
+                    F.col("cums") * F.col("N")
+                    - F.col("cumall") * F.col("n_s")
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .count()
+        )
+
+    run("source_length_ks", length_ks)
+
+    def fuzzy_decon():
+        # 3-gram eval-containment screen, hashed shingles, 10% split
+        toks = F.split(F.lower(F.col("text")), " ")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    )
+                ),
+            )
+        )
+        is_test = (
+            (F.col("doc_id") * F.lit(2654435761))
+            % F.lit(4294967296) % F.lit(1000) >= 900
+        )
+        ex = docs.filter(F.size(toks) >= 3).select(
+            "doc_id", is_test.alias("is_test"), F.explode(sh).alias("g")
+        )
+        n_eval = (
+            ex.filter(F.col("is_test"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("doc_id").alias("id_eval"), "c")
+        )
+        # stop-shingle prune: this corpus plants 50 universal
+        # "done suffix M" trigrams (df = n/50 each) whose buckets would
+        # join 18k × 2k rows apiece — ~1.8B intermediate rows. A df cap
+        # is the standard fix (same reasoning as the LSH hot-bucket
+        # cap); dropping a shingle shared by >1000 docs costs no
+        # decontamination signal (it identifies nothing).
+        dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+        keep = dfreq.filter(F.col("df") <= 1000).select("g")
+        exp = ex.join(keep, "g")
+        tr = exp.filter(~F.col("is_test")).select(
+            F.col("doc_id").alias("id_train"), "g"
+        )
+        ev = exp.filter(F.col("is_test")).select(
+            F.col("doc_id").alias("id_eval"), "g"
+        )
+        return (
+            tr.join(ev, "g")
+            .groupBy("id_train", "id_eval")
+            .agg(F.count("*").alias("n_shared"))
+            .join(n_eval, "id_eval")
+            .filter(F.col("n_shared").cast("double") / F.col("c") >= 0.8)
+            .count()
+        )
+
+    run("decontaminate_fuzzy_dfcap1000", fuzzy_decon)
+
     print(
         json.dumps(
             {

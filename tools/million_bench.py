@@ -231,6 +231,26 @@ def main() -> None:
     ivfr_query_s, ivfr_recall = results["int8_rerank"]
     idx_cached.unpersist()
 
+    # --- SemDeDup at 1M: reuse the IVF centroids as the cluster
+    # schedule; assignment is the map-only GEMM, the pair stage is one
+    # cluster_id exchange + per-cluster local GEMM (clusters ~n/512 →
+    # ~2k rows → 2M pair scores each, ~1B total). Threshold 0.95 keeps
+    # the emitted pair set tiny; the cap guards mega-clusters.
+    from svs_spark.operators.clustering import within_cluster_pairs
+    from svs_spark.operators.similarity import centroid_assign
+
+    sem_skip: dict = {}
+    t0 = time.perf_counter()
+    sem_pairs = within_cluster_pairs(
+        centroid_assign(
+            emb, list(enumerate(cent.tolist())), keep_vec=True
+        ),
+        threshold=0.95,
+        cluster_cap=20_000,
+        skip_report=sem_skip,
+    ).count()
+    semdedup_s = time.perf_counter() - t0
+
     # the serving twin (BASELINE.json's division of labor: Spark builds
     # the layout, serving reads it in-process): IvfLocalReader memoizes
     # probed label partitions as NumPy matrices — the reference holds
@@ -323,6 +343,11 @@ def main() -> None:
                 "pq_build_sec": round(pq_build_s, 3),
                 "pq_warm_query_sec": round(pq_query_s, 3),
                 "pq_recall_at_100": round(pq_recall, 4),
+                "semdedup_pairs_sec": round(semdedup_s, 3),
+                "semdedup_pairs_found": sem_pairs,
+                "semdedup_skipped_clusters": sem_skip.get(
+                    "skipped_clusters", 0
+                ),
                 "reference_warm_sec": 0.24,
                 "reference_cold_sec": 98.7,
             }
