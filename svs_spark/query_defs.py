@@ -9530,9 +9530,11 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ex AS (SELECT doc_id, is_test, unnest(sh) AS s FROM sp),
     n AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+    keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+    exp AS (SELECT ex.* FROM ex JOIN keep USING (s)),
     p AS (SELECT a.doc_id AS id_train, b.doc_id AS id_eval,
                  count(*) AS n_shared
-          FROM ex a JOIN ex b ON a.s = b.s
+          FROM exp a JOIN exp b ON a.s = b.s
           WHERE NOT a.is_test AND b.is_test
           GROUP BY 1, 2)
     SELECT id_train, id_eval, n_shared,
@@ -9559,9 +9561,15 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVAL-side where the eval split is 10% by construction (the
     inverted-index join fans out only on shingles that actually occur
     in eval docs); per-doc sizes join as plain shuffle joins on the id
-    keys, never broadcast (corpus cardinality). A production run
-    would bloom-prune the train side on the eval shingle set first,
-    exactly as decontaminate_train_bloom does for the exact screen.
+    keys, never broadcast (corpus cardinality). Stop-shingles (df >
+    1000) are dropped BEFORE the join — a shingle shared by a thousand
+    documents identifies nothing and its bucket is a quadratic skew
+    bomb (the 1M-doc corpus_bench probe joins ~1.8B rows without this
+    prune, 203 s with it); the containment denominator stays the FULL
+    eval shingle count, so pruning can only lower a score, never
+    inflate it. A production run would additionally bloom-prune the
+    train side on the eval shingle set, exactly as
+    decontaminate_train_bloom does for the exact screen.
     """
     ex = _tri3_index(spark, sf_dir)
     is_test = (
@@ -9576,10 +9584,14 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .select(F.col("doc_id").alias("id_eval"), "c")
     )
-    tr = ext.filter(~F.col("is_test")).select(
+    keep = ext.groupBy("g").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= 1000
+    ).select("g")
+    exp = ext.join(keep, "g")
+    tr = exp.filter(~F.col("is_test")).select(
         F.col("doc_id").alias("id_train"), "g"
     )
-    ev = ext.filter(F.col("is_test")).select(
+    ev = exp.filter(F.col("is_test")).select(
         F.col("doc_id").alias("id_eval"), "g"
     )
     p = (
