@@ -10096,3 +10096,78 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("common") >= 2)
     )
+
+
+@register(
+    "split_leakage_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lab AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+            FROM reach GROUP BY a),
+    s AS (SELECT doc_id, canonical_id,
+                 (doc_id * 2654435761) % 4294967296 % 1000 >= 900
+                   AS is_test
+          FROM lab)
+    SELECT canonical_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test
+    FROM s GROUP BY 1
+    HAVING sum(CASE WHEN is_test THEN 1 ELSE 0 END) > 0
+       AND sum(CASE WHEN is_test THEN 0 ELSE 1 END) > 0
+    """,
+)
+def q_split_leakage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate CLUSTERS that straddle the
+    train/test boundary — the leak the per-shingle decontamination
+    screens can't see as a group (a test doc whose near-twin sits in
+    train inflates eval scores even if no exact n-gram long enough to
+    trip the 5-gram screen survives). Composes the dedup_clusters
+    connected components with the standard Knuth-hash split and flags
+    every component containing BOTH splits; the fix downstream is to
+    move whole clusters to one side (cluster-aware splitting), which
+    this table makes a one-join rewrite.
+
+    Scale shape: identical to dedup_clusters (inverted-index pair join
+    + path-doubling CC, localCheckpoint lineage cut) plus one
+    canonical_id-keyed aggregate that combines map-side; the split
+    flag is scan-stage arithmetic on doc_id, no extra join."""
+    pairs = (
+        _tri3_pair_stats(spark, sf_dir)
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("ca") + F.col("cb") - F.col("inter"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+        .persist()  # CC touches pairs twice (both directions)
+    )
+    lab = D.connected_components(pairs)
+    pairs.unpersist()
+    is_test = (
+        (F.col("doc_id") * F.lit(2654435761))
+        % F.lit(4294967296) % F.lit(1000)
+        >= 900
+    )
+    return (
+        lab.withColumn("t", is_test.cast("int"))
+        .groupBy("canonical_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(1 - F.col("t")).cast("long").alias("n_train"),
+            F.sum("t").cast("long").alias("n_test"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+    )
