@@ -137,6 +137,17 @@ def main() -> None:
         mode="append",
     )
 
+    from svs_spark.streaming.drift import value_histogram_stream
+
+    drain(
+        "drift_histogram",
+        value_histogram_stream(
+            stream(), value_col="value", group_col="event_type",
+            ts_col="event_time", window_duration="1 hour",
+            watermark="2 hours", lo=0.0, hi=100.0, n_buckets=64,
+        ),
+    )
+
     print(
         json.dumps(
             {
