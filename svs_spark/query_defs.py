@@ -10171,3 +10171,109 @@ def q_split_leakage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
     )
+
+
+@register(
+    "score_quantile_align",
+    oracle="""
+    WITH d AS (
+      SELECT source, (n_chars * 1000) // len(string_split(text, ' ')) AS s
+      FROM documents
+    ),
+    cnt AS (SELECT source, s, count(*) AS c FROM d GROUP BY 1, 2),
+    scnt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+             FROM cnt GROUP BY 1),
+    g AS (SELECT source, s,
+                 CAST(sum(c) OVER (PARTITION BY source ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM cnt),
+    vals AS (SELECT s, CAST(sum(c) AS BIGINT) AS call FROM cnt GROUP BY 1),
+    cv AS (SELECT s, CAST(sum(call) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum FROM vals),
+    N AS (SELECT CAST(sum(call) AS BIGINT) AS n FROM vals),
+    dec AS (SELECT unnest(range(0, 10)) AS decile),
+    st AS (SELECT sc.source, dd.decile,
+                  ((dd.decile + 1) * sc.n_s + 9) // 10 AS r
+           FROM scnt sc CROSS JOIN dec dd),
+    src_q AS (SELECT st.source, st.decile, min(g.s) AS src_s
+              FROM st JOIN g ON g.source = st.source AND g.cum >= st.r
+              GROUP BY 1, 2),
+    ct AS (SELECT dd.decile, ((dd.decile + 1) * N.n + 9) // 10 AS r
+           FROM dec dd CROSS JOIN N),
+    cor_q AS (SELECT ct.decile, min(cv.s) AS corpus_s
+              FROM ct JOIN cv ON cv.cum >= ct.r GROUP BY 1)
+    SELECT s.source, s.decile, s.src_s, c.corpus_s,
+           s.src_s - c.corpus_s AS shift_fp
+    FROM src_q s JOIN cor_q c USING (decile)
+    """,
+)
+def q_score_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile alignment table — the rank-normalization
+    step before applying one global threshold to a heterogeneous
+    corpus: per (source, decile) the source's EXACT decile boundary of
+    the quality score (chars-per-token fixed-point, the engine's
+    running example signal), the corpus-wide boundary at the same
+    decile, and their gap. Quantile-normalizing a source = mapping its
+    boundary to the corpus boundary; a large |shift_fp| column is the
+    evidence a shared threshold would over/under-filter that source.
+    Order statistic = min value whose cumulative count reaches
+    ceil((d+1)·n/10) — selection-based, no interpolation, so every
+    emitted column is an exact integer.
+
+    Scale shape: one (source, score) aggregate combines map-side; all
+    downstream work is VALUE-cardinality (the per-source and corpus
+    cumsum windows run over distinct score values — the
+    source_length_ks argument); the decile target table is
+    #sources × 10 rows and the boundary pick is a bounded range join
+    (targets × value grid) + min aggregate. The corpus cumsum window
+    is a single partition over DISTINCT VALUES, bounded by the score's
+    fixed-point domain, never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.expr("(n_chars * 1000) div size(split(text, ' '))").alias("s"),
+    )
+    cnt = d.groupBy("source", "s").agg(F.count("*").alias("c"))
+    scnt = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = cnt.select("source", "s", F.sum("c").over(w_s).alias("cum"))
+    vals = cnt.groupBy("s").agg(F.sum("c").alias("call"))
+    w_v = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cv = vals.select("s", F.sum("call").over(w_v).alias("cum"))
+    n_tot = vals.agg(F.sum("call").alias("n"))
+    dec = spark.range(10).select(F.col("id").alias("decile"))
+    st = scnt.crossJoin(F.broadcast(dec)).select(
+        "source",
+        "decile",
+        F.expr("((decile + 1) * n_s + 9) div 10").alias("r"),
+    )
+    src_q = (
+        st.join(g, "source")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("source", "decile")
+        .agg(F.min("s").alias("src_s"))
+    )
+    ct = dec.crossJoin(F.broadcast(n_tot)).select(
+        "decile", F.expr("((decile + 1) * n + 9) div 10").alias("r")
+    )
+    cor_q = (
+        ct.join(cv, F.col("cum") >= F.col("r"))
+        .groupBy("decile")
+        .agg(F.min("s").alias("corpus_s"))
+    )
+    return (
+        src_q.join(F.broadcast(cor_q), "decile")
+        .select(
+            "source",
+            "decile",
+            "src_s",
+            "corpus_s",
+            (F.col("src_s") - F.col("corpus_s")).alias("shift_fp"),
+        )
+    )
