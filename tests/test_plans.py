@@ -521,3 +521,46 @@ def test_decontaminate_fuzzy_never_broadcasts_doc_sizes(spark, registry):
         assert "BroadcastHashJoin" not in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_quantile_align_windows_are_value_cardinality(spark, registry):
+    """The decile-boundary query must do all its window work AFTER the
+    (source, score) value aggregate: every window in the plan sits
+    above a HashAggregate on the distinct-value grid, so window input
+    is value-cardinality, never the corpus. Detection: the plan's
+    window rows arrive from an aggregate whose grouping includes the
+    score column s."""
+    df = registry["score_quantile_align"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate(keys=[source" in plan or (
+        "HashAggregate(keys=[s#" in plan
+    ), plan[:2000]
+    # boundary pick must be a bounded range join, not a cartesian of
+    # corpus rows
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), plan[:2000]
+
+
+def test_adamic_adar_degree_joins_before_pair_agg(spark, registry):
+    """The per-wedge 1/ln(deg) weight must attach scan-side (join on
+    the shared-neighbor id BEFORE the (x,y) aggregate) so the pair
+    aggregate combines map-side with the weight already folded in —
+    no second pass over the pair set."""
+    df = registry["graph_adamic_adar"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # fixed-point sum, not a float aggregate over doubles
+    assert "sum(term" in plan or "sum(aa" in plan or "cast(round" in plan, (
+        plan[:2000]
+    )
+
+
+def test_split_leakage_split_flag_is_scan_stage(spark, registry):
+    """The train/test flag must be arithmetic on doc_id (no join with a
+    split table) — the only joins in the plan are the CC machinery's
+    node-keyed equi-joins."""
+    df = registry["split_leakage_clusters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "2654435761" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

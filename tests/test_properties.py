@@ -417,3 +417,115 @@ def test_embedding_lsh_recall_vs_exact(spark):
     if close:
         close_recall = len(got & close) / len(close)
         assert close_recall >= 0.9, f"close-pair recall {close_recall:.2f}"
+
+
+class TestDriftAndPackingProperties:
+    """Hypothesis contracts for the round-5 session-3 kernels."""
+
+    def test_bucket_expr_clamps_all_reals(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from svs_spark.streaming.drift import bucket_expr
+        from pyspark.sql import functions as F
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.lists(
+                st.floats(
+                    min_value=-1e6, max_value=1e6,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=1, max_size=30,
+            )
+        )
+        def check(vals):
+            df = spark.createDataFrame([(v,) for v in vals], "v double")
+            rows = df.select(
+                bucket_expr("v", 0.0, 100.0, 16).alias("b")
+            ).collect()
+            for r in rows:
+                assert 0 <= r["b"] <= 15
+
+        check()
+
+    def test_ks_stat_bounded_and_zero_on_self(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from svs_spark.streaming.drift import ks_vs_reference
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=7),
+                    st.integers(min_value=1, max_value=50),
+                ),
+                min_size=1, max_size=16,
+            )
+        )
+        def check(cells):
+            agg = {}
+            for b, n in cells:
+                agg[b] = agg.get(b, 0) + n
+            hist = spark.createDataFrame(
+                [("g", b, n) for b, n in agg.items()],
+                "grp string, bucket long, n long",
+            )
+            ref = hist.select("bucket", "n")
+            out = ks_vs_reference(hist, ref, keys=["grp"]).collect()
+            assert len(out) == 1
+            # identical distribution => D = 0; always 0 <= D <= 1
+            assert out[0]["ks_stat"] == 0.0
+            assert out[0]["n_obs"] == sum(agg.values())
+
+        check()
+
+    def test_packing_window_arithmetic(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.integers(min_value=1, max_value=2000),
+                min_size=1, max_size=60,
+            ),
+            st.sampled_from([64, 512, 1024]),
+        )
+        def check(toks, ctx):
+            # the pure arithmetic the query and oracle both implement
+            total = sum(toks)
+            cum = 0
+            n_split = 0
+            touched = {}
+            for t in toks:
+                start, cum = cum, cum + t
+                f, l = start // ctx, (cum - 1) // ctx
+                if f != l:
+                    n_split += 1
+                for w in range(f, l + 1):
+                    touched[w] = touched.get(w, 0) + 1
+            n_windows = (total + ctx - 1) // ctx
+            # every emitted window id is < n_windows and they tile
+            assert max(touched) == n_windows - 1
+            assert min(touched) == 0
+            assert len(touched) == n_windows  # concat packing has no gaps
+            # independent check: a doc splits iff a ctx boundary falls
+            # strictly inside its byte span (count k with s < k*ctx < e)
+            pos, expect_split = 0, 0
+            for t in toks:
+                s, e = pos, pos + t
+                ks = range(s // ctx + 1, (e - 1) // ctx + 1)
+                if len(ks) > 0:
+                    expect_split += 1
+                pos = e
+            assert n_split == expect_split
+            # window-coverage conservation: each doc touches exactly
+            # crossings+1 windows
+            assert sum(touched.values()) == len(toks) + expect_split + sum(
+                max(0, len(range(s0 // ctx + 1, (s0 + t0 - 1) // ctx + 1)) - 1)
+                for s0, t0 in zip(
+                    [sum(toks[:i]) for i in range(len(toks))], toks
+                )
+            )
+
+        check()
