@@ -1625,3 +1625,99 @@ def longest_dup_span_pow2(
             F.coalesce("max_dup_len", F.lit(0)).alias("max_dup_len"),
         )
     )
+
+
+def minhash_lsh_bipartite(
+    docs: DataFrame,
+    right_side: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Bipartite MinHash + banded LSH: candidates only BETWEEN the two
+    sides of ``right_side`` (a boolean Column over the post-kernel
+    ``did``), never within a side — the shape of fuzzy train/eval
+    decontamination, where train×train pairs are dedup's business, not
+    the leak check's. Same signature kernel, band keys, first-agreeing-
+    band emission and exact-Jaccard verification as
+    ``minhash_lsh_pairs``; returns (id_left, id_right, jaccard).
+
+    Scale: this is the screen you run INSTEAD of the exact
+    containment join when the corpus is large — the banded join only
+    fans out where signatures collide, and the right (eval) side is
+    small by construction, so candidate volume is bounded by eval
+    bucket membership rather than the train corpus. The 1M-doc
+    corpus_bench measures the exact screen at ~203 s; the banded
+    bipartite screen scales with collisions, not with train size.
+    """
+    rows = num_hashes // bands
+    base = docs.select(id_col, text_col).mapInPandas(
+        _signature_batch_kernel(id_col, text_col, num_hashes, shingle_size),
+        schema="did long, hs array<long>, sig array<long>",
+    )
+    base = base.persist()
+    key_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col("sig")[bi * rows + ri].cast("string")
+                        for ri in range(rows)
+                    ],
+                )
+            )
+            for bi in range(bands)
+        ]
+    )
+    band_rows = base.select(
+        "did", right_side.alias("is_right"), key_arr.alias("keys")
+    ).select(
+        "did", "is_right", "keys",
+        F.posexplode("keys").alias("band", "key"),
+    )
+    a = band_rows.filter(~F.col("is_right")).select(
+        F.col("did").alias("id_left"), F.col("keys").alias("ka"),
+        "band", "key",
+    )
+    b = band_rows.filter(F.col("is_right")).select(
+        F.col("did").alias("id_right"), F.col("keys").alias("kb"),
+        "band", "key",
+    )
+    first_match = F.lit(True)
+    for i in range(bands - 1, -1, -1):
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            earlier_differ = earlier_differ & (
+                F.col("ka")[j] != F.col("kb")[j]
+            )
+        first_match = F.when(F.col("band") == i, earlier_differ).otherwise(
+            first_match
+        )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(first_match)
+        .select("id_left", "id_right")
+    )
+    ta = base.select(F.col("did").alias("id_left"), F.col("hs").alias("hs_a"))
+    tb = base.select(
+        F.col("did").alias("id_right"), F.col("hs").alias("hs_b")
+    )
+    verified = (
+        cands.join(ta, "id_left")
+        .join(tb, "id_right")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= jaccard_threshold)
+    )
+    out = verified.select(
+        "id_left", "id_right", F.round("jac", 6).alias("jaccard")
+    )
+    return out

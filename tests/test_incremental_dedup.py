@@ -162,3 +162,47 @@ def test_recall_telemetry_no_true_pairs_is_one(spark, split_corpus):
     )
     rep = D.minhash_index_recall_telemetry(spark, lone, idx)
     assert rep == {"true_pairs": 0, "found_pairs": 0, "recall": 1.0}
+
+
+class TestBipartiteLsh:
+    def test_bipartite_equals_allpairs_cross_split(self, spark):
+        """The bipartite screen must find exactly the all-pairs LSH
+        pairs that cross the split (orientation train→eval), and no
+        within-side pair."""
+        from pyspark.sql import functions as F
+
+        from svs_spark.operators.dedup import (
+            minhash_lsh_bipartite,
+            minhash_lsh_pairs,
+        )
+        from tests.conftest import SF_DIR_ORACLE
+
+        docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+        split = (
+            (F.col("did") * F.lit(2654435761))
+            % F.lit(4294967296) % F.lit(1000)
+            >= 900
+        )
+        got = {
+            (r["id_left"], r["id_right"]): r["jaccard"]
+            for r in minhash_lsh_bipartite(
+                docs, right_side=split, jaccard_threshold=0.5
+            ).collect()
+        }
+
+        def is_test(i):
+            return (i * 2654435761) % 4294967296 % 1000 >= 900
+
+        allp = minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, jaccard_threshold=0.5
+        ).collect()
+        want = {}
+        for r in allp:
+            a, b = r["id_a"], r["id_b"]
+            if is_test(a) != is_test(b):
+                tr, ev = (a, b) if is_test(b) else (b, a)
+                want[(tr, ev)] = r["jaccard"]
+        assert got == want
+        assert len(got) > 0
+        for tr, ev in got:
+            assert not is_test(tr) and is_test(ev)

@@ -642,6 +642,20 @@ def main() -> None:
 
     run("decontaminate_fuzzy_dfcap1000", fuzzy_decon)
 
+    def fuzzy_decon_minhash():
+        # the banded bipartite screen — same split, J >= 0.5
+        from svs_spark.operators.dedup import minhash_lsh_bipartite
+
+        split = (
+            (F.col("did") * F.lit(2654435761))
+            % F.lit(4294967296) % F.lit(1000) >= 900
+        )
+        return minhash_lsh_bipartite(
+            docs, right_side=split, jaccard_threshold=0.5
+        ).count()
+
+    run("decontaminate_minhash_lsh", fuzzy_decon_minhash)
+
     print(
         json.dumps(
             {
