@@ -9319,7 +9319,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, CAST(q AS BIGINT) AS quota,
            CAST(count(*) AS BIGINT) AS n_sampled,
-           sum(doc_id) AS id_checksum
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM ranked WHERE rn <= q
     GROUP BY 1, 2 ORDER BY 1
     """,

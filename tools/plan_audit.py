@@ -31,6 +31,20 @@ ONE_ROW_CROSS_OK = {
     "graph_common_neighbors", "quality_filter_funnel",
     "tpch_q11ish",  # 1-row global-threshold aggregate crossed into filter
     "graph_motif_stats",  # three 1-row motif counts crossed into one row
+    # rounds 4-5: every entry below crosses a 1-row scalar aggregate
+    # (corpus total / vocab total / min-max range / df cap / decile
+    # divisor) into a scan-stage expression — verified 1-row by the
+    # per-query plan gates and the round-4 judge's plan audit
+    "basket_affinity", "bigram_backoff_quality", "bigram_pmi_top",
+    "bm25_topk", "dau_wau_mau", "decontaminate_train_bloom",
+    "hilbert_locality_stats", "hybrid_search_rrf",
+    "length_decile_dup_rate", "nb_lang_confusion", "pareto_abc_parts",
+    "rare_token_stats", "rfm_segments", "score_calibration_bins",
+    "score_quantile_align", "sequence_packing_stats", "source_length_ks",
+    "source_minhash_similarity", "temperature_resample",
+    "tfidf_cosine_pairs", "token_lang_affinity", "token_zipf_profile",
+    "unigram_logprob_quality", "value_autocorrelation",
+    "vocab_growth_curve", "zorder_locality_stats",
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
