@@ -169,6 +169,7 @@ HEADLINE = [
     "split_leakage_clusters",
     "score_quantile_align",
     "decontaminate_minhash",
+    "source_js_divergence",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -10368,3 +10368,121 @@ def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_right").alias("id_eval"),
         "jaccard",
     )
+
+
+@register(
+    "source_js_divergence",
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    j AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb,
+             na.n AS na, nb.n AS nb
+      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+             CAST(sum(CAST(round(1e9 * (ca::DOUBLE / na) *
+                   ln(2.0 * ca * nb
+                      / (ca::DOUBLE * nb + cb::DOUBLE * na)))
+                 AS BIGINT)) AS BIGINT) AS ta,
+             CAST(sum(CAST(round(1e9 * (cb::DOUBLE / nb) *
+                   ln(2.0 * cb * na
+                      / (ca::DOUBLE * nb + cb::DOUBLE * na)))
+                 AS BIGINT)) AS BIGINT) AS tb,
+             CAST(sum(ca) AS BIGINT) AS sha,
+             CAST(sum(cb) AS BIGINT) AS shb,
+             any_value(na) AS na, any_value(nb) AS nb
+      FROM j GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           round((0.5 * (ta / 1e9 + (1.0 - sha::DOUBLE / na) * ln(2.0))
+                + 0.5 * (tb / 1e9 + (1.0 - shb::DOUBLE / nb) * ln(2.0)))
+                / ln(2.0), 6) AS js_bits
+    FROM terms
+    """,
+)
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source pair's unigram
+    token distribution, in bits — the redundancy matrix behind corpus
+    mixing decisions (a near-0 pair is the same crawl twice; a
+    near-1 pair shares no vocabulary; DoReMi-style reweighting wants
+    distinct sources, not duplicated mass). Exclusive vocabulary is
+    handled in closed form: a term present only in P contributes
+    p·ln2 to KL(P‖M), so each side's exclusive mass folds into one
+    (1 − shared_mass/N)·ln2 correction and the join only ever touches
+    CO-OCCURRING terms. Per-term contributions round to nano fixed
+    point BEFORE the sum (order-independent BIGINT aggregation, the
+    adamic/backoff discipline); the ln arguments are exact-integer
+    ratios below 2^53, so both engines see identical doubles.
+
+    Scale shape: one (source, token) aggregate combines map-side; the
+    pair join is the vocabulary-keyed inverted index (bounded by
+    vocab × source-pairs sharing a term, with the per-source totals —
+    #sources rows — broadcast); output is #sources² rows. At web
+    scale, cap the vocabulary at the top-K tokens per source first
+    (the df-cap discipline) — JS over the head vocabulary is the
+    standard approximation."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    c = t.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    n = c.groupBy("source").agg(F.sum("c").alias("n"))
+    a = c.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    j = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+    )
+    ca, cb = F.col("ca"), F.col("cb")
+    nna, nnb = F.col("na"), F.col("nb")
+    mix = ca.cast("double") * nnb + cb.cast("double") * nna
+    term_a = F.round(
+        F.lit(1e9)
+        * (ca.cast("double") / nna)
+        * F.log(F.lit(2.0) * ca * nnb / mix)
+    ).cast("long")
+    term_b = F.round(
+        F.lit(1e9)
+        * (cb.cast("double") / nnb)
+        * F.log(F.lit(2.0) * cb * nna / mix)
+    ).cast("long")
+    terms = j.groupBy("src_a", "src_b").agg(
+        F.sum(term_a).alias("ta"),
+        F.sum(term_b).alias("tb"),
+        F.sum("ca").alias("sha"),
+        F.sum("cb").alias("shb"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    js = (
+        F.lit(0.5)
+        * (
+            F.col("ta") / F.lit(1e9)
+            + (F.lit(1.0) - F.col("sha").cast("double") / F.col("na")) * ln2
+        )
+        + F.lit(0.5)
+        * (
+            F.col("tb") / F.lit(1e9)
+            + (F.lit(1.0) - F.col("shb").cast("double") / F.col("nb")) * ln2
+        )
+    ) / ln2
+    return terms.select(
+        "src_a", "src_b", F.round(js, 6).alias("js_bits")
+    )

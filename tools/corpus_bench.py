@@ -656,6 +656,19 @@ def main() -> None:
 
     run("decontaminate_minhash_lsh", fuzzy_decon_minhash)
 
+    def bpe_encode_corpus():
+        # train a small merge table on the vocab, then encode the FULL
+        # corpus with it (the untimed half of the tokenizer story):
+        # mapInPandas fold, token->pieces memoized per batch
+        from svs_spark.operators import bpe as B
+
+        words = B.words_from_corpus(docs, "text")
+        merges, _ = B.bpe_train(words, n_merges=32)
+        enc = B.encode_df(docs.select("doc_id", "text"), "text", merges)
+        return enc.select(F.sum(F.size("tokens"))).collect()[0][0]
+
+    run("bpe_train32_encode_1m", bpe_encode_corpus, warm=False)
+
     print(
         json.dumps(
             {
