@@ -268,3 +268,83 @@ def ewma_anomalies(
     )
     schema = f"{fields}, level double, resid double, is_anomaly boolean"
     return df.groupBy(key_col).applyInPandas(fold, schema)
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season_length: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Per-series additive Holt-Winters (level + trend + season) —
+    the forecasting tier above ``ewma_anomalies``' level-only
+    smoothing. For each series, scan rows in ``ts_col`` order and
+    maintain:
+
+        level_t  = α·(y_t − season_{t−m}) + (1−α)·(level + trend)
+        trend_t  = β·(level_t − level) + (1−β)·trend
+        season_t = γ·(y_t − level_t) + (1−γ)·season_{t−m}
+
+    Initialization is the standard first-season recipe: level = mean
+    of season 1, trend = (mean of season 2 − mean of season 1)/m,
+    season_i = y_i − mean(season 1); the first 2m rows are warm-up
+    (fitted values start at row m). Returns the input columns plus
+    (fitted, resid, forecast_1) where fitted_t = level_{t−1} +
+    trend_{t−1} + season_{t−m} (the one-step-ahead prediction made
+    BEFORE seeing y_t) and forecast_1 is the next-step forecast from
+    the state at t. Rows are dropped for series shorter than 2m (no
+    honest initialization exists).
+
+    The recurrence is sequential PER SERIES — the documented
+    applyInPandas case (see ewma_anomalies): one exchange on the
+    series key, NumPy fold per series, memory bounded by the longest
+    single series; pre-aggregate to coarser buckets first
+    (rollup.py) when a series outgrows a task."""
+    import numpy as np
+    import pandas as pd
+
+    a, b, g, m = float(alpha), float(beta), float(gamma), int(season_length)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        if n < 2 * m:
+            out = pdf.iloc[0:0].copy()
+            out["fitted"] = np.empty(0)
+            out["resid"] = np.empty(0)
+            out["forecast_1"] = np.empty(0)
+            return out
+        s1, s2 = y[:m].mean(), y[m : 2 * m].mean()
+        level, trend = s1, (s2 - s1) / m
+        season = (y[:m] - s1).copy()
+        fitted = np.full(n, np.nan)
+        resid = np.full(n, np.nan)
+        fcast = np.full(n, np.nan)
+        for t in range(m, n):
+            si = t % m
+            pred = level + trend + season[si]
+            fitted[t] = pred
+            resid[t] = y[t] - pred
+            new_level = a * (y[t] - season[si]) + (1 - a) * (level + trend)
+            trend = b * (new_level - level) + (1 - b) * trend
+            level = new_level
+            season[si] = g * (y[t] - level) + (1 - g) * season[si]
+            fcast[t] = level + trend + season[(t + 1) % m]
+        out = pdf.copy()
+        out["fitted"] = fitted
+        out["resid"] = resid
+        out["forecast_1"] = fcast
+        return out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, fitted double, resid double, forecast_1 double"
+    return df.groupBy(key_col).applyInPandas(fold, schema)
