@@ -669,6 +669,41 @@ def main() -> None:
 
     run("bpe_train32_encode_1m", bpe_encode_corpus, warm=False)
 
+    def js_divergence_matrix():
+        # source-pair JS divergence over unigram distributions: the
+        # vocab-keyed inverted-index pair join; this corpus's ~1M-word
+        # vocabulary with each token in <= 20 sources bounds the join
+        # at #tokens x C(20,2)
+        t = docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        c = t.groupBy("source", "tok").agg(F.count("*").alias("c"))
+        n = c.groupBy("source").agg(F.sum("c").alias("n"))
+        a = c.select(F.col("source").alias("sa"), "tok", F.col("c").alias("ca"))
+        b = c.select(F.col("source").alias("sb"), "tok", F.col("c").alias("cb"))
+        na = n.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+        nb = n.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+        j = (
+            a.join(b, "tok")
+            .filter(F.col("sa") < F.col("sb"))
+            .join(F.broadcast(na), "sa")
+            .join(F.broadcast(nb), "sb")
+        )
+        mix = F.col("ca").cast("double") * F.col("nb") + F.col("cb").cast(
+            "double"
+        ) * F.col("na")
+        ta = F.round(
+            F.lit(1e9) * (F.col("ca").cast("double") / F.col("na"))
+            * F.log(F.lit(2.0) * F.col("ca") * F.col("nb") / mix)
+        ).cast("long")
+        return (
+            j.groupBy("sa", "sb")
+            .agg(F.sum(ta).alias("ta"), F.sum("ca").alias("sha"))
+            .count()
+        )
+
+    run("source_js_divergence_matrix", js_divergence_matrix)
+
     print(
         json.dumps(
             {
