@@ -9657,8 +9657,12 @@ def q_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the TWO-LEVEL decomposition (``bucketed_global_cumsum`` over
     <=1024 equi-width doc_id buckets — never a single-partition
     window, the same shape as token_budget_shards); the window-id
-    explode emits n_tok/512 + 1 rows per doc, and the histogram
-    aggregate combines map-side on the window id.
+    explode emits n_tok/512 + 1 rows per doc, and EVERY output column
+    derives from ONE pass over the exploded rows: doc-level totals
+    ride each doc's FIRST window row, so the corpus (and the cumsum)
+    is scanned once, the only wide exchange is the map-side-combined
+    window-id aggregate, and the final reduction is
+    window-cardinality.
     """
     from svs_spark.operators.sharding import bucketed_global_cumsum
 
@@ -9685,20 +9689,31 @@ def q_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum - n_tok) div 512").alias("f"),
         F.expr("(cum - 1) div 512").alias("l"),
     )
-    per_win = (
-        spans.select(F.explode(F.sequence("f", "l")).alias("win"))
-        .groupBy("win")
-        .agg(F.count("*").alias("dc"))
-        .agg(F.max("dc").alias("max_docs_per_window"))
+    exploded = spans.select(
+        F.explode(F.sequence("f", "l")).alias("win"), "f", "l", "n_tok"
+    ).select(
+        "win",
+        (F.col("win") == F.col("f")).alias("first"),
+        "n_tok",
+        (F.col("l") > F.col("f")).alias("split"),
     )
-    totals = spans.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
-        F.sum(F.when(F.col("f") != F.col("l"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_split_docs"),
+    per_win = exploded.groupBy("win").agg(
+        F.count("*").alias("dc"),
+        F.sum(F.when(F.col("first"), F.col("n_tok")).otherwise(0)).alias(
+            "tok_f"
+        ),
+        F.sum(F.when(F.col("first"), 1).otherwise(0)).alias("docs_f"),
+        F.sum(
+            F.when(F.col("first") & F.col("split"), 1).otherwise(0)
+        ).alias("split_f"),
     )
-    return totals.crossJoin(F.broadcast(per_win)).select(
+    totals = per_win.agg(
+        F.sum("docs_f").cast("long").alias("n_docs"),
+        F.sum("tok_f").cast("long").alias("total_tokens"),
+        F.sum("split_f").cast("long").alias("n_split_docs"),
+        F.max("dc").alias("max_docs_per_window"),
+    )
+    return totals.select(
         F.lit(512).cast("long").alias("ctx"),
         "n_docs",
         "total_tokens",
