@@ -9785,7 +9785,11 @@ def q_source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is unchanged.
     """
     docs = load(spark, sf_dir, "documents")
-    cnt = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    # VALUE-cardinality count table feeding three branches (vals, srcs,
+    # grid) — cached per invariant 26 so the corpus is scanned once
+    cnt = cached(
+        docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    )
     vals = cnt.groupBy("n_chars").agg(F.sum("c").alias("call"))
     srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
     tot = vals.agg(F.sum("call").alias("N"))
@@ -10250,7 +10254,7 @@ def q_score_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr("(n_chars * 1000) div size(split(text, ' '))").alias("s"),
     )
-    cnt = d.groupBy("source", "s").agg(F.count("*").alias("c"))
+    cnt = cached(d.groupBy("source", "s").agg(F.count("*").alias("c")))
     scnt = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
     w_s = (
         Window.partitionBy("source")
@@ -10448,7 +10452,9 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    c = t.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    # vocabulary-cardinality count table feeding both join sides and
+    # the totals — cached per invariant 26 (one corpus tokenize pass)
+    c = cached(t.groupBy("source", "tok").agg(F.count("*").alias("c")))
     n = c.groupBy("source").agg(F.sum("c").alias("n"))
     a = c.select(
         F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
