@@ -236,3 +236,97 @@ def within_cluster_pairs(
         pairs,
         schema="cluster_id long, id_a long, id_b long, score double",
     )
+
+
+def semdedup_recall_probe(
+    assigned: DataFrame,
+    threshold: float,
+    sample_rows: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    round_decimals: int = 6,
+) -> dict:
+    """Recall telemetry for the SemDeDup partition: the cluster-
+    restriction is the pipeline's only lossy step (the pair stage is
+    exact within a cluster), and its loss — true near-dup pairs whose
+    members landed in DIFFERENT clusters — depends on the centroid
+    layout, so it can drift as k, the data, or the trainer changes.
+    This probe measures it directly, the same way
+    ``dedup.minhash_index_recall_telemetry`` audits the banded join:
+
+    ground truth = exact rounded-cosine pairs between a DETERMINISTIC
+    ``sample_rows``-vector sample and the whole corpus (one map-only
+    GEMM scan with the sample matrix in the task closure — bounded at
+    |corpus| × sample work, telemetry-sized); found = the
+    within-cluster pairs touching the sample. Verification is exact on
+    both sides, so recall = the fraction of true pairs the cluster
+    partition keeps comparable. Returns {"true_pairs", "found_pairs",
+    "recall"} (1.0 on an empty truth set: nothing was missed).
+
+    Wire it next to the k schedule in an ingestion loop and alert on a
+    falling trend — falling recall means k outgrew the data (clusters
+    slice through near-dup neighborhoods) and the centroids need
+    retraining."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    samp_rows = (
+        assigned.select(id_col, vec_col)
+        .withColumn(
+            "_k", (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+        )
+        .orderBy("_k", id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    if not samp_rows:
+        return {"true_pairs": 0, "found_pairs": 0, "recall": 1.0}
+    s_ids = np.asarray([r[id_col] for r in samp_rows], dtype=np.int64)
+    s_mat = np.vstack([r[vec_col] for r in samp_rows]).astype(np.float64)
+
+    def truth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = np.round(mat @ s_mat.T, round_decimals)
+            ci, sj = np.nonzero(scores >= threshold)
+            keep = ids[ci] != s_ids[sj]
+            a = np.minimum(ids[ci][keep], s_ids[sj][keep])
+            b = np.maximum(ids[ci][keep], s_ids[sj][keep])
+            yield pd.DataFrame({"id_a": a, "id_b": b})
+
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in assigned.select(id_col, vec_col)
+        .mapInPandas(truth, schema="id_a long, id_b long")
+        .collect()
+    }
+    sample_set = set(int(i) for i in s_ids)
+    found_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in within_cluster_pairs(
+            assigned,
+            threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            round_decimals=round_decimals,
+        )
+        .filter(
+            F.col("id_a").isin(sample_set) | F.col("id_b").isin(sample_set)
+        )
+        .collect()
+    }
+    found_in_universe = found_pairs & true_pairs
+    recall = (
+        len(found_in_universe) / len(true_pairs) if true_pairs else 1.0
+    )
+    return {
+        "true_pairs": len(true_pairs),
+        "found_pairs": len(found_in_universe),
+        "recall": recall,
+    }

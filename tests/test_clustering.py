@@ -173,3 +173,66 @@ class TestWithinClusterPairs:
             map(tuple, within_cluster_pairs(asg.coalesce(1), 0.9).collect())
         )
         assert a == b
+
+
+class TestSemdedupRecallProbe:
+    def _frame(self, spark, split_pair_clusters):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(60):
+            v = rng.normal(size=16)
+            v /= np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], int(i % 4)))
+        # two planted near-dup pairs: (100,101) same cluster,
+        # (200,201) same or split depending on the scenario
+        for base_seed, ids, clusters in (
+            (1, (100, 101), (1, 1)),
+            (2, (200, 201), (2, 3) if split_pair_clusters else (2, 2)),
+        ):
+            base = rng.normal(size=16)
+            base /= np.linalg.norm(base)
+            for j, (i, cl) in enumerate(zip(ids, clusters)):
+                v = base + j * 1e-4
+                v /= np.linalg.norm(v)
+                rows.append((i, [float(x) for x in v], cl))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, cluster_id long"
+        )
+
+    def test_full_recall_when_clusters_hold_pairs(self, spark):
+        from svs_spark.operators.clustering import semdedup_recall_probe
+
+        asg = self._frame(spark, split_pair_clusters=False)
+        out = semdedup_recall_probe(asg, threshold=0.9, sample_rows=64)
+        assert out["true_pairs"] >= 2
+        assert out["recall"] == 1.0
+
+    def test_split_pair_lowers_recall(self, spark):
+        from svs_spark.operators.clustering import semdedup_recall_probe
+
+        asg = self._frame(spark, split_pair_clusters=True)
+        out = semdedup_recall_probe(asg, threshold=0.9, sample_rows=64)
+        # pair (200,201) straddles clusters -> missed by the partition
+        assert out["true_pairs"] >= 2
+        assert out["found_pairs"] < out["true_pairs"]
+        assert out["recall"] < 1.0
+
+    def test_empty_truth_reports_one(self, spark):
+        import numpy as np
+
+        from svs_spark.operators.clustering import semdedup_recall_probe
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(20):
+            v = rng.normal(size=16)
+            v /= np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], int(i % 2)))
+        asg = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, cluster_id long"
+        )
+        out = semdedup_recall_probe(asg, threshold=0.99, sample_rows=20)
+        assert out["true_pairs"] == 0
+        assert out["recall"] == 1.0
