@@ -170,6 +170,7 @@ HEADLINE = [
     "score_quantile_align",
     "decontaminate_minhash",
     "source_js_divergence",
+    "quality_rank_fusion",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -166,6 +166,32 @@ def ranked_desc_by_value(
     return out.drop("_vlo", "_vhi", "_vw", "_vbucket")
 
 
+def ranked_asc_by_value(
+    df: DataFrame,
+    metric: str,
+    tiebreak: str,
+    n_buckets: int = 1024,
+    rank_name: str = "global_rn",
+) -> DataFrame:
+    """Ascending twin of :func:`ranked_desc_by_value`: global 1-based
+    rank in ``(metric ASC, tiebreak ASC)`` order, same two-level
+    decomposition (equi-width ASC-aligned buckets: bin 0 = the lowest
+    values)."""
+    stats = df.agg(F.min(metric).alias("_vlo"), F.max(metric).alias("_vhi"))
+    b = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_vw", F.expr(f"(_vhi - _vlo) div {n_buckets} + 1"))
+        .withColumn("_vbucket", F.expr(f"({metric} - _vlo) div _vw"))
+    )
+    out = bucketed_global_rank(
+        b,
+        bucket=F.col("_vbucket"),
+        order_cols=[F.col(metric).asc(), F.col(tiebreak).asc()],
+        rank_name=rank_name,
+    )
+    return out.drop("_vlo", "_vhi", "_vw", "_vbucket")
+
+
 def cumsum_desc_by_value(
     df: DataFrame,
     metric: str,

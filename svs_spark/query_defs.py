@@ -5557,9 +5557,7 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket")
 
 
-@register(
-    "unigram_logprob_quality",
-    oracle="""
+_UNIGRAM_LOGPROB_SQL = """
     WITH t AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
       FROM documents
@@ -5577,8 +5575,10 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // sum(tf.tf) AS BIGINT) AS decibits_per_token
     FROM tf JOIN vocab v USING (tok) CROSS JOIN n
     GROUP BY 1
-    """,
-)
+    """
+
+
+@register("unigram_logprob_quality", oracle=_UNIGRAM_LOGPROB_SQL)
 def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score per document — the CCNet /
     Wikipedia-LM filtering signal, reduced to a unigram model so it is
@@ -10506,4 +10506,91 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / ln2
     return terms.select(
         "src_a", "src_b", F.round(js, 6).alias("js_bits")
+    )
+
+
+@register(
+    "quality_rank_fusion",
+    oracle=f"""
+    WITH j AS (
+      SELECT u.doc_id, u.decibits_per_token AS q, d.n_chars,
+             (d.n_chars * 1000) // u.n_tokens AS cpt
+      FROM ({_UNIGRAM_LOGPROB_SQL}) u
+      JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY q ASC, doc_id ASC) AS r_lm,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+               AS r_len,
+             row_number() OVER (ORDER BY cpt ASC, doc_id ASC) AS r_cpt
+      FROM j
+    )
+    SELECT doc_id, r_lm, r_len, r_cpt,
+           CAST(1000000000 // (60 + r_lm) + 1000000000 // (60 + r_len)
+                + 1000000000 // (60 + r_cpt) AS BIGINT) AS rrf_fp
+    FROM r ORDER BY rrf_fp DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ensembling by reciprocal-rank fusion — the
+    multi-filter composition step of a curation pipeline: no single
+    quality signal is trustworthy alone (quality_score_auc and
+    score_calibration_bins exist to prove exactly that), so production
+    filters fuse RANKS, which need no cross-signal scale alignment.
+    Three signals: unigram-LM decibits per token (ascending — lower
+    perplexity reads as more canonical), document length (descending),
+    and chars-per-token (ascending). rrf = Σ 1/(60+rank) in exact
+    integer nano fixed point (1e9 div (60+r) — integer div in BOTH
+    engines, so the fusion is hash-exact), top-100 fused.
+
+    Scale shape: each global rank is the TWO-LEVEL decomposition
+    (``ranked_asc_by_value`` / ``ranked_desc_by_value`` — bounded
+    equi-width value buckets + broadcast offsets, never a
+    single-partition sort); the three rank columns join back on the
+    8-byte doc_id key (co-partitioned exchanges); the top-100 is a
+    TakeOrderedAndProject. The LM-signal build reuses the
+    unigram_logprob_quality plan (vocab broadcast onto the tf
+    aggregate)."""
+    from svs_spark.operators.sharding import (
+        ranked_asc_by_value,
+        ranked_desc_by_value,
+    )
+
+    u = q_unigram_logprob_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("decibits_per_token").alias("q")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # three rank pipelines fan out from one per-doc signal table —
+    # the invariant-25 3+-reference case: cache it (40 bytes/doc) so
+    # the vocab join computes once
+    j = cached(
+        u.join(d, "doc_id").withColumn(
+            "cpt", F.expr("n_chars * 1000 div n_tokens")
+        )
+    )
+    r_lm = ranked_asc_by_value(j, "q", "doc_id", rank_name="r_lm").select(
+        "doc_id", "r_lm"
+    )
+    r_len = ranked_desc_by_value(
+        j, "n_chars", "doc_id", rank_name="r_len"
+    ).select("doc_id", "r_len")
+    r_cpt = ranked_asc_by_value(
+        j, "cpt", "doc_id", rank_name="r_cpt"
+    ).select("doc_id", "r_cpt")
+    fused = (
+        r_lm.join(r_len, "doc_id")
+        .join(r_cpt, "doc_id")
+        .withColumn(
+            "rrf_fp",
+            F.expr(
+                "1000000000 div (60 + r_lm) + 1000000000 div (60 + r_len)"
+                " + 1000000000 div (60 + r_cpt)"
+            ).cast("long"),
+        )
+    )
+    return (
+        fused.select("doc_id", "r_lm", "r_len", "r_cpt", "rrf_fp")
+        .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+        .limit(100)
     )

@@ -564,3 +564,17 @@ def test_split_leakage_split_flag_is_scan_stage(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "2654435761" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_rank_fusion_uses_two_level_ranks(spark, registry):
+    """All three global ranks in the fusion query must run through the
+    two-level decomposition (windows hash-partition on the value
+    bucket) and the top-100 must be a TakeOrderedAndProject, never a
+    global sort."""
+    df = registry["quality_rank_fusion"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(_bucket" in line, line
