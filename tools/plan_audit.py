@@ -45,6 +45,8 @@ ONE_ROW_CROSS_OK = {
     "tfidf_cosine_pairs", "token_lang_affinity", "token_zipf_profile",
     "unigram_logprob_quality", "value_autocorrelation",
     "vocab_growth_curve", "zorder_locality_stats",
+    "quality_rank_fusion",  # three 1-row min/max range aggregates (one
+    # per two-level rank) + the unigram vocab total
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
