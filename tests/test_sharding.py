@@ -206,3 +206,28 @@ def test_value_rank_window_is_bucket_partitioned(spark, metrics):
         .count()
     )
     assert n_buckets <= 1025
+
+
+def test_ranked_asc_by_value_equals_naive_window(spark, metrics):
+    naive = metrics.withColumn(
+        "global_rn",
+        F.row_number()
+        .over(Window.orderBy(F.col("m").asc(), F.col("ck").asc()))
+        .cast("long"),
+    )
+    got = {
+        r.ck: r.global_rn
+        for r in SH.ranked_asc_by_value(metrics, "m", "ck").collect()
+    }
+    want = {r.ck: r.global_rn for r in naive.collect()}
+    assert got == want
+
+
+def test_ranked_asc_by_value_is_bucket_partitioned(spark, metrics):
+    plan = (
+        SH.ranked_asc_by_value(metrics, "m", "ck")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_bucket" in plan, plan[:1500]

@@ -704,6 +704,44 @@ def main() -> None:
 
     run("source_js_divergence_matrix", js_divergence_matrix)
 
+    def rank_fusion_top100():
+        # three two-level global ranks + integer RRF over 1M docs
+        from svs_spark.operators.sharding import (
+            ranked_asc_by_value,
+            ranked_desc_by_value,
+        )
+
+        d = docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        ).withColumn("cpt", F.expr("n_chars * 1000 div n_tok"))
+        r1 = ranked_asc_by_value(d, "cpt", "doc_id", rank_name="r1").select(
+            "doc_id", "r1"
+        )
+        r2 = ranked_desc_by_value(
+            d, "n_chars", "doc_id", rank_name="r2"
+        ).select("doc_id", "r2")
+        r3 = ranked_asc_by_value(
+            d, "n_tok", "doc_id", rank_name="r3"
+        ).select("doc_id", "r3")
+        return (
+            r1.join(r2, "doc_id")
+            .join(r3, "doc_id")
+            .withColumn(
+                "rrf",
+                F.expr(
+                    "1000000000 div (60 + r1) + 1000000000 div (60 + r2)"
+                    " + 1000000000 div (60 + r3)"
+                ),
+            )
+            .orderBy(F.desc("rrf"), F.asc("doc_id"))
+            .limit(100)
+            .count()
+        )
+
+    run("rank_fusion_top100", rank_fusion_top100)
+
     print(
         json.dumps(
             {
