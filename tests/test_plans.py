@@ -489,7 +489,11 @@ def test_semdedup_assignment_is_map_only(spark, registry):
     df = registry["semdedup_pairs"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan, plan[:2000]
+    # the pair stage must be the per-cluster local-GEMM kernel
+    # (grouped-map pandas), not a DataFrame self-join
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
 
 
 def test_source_length_ks_windows_are_source_partitioned(spark, registry):
