@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from svs_spark.cache_hooks import persist_tracked
 from svs_spark.functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
@@ -321,8 +322,9 @@ def minhash_lsh_pairs(
         schema="did long, hs array<long>, sig array<long>",
     )
     # base feeds the band explode AND both verification sides — persist
-    # so the signature kernel runs once, not three times
-    base = base.persist()
+    # so the signature kernel runs once, not three times (tracked:
+    # released when the registry builds the next query)
+    base = persist_tracked(base)
 
     # Band keys collapse to 8-byte xxhash64 longs before the exchange
     # (DEVNOTES invariant 7) and every row carries the full key array,
@@ -591,7 +593,8 @@ def simhash_pairs(
     sh = docs.select(id_col, text_col).mapInPandas(
         _simhash_batch_kernel(id_col, text_col, bits),
         schema="did long, sh long",
-    ).persist()
+    )
+    sh = persist_tracked(sh)
 
     segs = simhash_segments(bits, max_hamming + 1)
     seg_rows = sh.select(
@@ -1263,9 +1266,11 @@ def minhash_incremental_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    new_sigs = minhash_signatures(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_size
-    ).persist()
+    new_sigs = persist_tracked(
+        minhash_signatures(
+            new_docs, id_col, text_col, num_hashes, bands, shingle_size
+        )
+    )
     old_sigs = spark.read.parquet(index_path)
 
     def band_rows(sigs: DataFrame) -> DataFrame:
@@ -1565,7 +1570,7 @@ def longest_dup_span_pow2(
                 ),
             )
         cur *= 2
-    base = base.persist()
+    base = persist_tracked(base)
 
     # combined match value: h alone, or h·2³¹ + h2 (< 2⁶² — exact)
     win_val = (
@@ -1614,7 +1619,8 @@ def longest_dup_span_pow2(
                 ).alias(c)
                 for c, b, m in hash_cols
             ],
-        ).persist()
+        )
+        level = persist_tracked(level)
 
     best = flags.groupBy(id_col).agg(F.max("dup_len").alias("max_dup_len"))
     return (
@@ -1658,7 +1664,7 @@ def minhash_lsh_bipartite(
         _signature_batch_kernel(id_col, text_col, num_hashes, shingle_size),
         schema="did long, hs array<long>, sig array<long>",
     )
-    base = base.persist()
+    base = persist_tracked(base)
     key_arr = F.array(
         *[
             F.xxhash64(

@@ -37,6 +37,12 @@ _ORACLES: dict[str, str] = {}
 # correctness-safe in Spark (lineage recomputes), so early release can
 # only cost recompute, never wrong results.
 _LIVE_CACHES: list[DataFrame] = []
+
+# operator-internal persists (svs_spark.cache_hooks.persist_tracked)
+# join the same per-query release list — see cache_hooks docstring
+from svs_spark import cache_hooks as _cache_hooks  # noqa: E402
+
+_cache_hooks.set_tracker(_LIVE_CACHES.append)
 # Name of the registered query whose caches are currently live. Release
 # happens only when a DIFFERENT query is built: repeated builds of the
 # same query (bench.py's warm-up + best-of-2 timed runs, a caller

@@ -20,6 +20,12 @@ CACHE_USERS = [
     "graph_motif_stats",
     "winnow_pairs",
     "tpch_q15ish",
+    # operator-INTERNAL persists (svs_spark.cache_hooks.persist_tracked):
+    # the MinHash/SimHash signature tables and the span-ladder levels
+    "minhash_lsh_dedup",
+    "simhash_pairs",
+    "decontaminate_minhash",
+    "longest_dup_span",
 ]
 
 
