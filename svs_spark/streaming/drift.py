@@ -141,7 +141,14 @@ def ks_vs_reference(
         .groupBy(*keys, "bucket")
         .agg(F.sum("n").alias("n"))
     )
-    grid = full.join(F.broadcast(ref), "bucket")
+    # LEFT join: the window may hold mass in buckets the reference
+    # never saw (that's exactly what drift looks like) — an inner join
+    # here would silently drop those cells, undercounting N and cum and
+    # understating the KS stat precisely when drift is largest. Absent
+    # reference cells contribute ref_n = 0 (a flat ECDF segment).
+    grid = full.join(F.broadcast(ref), "bucket", "left").withColumn(
+        "ref_n", F.coalesce(F.col("ref_n"), F.lit(0).cast("long"))
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy("bucket")
@@ -163,8 +170,16 @@ def ks_vs_reference(
         .select(
             *keys,
             F.col("N").alias("n_obs"),
-            F.round(
-                F.col("dnum").cast("double") / (F.col("N") * F.col("ref_total")), 6
+            # Guard the one float division: an empty reference (or an
+            # all-zero group, impossible from a count aggregate but
+            # cheap to guard) would raise DIVIDE_BY_ZERO under ANSI.
+            F.when(
+                (F.col("N") > 0) & (F.col("ref_total") > 0),
+                F.round(
+                    F.col("dnum").cast("double")
+                    / (F.col("N") * F.col("ref_total")),
+                    6,
+                ),
             ).alias("ks_stat"),
             F.col("bucket").alias("at_bucket"),
         )

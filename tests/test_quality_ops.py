@@ -241,3 +241,32 @@ def test_dedup_bag_of_words_planted_groups(spark, tmp_path):
     docs.write.parquet(f"{d}/documents.parquet")
     out = queries()["dedup_bag_of_words"](spark, d).collect()
     assert [(r.canonical_id, r.group_size) for r in out] == [(1, 3), (10, 2)]
+
+
+def test_source_dup_overlap_planted_cross_source(spark, tmp_path):
+    """Planted cross-source exact duplicates (round-5 verdict, What's
+    wrong #2): the registered query had only ever been green on an
+    empty result (the testdata has no cross-source exact dups) — this
+    corpus asserts shared counts and containment on non-empty truth,
+    including the within-source-dup collapse (distinct BEFORE the
+    join) and the zero-overlap pair producing NO row."""
+    from svs_spark.queries import queries
+
+    rows = [
+        # source A: 3 distinct texts (t1 appears twice within A — must
+        # collapse before counting)
+        (1, "A", "t1"), (2, "A", "t2"), (3, "A", "t3"), (4, "A", "t1"),
+        # source B: 4 distinct, shares t1 and t2 with A
+        (5, "B", "t1"), (6, "B", "t2"), (7, "B", "t4"), (8, "B", "t5"),
+        # source C: 2 distinct, shares t3 with A, nothing with B
+        (9, "C", "t3"), (10, "C", "t6"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = queries()["source_dup_overlap"](spark, str(tmp_path)).collect()
+    got = [
+        (r.src_a, r.src_b, r.shared_texts, r.containment) for r in out
+    ]
+    # (A,B): 2 shared / min(3,4)=3 → 0.666667; (A,C): 1 / min(3,2)=2
+    # → 0.5; (B,C): zero overlap → absent
+    assert got == [("A", "B", 2, 0.666667), ("A", "C", 1, 0.5)]

@@ -128,3 +128,35 @@ def test_planted_shift_dominates(spark):
     }
     assert out["same"]["ks_stat"] == 0.0
     assert out["shifted"]["ks_stat"] > 0.9
+
+
+def test_drift_into_buckets_reference_never_saw(spark):
+    """Window mass landing in buckets with ZERO reference count must
+    still be counted — an inner hist×ref join would drop those cells,
+    undercutting N and the KS stat exactly when drift is largest.
+
+    Hand-checked truth: hist {0:90, 14:10} vs uniform ref over 0..9
+    (10 each): N=100, ref_total=100; at bucket 0 the ECDFs are 0.9 vs
+    0.1 → KS 0.8. The dropped-cell bug reports 0.9 over n_obs 90."""
+    ref = spark.createDataFrame(
+        [(b, 10) for b in range(10)], "bucket long, n long"
+    )
+    hist = spark.createDataFrame(
+        [("partial", 0, 90), ("partial", 14, 10)]
+        # fully disjoint window: all mass beyond the reference domain
+        # (crashed with DIVIDE_BY_ZERO before the left-join fix)
+        + [("disjoint", 14, 50), ("disjoint", 15, 50)],
+        "grp string, bucket long, n long",
+    )
+    out = {
+        r["grp"]: r
+        for r in ks_vs_reference(hist, ref, keys=["grp"]).collect()
+    }
+    assert out["partial"]["n_obs"] == 100
+    assert out["partial"]["ks_stat"] == pytest.approx(0.8, abs=1e-6)
+    assert out["partial"]["at_bucket"] == 0
+    # disjoint: hist ECDF is 0 throughout the ref domain while ref
+    # climbs to 1 (sup 1.0 at the last ref bucket), then ref stays at 1
+    # while hist catches up — max gap 1.0
+    assert out["disjoint"]["n_obs"] == 100
+    assert out["disjoint"]["ks_stat"] == pytest.approx(1.0, abs=1e-6)
