@@ -166,6 +166,8 @@ def within_cluster_pairs(
     vec_col: str = "embedding",
     cluster_col: str = "cluster_id",
     round_decimals: int = 6,
+    auto_split: bool = False,
+    max_split_depth: int = 3,
 ) -> DataFrame:
     """SemDeDup pair stage (Abbas et al. 2023): given (id, cluster,
     vector) rows from ``centroid_assign``/``kmeans_lloyd``, emit every
@@ -176,18 +178,33 @@ def within_cluster_pairs(
     all-pairs work never touches the shuffle.
 
     ``cluster_cap``: per-cluster row ceiling for the adversarial case
-    (a mega-cluster makes C(c,2) explode). Over-cap clusters are
-    SKIPPED ENTIRELY and reported via ``skip_report`` (keys
-    ``skipped_clusters`` / ``skipped_rows``) — the hot-bucket
-    discipline of operators/dedup: no silent caps, and in production
-    you re-run the skipped clusters with a finer k rather than
-    pretending they were compared. At SemDeDup's operating point k
-    grows with the corpus so cluster sizes stay bounded by design;
-    the cap is the guard rail, not the plan.
+    (a mega-cluster makes C(c,2) explode). With ``auto_split=False``
+    over-cap clusters are SKIPPED ENTIRELY and reported via
+    ``skip_report`` (keys ``skipped_clusters`` / ``skipped_rows``) —
+    the hot-bucket discipline of operators/dedup: no silent caps. With
+    ``auto_split=True`` (the production mode, round-6 verdict ask #4)
+    an over-cap cluster is RECURSED instead of skipped: a spherical
+    sub-k-means (k sized so mean sub-clusters land at ~cap/2) re-
+    partitions the hot cluster and the pair kernel re-runs within the
+    sub-clusters, up to ``max_split_depth`` levels, so no mass is left
+    uncompared unless the mass is literally inseparable (identical
+    vectors — k-means can't split a point; those leaves fall back to
+    skip-and-report). Pairs found inside a split cluster report the
+    ORIGINAL top-level cluster_id, so the output contract is unchanged.
+    ``skip_report`` gains ``split_clusters`` / ``split_rows``
+    accumulators; skipped counters accumulate across recursion levels
+    (pass a fresh dict per call).
 
     Scale shape: one hash exchange on cluster_id; per-task memory is
     O(cap * dim + cap^2) floats (choose cap so the score block fits);
-    only pairs above threshold leave the task."""
+    only pairs above threshold leave the task. The split path adds,
+    PER over-cap cluster, one bounded Lloyd fit (≤5 scans of that
+    cluster's rows, cached) — mega-clusters are rare by construction
+    (k grows with the corpus), so this is guard-rail cost, not plan
+    cost. Note the split inherits SemDeDup's own approximation one
+    level down: near-dup pairs straddling two SUB-clusters are lost
+    exactly as pairs straddling top-level clusters are; the recall
+    probe measures both."""
     import numpy as np
     import pandas as pd
 
@@ -196,10 +213,76 @@ def within_cluster_pairs(
             F.count("*").alias("_cn")
         )
         hot = sizes.filter(F.col("_cn") > cluster_cap).collect()
-        if skip_report is not None:
-            skip_report["skipped_clusters"] = len(hot)
-            skip_report["skipped_rows"] = int(sum(r["_cn"] for r in hot))
         hot_ids = {r[cluster_col] for r in hot}
+        if skip_report is not None and not (auto_split and hot_ids):
+            skip_report["skipped_clusters"] = (
+                skip_report.get("skipped_clusters", 0) + len(hot)
+            )
+            skip_report["skipped_rows"] = skip_report.get(
+                "skipped_rows", 0
+            ) + int(sum(r["_cn"] for r in hot))
+        if hot_ids and auto_split:
+            from svs_spark.cache_hooks import persist_tracked
+            from svs_spark.operators.similarity import centroid_assign
+
+            cold = assigned.filter(~F.col(cluster_col).isin(list(hot_ids)))
+            out = within_cluster_pairs(
+                cold, threshold, cluster_cap=None, id_col=id_col,
+                vec_col=vec_col, cluster_col=cluster_col,
+                round_decimals=round_decimals,
+            )
+            for r in hot:
+                cid, cn = r[cluster_col], int(r["_cn"])
+                sub = persist_tracked(
+                    assigned.filter(F.col(cluster_col) == cid).select(
+                        id_col, vec_col
+                    )
+                )
+                splittable = max_split_depth > 0
+                if splittable:
+                    k_sub = max(2, -(-2 * cn // cluster_cap))
+                    cents, info = kmeans_lloyd(
+                        sub, k=min(k_sub, cn), max_iter=5,
+                        id_col=id_col, vec_col=vec_col, normalize=True,
+                    )
+                    # no-progress guard: identical vectors all tie to
+                    # the lowest centroid id — k-means cannot split
+                    # them, so don't burn depth re-fitting the same set
+                    splittable = (
+                        max(info["cluster_sizes"].values() or [cn]) < cn
+                    )
+                if not splittable:
+                    if skip_report is not None:
+                        skip_report["skipped_clusters"] = (
+                            skip_report.get("skipped_clusters", 0) + 1
+                        )
+                        skip_report["skipped_rows"] = (
+                            skip_report.get("skipped_rows", 0) + cn
+                        )
+                    continue
+                if skip_report is not None:
+                    skip_report["split_clusters"] = (
+                        skip_report.get("split_clusters", 0) + 1
+                    )
+                    skip_report["split_rows"] = (
+                        skip_report.get("split_rows", 0) + cn
+                    )
+                sub_asg = centroid_assign(
+                    sub, cents, id_col=id_col, vec_col=vec_col,
+                    keep_vec=True,
+                )
+                sub_pairs = within_cluster_pairs(
+                    sub_asg, threshold, cluster_cap=cluster_cap,
+                    skip_report=skip_report, id_col=id_col,
+                    vec_col=vec_col, cluster_col="cluster_id",
+                    round_decimals=round_decimals, auto_split=True,
+                    max_split_depth=max_split_depth - 1,
+                ).withColumn(
+                    "cluster_id",
+                    F.lit(cid).cast("long"),
+                )
+                out = out.unionByName(sub_pairs)
+            return out
         if hot_ids:
             assigned = assigned.filter(
                 ~F.col(cluster_col).isin(list(hot_ids))

@@ -1642,6 +1642,7 @@ def minhash_lsh_bipartite(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     shingle_size: int = 3,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Bipartite MinHash + banded LSH: candidates only BETWEEN the two
     sides of ``right_side`` (a boolean Column over the post-kernel
@@ -1650,6 +1651,11 @@ def minhash_lsh_bipartite(
     the leak check's. Same signature kernel, band keys, first-agreeing-
     band emission and exact-Jaccard verification as
     ``minhash_lsh_pairs``; returns (id_left, id_right, jaccard).
+
+    ``candidates_only=True`` returns the raw band-collision pair set
+    (id_left, id_right) BEFORE any Jaccard filter — the screen stage
+    of a screen→exact-verify composition, where the caller applies its
+    own (e.g. containment) verification to the survivors.
 
     Scale: this is the screen you run INSTEAD of the exact
     containment join when the corpus is large — the banded join only
@@ -1708,6 +1714,8 @@ def minhash_lsh_bipartite(
         .filter(first_match)
         .select("id_left", "id_right")
     )
+    if candidates_only:
+        return cands
     ta = base.select(F.col("did").alias("id_left"), F.col("hs").alias("hs_a"))
     tb = base.select(
         F.col("did").alias("id_right"), F.col("hs").alias("hs_b")

@@ -161,6 +161,60 @@ class TestWithinClusterPairs:
         assert report["skipped_rows"] == 26
         assert all(r["cluster_id"] != 2 for r in got)
 
+    def test_auto_split_recurses_mega_cluster(self, spark):
+        """round-6 verdict ask #4: with auto_split the over-cap cluster
+        is sub-k-means'd and re-compared instead of skipped — the
+        planted near-dup pairs inside it survive, nothing is skipped,
+        and found pairs still report the ORIGINAL cluster id."""
+        from svs_spark.operators.clustering import within_cluster_pairs
+
+        asg = self._assigned(spark)
+        report: dict = {}
+        got = {
+            (r["cluster_id"], r["id_a"], r["id_b"])
+            for r in within_cluster_pairs(
+                asg, threshold=0.9, cluster_cap=25, skip_report=report,
+                auto_split=True,
+            ).collect()
+        }
+        assert report.get("skipped_clusters", 0) == 0
+        assert report.get("skipped_rows", 0) == 0
+        assert report["split_clusters"] == 1
+        assert report["split_rows"] == 26
+        # the planted near-identical trio (2, 200, 201) lands in one
+        # sub-cluster (same argmax centroid), so all three pairs
+        # survive the split, labeled with top-level cluster 2
+        assert {(2, 2, 200), (2, 2, 201), (2, 200, 201)} <= got
+        # split output is a subset of the uncapped exact kernel (the
+        # recursion can only lose cross-SUB-cluster pairs, never
+        # invent any)
+        full = {
+            (r["cluster_id"], r["id_a"], r["id_b"])
+            for r in within_cluster_pairs(asg, threshold=0.9).collect()
+        }
+        assert got <= full
+
+    def test_auto_split_inseparable_mass_falls_back_to_skip(self, spark):
+        """Identical vectors cannot be split by k-means (all tie to the
+        lowest centroid id) — the no-progress guard must skip-and-
+        report instead of recursing to depth exhaustion."""
+        from svs_spark.operators.clustering import within_cluster_pairs
+
+        v = [1.0] + [0.0] * 15
+        rows = [(i, v, 9) for i in range(30)]
+        asg = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, cluster_id long"
+        )
+        report: dict = {}
+        got = within_cluster_pairs(
+            asg, threshold=0.9, cluster_cap=25, skip_report=report,
+            auto_split=True,
+        ).collect()
+        assert got == []
+        assert report["skipped_clusters"] == 1
+        assert report["skipped_rows"] == 30
+        assert report.get("split_clusters", 0) == 0
+
     def test_partitioning_invariance(self, spark):
         from svs_spark.operators.clustering import within_cluster_pairs
 
