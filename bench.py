@@ -134,6 +134,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "embedding_centroid_drift",
     "theil_sen_trend",
+    "holt_winters_forecast",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",

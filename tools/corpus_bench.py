@@ -656,10 +656,80 @@ def main() -> None:
 
     run("decontaminate_minhash_lsh", fuzzy_decon_minhash)
 
+    def fuzzy_decon_screened():
+        # the round-6 registered composition: banded-LSH candidate
+        # screen -> exact containment verify on survivors only. Must
+        # return the SAME count as decontaminate_fuzzy_dfcap1000 at a
+        # fraction of the cost (the verify g-join fans out per
+        # candidate pair, not per corpus pair).
+        from svs_spark.operators.dedup import minhash_lsh_bipartite
+
+        toks = F.split(F.lower(F.col("text")), " ")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    )
+                ),
+            )
+        )
+        is_test = (
+            (F.col("doc_id") * F.lit(2654435761))
+            % F.lit(4294967296) % F.lit(1000) >= 900
+        )
+        ex = docs.filter(F.size(toks) >= 3).select(
+            "doc_id", is_test.alias("is_test"), F.explode(sh).alias("g")
+        )
+        n_eval = (
+            ex.filter(F.col("is_test"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("doc_id").alias("id_eval"), "c")
+        )
+        keep = (
+            ex.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 1000)
+            .select("g")
+        )
+        exp = ex.join(keep, "g")
+        tr = exp.filter(~F.col("is_test")).select(
+            F.col("doc_id").alias("id_train"), "g"
+        )
+        ev = exp.filter(F.col("is_test")).select(
+            F.col("doc_id").alias("id_eval"), "g"
+        )
+        split_did = (
+            (F.col("did") * F.lit(2654435761))
+            % F.lit(4294967296) % F.lit(1000) >= 900
+        )
+        cands = minhash_lsh_bipartite(
+            docs, right_side=split_did, candidates_only=True
+        ).select(
+            F.col("id_left").alias("id_train"),
+            F.col("id_right").alias("id_eval"),
+        )
+        return (
+            tr.join(cands, "id_train")
+            .join(ev, ["id_eval", "g"])
+            .groupBy("id_train", "id_eval")
+            .agg(F.count("*").alias("n_shared"))
+            .join(n_eval, "id_eval")
+            .filter(F.col("n_shared").cast("double") / F.col("c") >= 0.8)
+            .count()
+        )
+
+    run("decontaminate_fuzzy_screened", fuzzy_decon_screened)
+
     def bpe_encode_corpus():
         # train a small merge table on the vocab, then encode the FULL
         # corpus with it (the untimed half of the tokenizer story):
-        # mapInPandas fold, token->pieces memoized per batch
+        # mapInPandas fold, per-batch factorize + executor-local cache
         from svs_spark.operators import bpe as B
 
         words = B.words_from_corpus(docs, "text")
@@ -668,6 +738,33 @@ def main() -> None:
         return enc.select(F.sum(F.size("tokens"))).collect()[0][0]
 
     run("bpe_train32_encode_1m", bpe_encode_corpus, warm=False)
+
+    _bpe_merges: list = []
+
+    def bpe_train32_only():
+        from svs_spark.operators import bpe as B
+
+        words = B.words_from_corpus(docs, "text")
+        merges, _ = B.bpe_train(words, n_merges=32)
+        _bpe_merges.extend(merges)
+        return len(merges)
+
+    def bpe_encode_only():
+        # encode the FULL corpus with the table trained above — the
+        # r5 verdict's throughput target (<= 30 s at 1M) is for THIS
+        # stage alone, the one that scales with corpus size
+        from svs_spark.operators import bpe as B
+
+        if not _bpe_merges:  # --ops selected encode without train
+            words = B.words_from_corpus(docs, "text")
+            _bpe_merges.extend(B.bpe_train(words, n_merges=32)[0])
+        enc = B.encode_df(
+            docs.select("doc_id", "text"), "text", _bpe_merges
+        )
+        return enc.select(F.sum(F.size("tokens"))).collect()[0][0]
+
+    run("bpe_train32_only", bpe_train32_only, warm=False)
+    run("bpe_encode_1m", bpe_encode_only, warm=False)
 
     def js_divergence_matrix():
         # source-pair JS divergence over unigram distributions: the
