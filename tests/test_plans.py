@@ -570,6 +570,22 @@ def test_split_leakage_split_flag_is_scan_stage(spark, registry):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_holt_winters_windows_are_series_partitioned(spark, registry):
+    """The daily-series row_number and the per-series recurrence must
+    both hash-partition on event_type — the corpus never collapses to
+    a single partition. The only Python stage is the one applyInPandas
+    recurrence (FlatMapGroupsInPandas), fed by the calendar-bounded
+    daily aggregate, and the final stats combine map-side."""
+    df = registry["holt_winters_forecast"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(event_type" in line, line
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
 def test_rank_fusion_uses_two_level_ranks(spark, registry):
     """All three global ranks in the fusion query must run through the
     two-level decomposition (windows hash-partition on the value

@@ -185,9 +185,11 @@ def main() -> None:
         (i, fixed_query_vec(dim, seed=100 + i)) for i in range(64)
     ]
     knn_join_batch(emb, qbatch[:2], 100).count()  # warm
-    t0 = time.perf_counter()
-    n_out = knn_join_batch(emb, qbatch, 100).count()
-    bulk_s = time.perf_counter() - t0
+    bulk_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_out = knn_join_batch(emb, qbatch, 100).count()
+        bulk_s = min(bulk_s, time.perf_counter() - t0)
     assert n_out == 64 * 100
 
     # --- IVF int8 serving index: the single-query latency path --------
