@@ -299,17 +299,36 @@ def within_cluster_pairs(
             )
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
+        # two-precision block: the O(c²·d) GEMM screens in float32
+        # (half the bytes/FLOP cost); only candidate pairs within a
+        # 1e-3 safety margin — far above the ~1e-4 worst-case float32
+        # dot error for unit vectors at these dims — are re-scored
+        # exactly in float64, so emitted scores are bit-identical to
+        # the previous all-float64 kernel after round(round_decimals)
         mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
-        scores = np.round(mat @ mat.T, round_decimals)
+        mat32 = mat.astype(np.float32)
+        s32 = mat32 @ mat32.T
         ia, ib = np.triu_indices(n, k=1)
-        keep = scores[ia, ib] >= threshold
+        cand = s32[ia, ib] >= threshold - 1e-3
+        ia, ib = ia[cand], ib[cand]
+        if not len(ia):
+            return pd.DataFrame(
+                {"cluster_id": [], "id_a": [], "id_b": [], "score": []}
+            ).astype(
+                {"cluster_id": "int64", "id_a": "int64",
+                 "id_b": "int64", "score": "float64"}
+            )
+        exact = np.round(
+            np.einsum("ij,ij->i", mat[ia], mat[ib]), round_decimals
+        )
+        keep = exact >= threshold
         return pd.DataFrame(
             {
                 "cluster_id": np.full(int(keep.sum()),
                                       pdf[cluster_col].iloc[0]),
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "score": scores[ia[keep], ib[keep]],
+                "score": exact[keep],
             }
         )
 
