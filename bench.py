@@ -135,6 +135,7 @@ HEADLINE = [
     "embedding_centroid_drift",
     "theil_sen_trend",
     "holt_winters_forecast",
+    "ewma_anomaly_counts",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",

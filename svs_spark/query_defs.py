@@ -8237,6 +8237,95 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EWMA oracle fragments — same bit-exact recursive-CTE discipline as
+# Holt-Winters: identical expression trees to the applyInPandas kernel
+# (operators/temporal.py ewma_anomalies, alpha=0.2, z=3.0).
+_EW_R = "(s.y - r.lv)"
+_EW_FLAG = (
+    f"(s.t >= 2 AND r.vr > 0 AND abs({_EW_R}) > 3.0 * sqrt(r.vr))"
+)
+
+
+@register(
+    "ewma_anomaly_counts",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sm
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT k, row_number() OVER (PARTITION BY k ORDER BY d) - 1 AS t,
+             CAST(sm AS DOUBLE) / 1000.0 AS y
+      FROM daily
+    ),
+    n AS (SELECT k, count(*) AS n FROM ser GROUP BY 1),
+    rec AS (
+      SELECT k, CAST(0 AS BIGINT) AS t, y AS lv,
+             CAST(0.0 AS DOUBLE) AS vr, CAST(0 AS BIGINT) AS n_anom
+      FROM ser WHERE t = 0
+      UNION ALL
+      SELECT r.k, s.t,
+             r.lv + 0.2 * {_EW_R} AS lv,
+             r.vr + 0.2 * ({_EW_R} * {_EW_R} - r.vr) AS vr,
+             r.n_anom + CASE WHEN {_EW_FLAG} THEN 1 ELSE 0 END AS n_anom
+      FROM rec r JOIN ser s ON s.k = r.k AND s.t = r.t + 1
+    )
+    SELECT r.k AS event_type,
+           CAST(n.n AS BIGINT) AS n_obs,
+           r.n_anom AS n_anomalies,
+           round(r.lv, 6) AS last_level
+    FROM rec r JOIN n ON n.k = r.k
+    WHERE r.t = n.n - 1
+    ORDER BY event_type
+    """,
+)
+def q_ewma_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA residual anomaly monitor over each event type's daily
+    value series: exponential level + same-alpha EWMA of squared
+    residuals, flagging |resid| > 3σ rows — the streaming z-score's
+    batch twin, registered through the oracle gate. The DuckDB twin
+    replays the recurrence as a recursive CTE with the identical
+    floating-point expression tree (the holt_winters_forecast
+    discipline), so n_anomalies and the final level compare exactly.
+    First two rows of a series are never flagged (variance needs two
+    residuals), matching the kernel's seen>=2 guard.
+
+    Scale shape: identical to holt_winters_forecast — one
+    integer-milli daily crush (map-side partials), one exchange on
+    event_type, per-series NumPy fold over calendar-bounded rows,
+    map-side-combined final stats."""
+    from svs_spark.operators import temporal as TP
+
+    ev = load(spark, sf_dir, "events")
+    milli = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000 div 86400000000").alias("d"),
+            milli.alias("m"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("m").alias("sm"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    ser = daily.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        (F.col("sm").cast("double") / F.lit(1000.0)).alias("y"),
+    )
+    ew = TP.ewma_anomalies(
+        ser, key_col="event_type", ts_col="t", value_col="y",
+        alpha=0.2, z_threshold=3.0,
+    )
+    return ew.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        F.round(F.max_by("level", "t"), 6).alias("last_level"),
+    )
+
+
 @register(
     "ngram_containment_pairs",
     oracle=f"""
