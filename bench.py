@@ -136,6 +136,7 @@ HEADLINE = [
     "theil_sen_trend",
     "holt_winters_forecast",
     "ewma_anomaly_counts",
+    "value_drift_ks",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",

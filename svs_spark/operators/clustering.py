@@ -387,15 +387,27 @@ def semdedup_recall_probe(
         return {"true_pairs": 0, "found_pairs": 0, "recall": 1.0}
     s_ids = np.asarray([r[id_col] for r in samp_rows], dtype=np.int64)
     s_mat = np.vstack([r[vec_col] for r in samp_rows]).astype(np.float64)
+    s_mat32 = s_mat.astype(np.float32)
 
     def truth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
+            # same two-precision block as the pair kernel: float32
+            # GEMM screen with a 1e-3 margin (>= 5x the worst-case
+            # float32 dot error at these dims), float64 exact rescore
+            # of candidates only
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            scores = np.round(mat @ s_mat.T, round_decimals)
-            ci, sj = np.nonzero(scores >= threshold)
+            s32 = mat.astype(np.float32) @ s_mat32.T
+            ci, sj = np.nonzero(s32 >= threshold - 1e-3)
+            if not len(ci):
+                continue
+            exact = np.round(
+                np.einsum("ij,ij->i", mat[ci], s_mat[sj]), round_decimals
+            )
+            ok = exact >= threshold
+            ci, sj = ci[ok], sj[ok]
             keep = ids[ci] != s_ids[sj]
             a = np.minimum(ids[ci][keep], s_ids[sj][keep])
             b = np.maximum(ids[ci][keep], s_ids[sj][keep])

@@ -8327,6 +8327,98 @@ def q_ewma_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_drift_ks",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS grp,
+             CAST(least(31, greatest(0,
+               CAST(floor((value - 0.0) / 31.25) AS BIGINT)))
+               AS BIGINT) AS bucket
+      FROM events
+    ),
+    h AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    ref AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS ref_n
+            FROM h WHERE grp = 'view' GROUP BY 1),
+    rt AS (SELECT CAST(sum(ref_n) AS BIGINT) AS ref_total FROM ref),
+    grps AS (SELECT DISTINCT grp FROM h),
+    gb AS (
+      SELECT DISTINCT grp, bucket FROM h
+      UNION
+      SELECT g.grp, r.bucket FROM grps g CROSS JOIN ref r
+    ),
+    grid AS (
+      SELECT gb.grp, gb.bucket,
+             coalesce(h.n, 0) AS n,
+             coalesce(r.ref_n, 0) AS ref_n
+      FROM gb
+      LEFT JOIN h ON h.grp = gb.grp AND h.bucket = gb.bucket
+      LEFT JOIN ref r ON r.bucket = gb.bucket
+    ),
+    c AS (
+      SELECT grp, bucket,
+             sum(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+             sum(ref_n) OVER (PARTITION BY grp ORDER BY bucket) AS rcum,
+             sum(n) OVER (PARTITION BY grp) AS N
+      FROM grid
+    ),
+    d AS (
+      SELECT grp, bucket, N, rt.ref_total,
+             abs(cum * rt.ref_total - rcum * N) AS dnum
+      FROM c, rt
+    ),
+    r1 AS (
+      SELECT grp, bucket, N, dnum, ref_total,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY dnum DESC, bucket ASC) AS rn
+      FROM d
+    )
+    SELECT grp AS event_type, CAST(N AS BIGINT) AS n_obs,
+           round(CAST(dnum AS DOUBLE) / (N * ref_total), 6) AS ks_stat,
+           CAST(bucket AS BIGINT) AS at_bucket
+    FROM r1 WHERE rn = 1
+    """,
+)
+def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift of each event type's VALUE distribution
+    against the 'view' type's histogram as reference — the batch twin
+    of the streaming drift monitor, registered so the driver gate
+    exercises ``streaming/drift.ks_vs_reference`` end-to-end,
+    INCLUDING its union-grid semantics (histogram mass in buckets the
+    reference never saw must count — the round-6 ADVICE fix; with a
+    single-type reference that left-join path is load-bearing, unlike
+    a pooled reference which always covers every bucket). Equal-width
+    32-bucket histogram over the fixed [0, 1000) domain with edge
+    clamping, the module's stability contract.
+
+    Scale shape: one (type, bucket) aggregate crushes the corpus to a
+    ≤ |types|×32-cell table (map-side partials); everything after —
+    the bucket-cardinality reference collect, the per-type grid, the
+    ECDF windows partitioned by type, the cross-multiplied BIGINT
+    numerators — runs on that bounded grid, never the corpus."""
+    from svs_spark.streaming.drift import (
+        ks_vs_reference,
+        value_histogram_cells,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    cells = value_histogram_cells(
+        ev, "value", 0.0, 1000.0, 32, extra_cols=["event_type"]
+    )
+    hist = cells.groupBy(
+        F.col("event_type").alias("grp"), "bucket"
+    ).agg(F.count("*").alias("n"))
+    ref = hist.filter(F.col("grp") == "view").select("bucket", "n")
+    out = ks_vs_reference(hist, ref, keys=["grp"])
+    return out.select(
+        F.col("grp").alias("event_type"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "ks_stat",
+        F.col("at_bucket").cast("long").alias("at_bucket"),
+    )
+
+
+@register(
     "ngram_containment_pairs",
     oracle=f"""
     WITH toks AS ({_SHINGLE_SQL}),
