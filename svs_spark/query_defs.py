@@ -9872,14 +9872,17 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-corpus size); stage 2 verifies ONLY the surviving candidate
     pairs with the exact trigram containment count, so the expensive
     g-join fans out per candidate pair instead of per corpus pair.
-    Measured at 1M docs (corpus_bench r6): identical 4,480,220-pair
-    output; the screen alone runs in ~4 s, and the composition ties
-    the full exact join (~46 vs ~40 s) even on that corpus — a
-    WORST case where 90% of eval docs are planted cross-split dups,
-    so "survivors" are the whole join. On a realistic corpus (tiny
-    eval set, rare leaks) the verify stage is candidate-bounded and
-    the composition collapses toward the screen's cost, which is why
-    it is the registered path.
+    The verify is per-ROW: per-doc kept-shingle arrays join the
+    candidate table by id and n_shared is one array_intersect, so no
+    exploded (pair × shingle) shuffle ever exists. Measured at 1M
+    docs (corpus_bench r6): identical 4,480,220-pair output; the
+    screen alone runs in ~3 s, and the composition beats the full
+    exact join (39.5 vs 44.4 s) even on that corpus — a WORST case
+    where 90% of eval docs are planted cross-split dups, so
+    "survivors" are the whole join. On a realistic corpus (tiny eval
+    set, rare leaks) the verify stage is candidate-bounded and the
+    composition collapses toward the screen's cost, which is why it
+    is the registered path.
     The verify stage still shares ``_tri3_index`` (8-byte xxhash64
     keys, built once per session) with the n-gram family; per-doc
     sizes join as plain shuffle joins on the id keys, never broadcast
@@ -9921,21 +9924,34 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_df") <= 1000
     ).select("g")
     exp = ext.join(keep, "g")
-    tr = exp.filter(~F.col("is_test")).select(
-        F.col("doc_id").alias("id_train"), "g"
+    # exact verify, candidate-bounded AND row-bounded: per-doc kept-
+    # shingle arrays (one linear collect per split) join the candidate
+    # pair table by id, and n_shared is a per-ROW array_intersect —
+    # no exploded (pair × shingle) shuffle ever exists, so the verify
+    # costs O(|candidates| × shingles/doc) local work instead of an
+    # 800M-row join+aggregate on the saturated corpus
+    tr_arr = (
+        exp.filter(~F.col("is_test"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("g").alias("gs_t"))
+        .select(F.col("doc_id").alias("id_train"), "gs_t")
     )
-    ev = exp.filter(F.col("is_test")).select(
-        F.col("doc_id").alias("id_eval"), "g"
+    ev_arr = (
+        exp.filter(F.col("is_test"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("g").alias("gs_e"))
+        .select(F.col("doc_id").alias("id_eval"), "gs_e")
     )
-    # exact verify, candidate-bounded: each train doc's shingles fan
-    # out only per surviving candidate pair, and eval shingles match
-    # on the (id_eval, g) equi-key — total join volume is
-    # Σ_pairs |shingles(train)|, not train×eval
     p = (
-        tr.join(cands, "id_train")
-        .join(ev, ["id_eval", "g"])
-        .groupBy("id_train", "id_eval")
-        .agg(F.count("*").alias("n_shared"))
+        cands.join(tr_arr, "id_train")
+        .join(ev_arr, "id_eval")
+        .select(
+            "id_train",
+            "id_eval",
+            F.size(F.array_intersect("gs_t", "gs_e"))
+            .cast("long")
+            .alias("n_shared"),
+        )
     )
     return (
         p.join(n_eval, "id_eval")

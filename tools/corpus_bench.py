@@ -698,11 +698,17 @@ def main() -> None:
             .select("g")
         )
         exp = ex.join(keep, "g")
-        tr = exp.filter(~F.col("is_test")).select(
-            F.col("doc_id").alias("id_train"), "g"
+        tr_arr = (
+            exp.filter(~F.col("is_test"))
+            .groupBy("doc_id")
+            .agg(F.collect_list("g").alias("gs_t"))
+            .select(F.col("doc_id").alias("id_train"), "gs_t")
         )
-        ev = exp.filter(F.col("is_test")).select(
-            F.col("doc_id").alias("id_eval"), "g"
+        ev_arr = (
+            exp.filter(F.col("is_test"))
+            .groupBy("doc_id")
+            .agg(F.collect_list("g").alias("gs_e"))
+            .select(F.col("doc_id").alias("id_eval"), "gs_e")
         )
         split_did = (
             (F.col("did") * F.lit(2654435761))
@@ -715,10 +721,13 @@ def main() -> None:
             F.col("id_right").alias("id_eval"),
         )
         return (
-            tr.join(cands, "id_train")
-            .join(ev, ["id_eval", "g"])
-            .groupBy("id_train", "id_eval")
-            .agg(F.count("*").alias("n_shared"))
+            cands.join(tr_arr, "id_train")
+            .join(ev_arr, "id_eval")
+            .select(
+                "id_train", "id_eval",
+                F.size(F.array_intersect("gs_t", "gs_e"))
+                .cast("long").alias("n_shared"),
+            )
             .join(n_eval, "id_eval")
             .filter(F.col("n_shared").cast("double") / F.col("c") >= 0.8)
             .count()
