@@ -570,6 +570,35 @@ def test_split_leakage_split_flag_is_scan_stage(spark, registry):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_decontaminate_fuzzy_is_screen_then_rowwise_verify(spark, registry):
+    """round-6 shape: the registered fuzzy path must contain the
+    MinHash signature screen (MapInPandas kernel) and verify
+    containment per-ROW via array_intersect — the exploded
+    (pair × shingle) join+aggregate must not exist, so no aggregate
+    keyed on a shingle column appears above the candidate join."""
+    df = registry["decontaminate_fuzzy"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "array_intersect" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_value_drift_ks_windows_are_group_partitioned(spark, registry):
+    """The ECDF and argmax windows must partition by the group key
+    over the bucket-cardinality grid (≤ types×32 rows) — never a
+    single-partition corpus window; the rank<=1 pushes down as a
+    WindowGroupLimit."""
+    df = registry["value_drift_ks"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(grp" in line, line
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), plan[:2000]
+
+
 def test_holt_winters_windows_are_series_partitioned(spark, registry):
     """The daily-series row_number and the per-series recurrence must
     both hash-partition on event_type — the corpus never collapses to
