@@ -22,6 +22,7 @@ FLAGSHIPS = [
     "curation_report.py",
     "data_readiness.py",
     "sketch_monitoring.py",
+    "telemetry_forecasting.py",
 ]
 
 
