@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_quantized_topk",
     "decontaminate_ngrams",
     "doc_packing",
+    "rag_chunk_materialized",
     "data_profile",
     # round-2 widening: banded 48-bit simhash (the fixed O(N²)
     # scale-killer, at its web-scale width/threshold) and the

@@ -453,6 +453,90 @@ class KnowledgeBase:
         self._append_docs(staged)
         return n_new
 
+    def add_chunked_documents_df(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: Optional[str] = "doc_id",
+        chunk_size: int = 500,
+        chunk_stride: int = 400,
+        no_embedding: bool = False,
+    ) -> tuple[int, int]:
+        """Distributed hierarchical ingest — the reference's
+        chunk-into-children pattern (a parent document whose
+        overlapping chunks are its level-1 children, built row-by-row
+        on the driver via ``bulk_add_docs(parent_id=...)`` in the
+        reference, kb.py:1486-1524) as ONE distributed plan: every
+        input row becomes a level-0 parent (container — no embedding,
+        the reference's hierarchy examples retrieve over chunks and
+        traverse up), its character windows become level-1 children
+        with ``parent_id`` set, and only the chunks go through the
+        chunked Arrow embedding pipeline. Child ids are
+        ``xxhash64(parent_id, '#', chunk_idx)``; both generations are
+        clash-checked against the store before anything is written and
+        the append is one atomic bucketed write. Returns
+        ``(n_parents, n_chunks)``.
+
+        Scale shape: chunking is scan-stage codegen
+        (``operators/chunking.chunk_text_df``); the only exchanges are
+        the id-clash left-semi probe and the bucketed append itself.
+        """
+        from svs_spark.operators.chunking import chunk_text_df
+
+        idc = (
+            F.col(id_col).cast("long")
+            if id_col is not None and id_col in df.columns
+            else F.xxhash64(F.col(text_col))
+        )
+        base = (
+            df.select(idc.alias("id"), F.col(text_col).cast("string").alias("text"))
+            .filter(F.col("text").isNotNull())
+            .dropDuplicates(["id"])
+        )
+        parents = base.select(
+            "id",
+            F.lit(None).cast(LongType()).alias("parent_id"),
+            F.lit(0).cast(IntegerType()).alias("level"),
+            "text",
+            F.lit(None).cast(ArrayType(FloatType())).alias("embedding"),
+            F.lit(None).cast("string").alias("meta"),
+        )
+        chunks = chunk_text_df(
+            base, text_col="text", id_col="id",
+            size=chunk_size, stride=chunk_stride,
+        ).select(
+            F.xxhash64(
+                F.concat_ws("#", F.col("parent_id"), F.col("chunk_idx"))
+            ).alias("id"),
+            F.col("parent_id"),
+            F.lit(1).cast(IntegerType()).alias("level"),
+            F.col("chunk_text").alias("text"),
+            F.lit(None).cast("string").alias("meta"),
+        )
+        if no_embedding:
+            chunks = chunks.withColumn(
+                "embedding", F.lit(None).cast(ArrayType(FloatType()))
+            )
+        else:
+            chunks = embed_df(chunks, self.embedding_func, check=False)
+        chunks = chunks.select(
+            "id", "parent_id", "level", "text",
+            F.col("embedding").cast(ArrayType(FloatType())).alias("embedding"),
+            "meta",
+        )
+        staged = parents.unionByName(chunks)
+        clash = self.docs.join(
+            staged.select("id"), on="id", how="left_semi"
+        ).count()
+        if clash:
+            raise ValueError(f"{clash} incoming doc ids already exist")
+        n_parents = parents.count()
+        n_chunks = chunks.count()
+        if staged.select("id").distinct().count() != n_parents + n_chunks:
+            raise ValueError("chunk id collision within the ingest batch")
+        self._append_docs(staged)
+        return n_parents, n_chunks
+
     # -- DML: bulk delete (M2) -------------------------------------------------
 
     @contextmanager

@@ -3826,6 +3826,64 @@ def q_rag_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rag_chunk_materialized",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             unnest(range(0,
+               CASE WHEN n_chars <= 200 THEN 1
+                    ELSE 1 + (n_chars - 200 + 149) // 150 END)) AS chunk_idx,
+             text
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200))
+                AS BIGINT) AS chunk_len,
+           CAST(ascii(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 1))
+                AS BIGINT) AS first_code,
+           CAST(ascii(substring(text,
+                CAST(chunk_idx * 150
+                     + len(substring(text,
+                           CAST(chunk_idx * 150 + 1 AS INT), 200)) AS INT),
+                1)) AS BIGINT) AS last_code
+    FROM c
+    """,
+)
+def q_rag_chunk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-MATERIALIZING twin of rag_chunk_stats: emit every
+    200-char / 150-stride window of every document via
+    ``operators/chunking.chunk_text_df`` (the kernel behind the KB's
+    hierarchical ``add_chunked_documents_df`` ingest) and verify the
+    window boundaries against DuckDB's substring arithmetic — per
+    chunk, its length and its first/last character codes (the corpus
+    is ASCII, so char-unit semantics agree across engines; a
+    production corpus with astral-plane characters would pin
+    code-POINT windows on both sides instead).
+
+    Scale shape: chunking is pure scan-stage codegen (closed-form
+    count → sequence explode → substr), zero shuffles before the
+    driver compare; the fan-out is bounded by n_chars/stride per
+    document."""
+    from svs_spark.operators.chunking import chunk_text_df
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_text_df(docs, size=200, stride=150)
+    ln = F.length("chunk_text")
+    return ch.select(
+        F.col("parent_id").alias("doc_id"),
+        "chunk_idx",
+        ln.cast("long").alias("chunk_len"),
+        F.ascii(F.col("chunk_text").substr(F.lit(1), F.lit(1)))
+        .cast("long")
+        .alias("first_code"),
+        F.ascii(F.col("chunk_text").substr(ln, F.lit(1)))
+        .cast("long")
+        .alias("last_code"),
+    )
+
+
+@register(
     "tpch_q4ish",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS order_count
