@@ -570,6 +570,17 @@ def test_split_leakage_split_flag_is_scan_stage(spark, registry):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_rag_chunk_materialized_is_shuffle_free(spark, registry):
+    """Chunk materialization is row-local by construction — the plan
+    must contain NO Exchange at all (closed-form count → sequence
+    explode → substr, one codegen span over the scan)."""
+    df = registry["rag_chunk_materialized"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "Generate" in plan, plan[:2000]  # the sequence explode
+
+
 def test_decontaminate_fuzzy_is_screen_then_rowwise_verify(spark, registry):
     """round-6 shape: the registered fuzzy path must contain the
     MinHash signature screen (MapInPandas kernel) and verify
