@@ -30,11 +30,15 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import urllib.request
+import warnings
+from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 REMOTE_CACHE_DIR = ".remote_cache"
 BUCKET_META_FILE = "_buckets.json"
+WRITER_LOCK_SUFFIX = ".writer.lock"
 
 
 def merge_supported() -> bool:
@@ -79,7 +83,79 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._held_locks: set[str] = set()
         os.makedirs(root, exist_ok=True)
+
+    # -- cross-process writer guard ---------------------------------------
+
+    @contextmanager
+    def write_lock(
+        self,
+        name: str,
+        timeout_s: float = 60.0,
+        stale_after_s: float = 3600.0,
+    ):
+        """Advisory per-table writer lock: a second PROCESS attempting
+        to mutate the same table fails fast (TimeoutError) instead of
+        interleaving read-modify-write cycles. The rollup/bucket
+        protocols' single-writer assumption (_rollup_common.py) becomes
+        an enforced invariant rather than a convention.
+
+        Mechanics: O_CREAT|O_EXCL lock file next to the table — atomic
+        on POSIX; on object stores the same role is played by a
+        put-if-absent, which is the upgrade path when this directory
+        layout moves off a filesystem. Re-entrant within one Warehouse
+        instance (merge_into holds the lock across its read-modify-
+        write and the inner overwrite_buckets acquire is then a no-op).
+        A crashed writer's stale lock (older than ``stale_after_s``)
+        is broken with a warning — safe because every commit below is
+        staging+atomic-rename, so the table itself is never left
+        mid-write; only the ADVISORY exclusion needs recovering."""
+        if name in self._held_locks:
+            yield
+            return
+        lp = self.table_path(name) + WRITER_LOCK_SUFFIX
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(
+                    fd, f"pid={os.getpid()} t={time.time()}".encode()
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lp)
+                except OSError:
+                    continue  # holder released between attempts
+                if age > stale_after_s:
+                    warnings.warn(
+                        f"breaking stale writer lock for '{name}' "
+                        f"(age {age:.0f}s > {stale_after_s:.0f}s): {lp}"
+                    )
+                    try:
+                        os.unlink(lp)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"another writer holds '{name}' "
+                        f"(lock {lp}, age {age:.0f}s); not corrupting "
+                        f"the table — retry or remove the lock if the "
+                        f"holder is dead"
+                    )
+                time.sleep(0.2)
+        self._held_locks.add(name)
+        try:
+            yield
+        finally:
+            self._held_locks.discard(name)
+            try:
+                os.unlink(lp)
+            except FileNotFoundError:
+                pass
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -114,37 +190,37 @@ class Warehouse:
         via the same staging+swap as ``write``; the payoff is that
         subsequent POINT mutations go through ``overwrite_buckets`` and
         touch only their own partitions."""
-        path = self.table_path(name)
-        staging = path + ".staging"
-        old = path + ".old"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        bucketed = df.withColumn(
-            "_pb", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
-        )
-        (
-            bucketed.repartition(F.col("_pb"))
-            .write.mode("overwrite")
-            .partitionBy("_pb")
-            .parquet(staging)
-        )
-        if not any(
-            d.startswith("_pb=") for d in os.listdir(staging)
-        ):
-            # empty df: a partitioned write leaves no readable files, so
-            # degrade to a plain empty table (same as overwrite_buckets
-            # when every bucket empties); schema is preserved from df
-            shutil.rmtree(staging)
-            self.write(name, df.limit(0))
-            return
-        with open(os.path.join(staging, BUCKET_META_FILE), "w") as f:
-            json.dump({"key_col": key_col, "n_buckets": n_buckets}, f)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-
+        with self.write_lock(name):
+            path = self.table_path(name)
+            staging = path + ".staging"
+            old = path + ".old"
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            bucketed = df.withColumn(
+                "_pb", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
+            )
+            (
+                bucketed.repartition(F.col("_pb"))
+                .write.mode("overwrite")
+                .partitionBy("_pb")
+                .parquet(staging)
+            )
+            if not any(
+                d.startswith("_pb=") for d in os.listdir(staging)
+            ):
+                # empty df: a partitioned write leaves no readable files, so
+                # degrade to a plain empty table (same as overwrite_buckets
+                # when every bucket empties); schema is preserved from df
+                shutil.rmtree(staging)
+                self.write(name, df.limit(0))
+                return
+            with open(os.path.join(staging, BUCKET_META_FILE), "w") as f:
+                json.dump({"key_col": key_col, "n_buckets": n_buckets}, f)
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(staging, path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
     def read_buckets(self, name: str, buckets: list[int]) -> DataFrame:
         """Rows of the given buckets only — the ``_pb IN (...)`` filter
         is a partition filter, so the scan never opens other buckets'
@@ -161,42 +237,42 @@ class Warehouse:
         a failed job never corrupts the table — the touched-files-only
         behavior of a lakehouse MERGE, minus cross-bucket transaction
         isolation (documented tradeoff; see merge_supported())."""
-        meta = self.bucket_meta(name)
-        assert meta is not None, f"{name} is not bucketed"
-        path = self.table_path(name)
-        staging = path + ".bucket_staging"
-        if os.path.exists(staging):
+        with self.write_lock(name):
+            meta = self.bucket_meta(name)
+            assert meta is not None, f"{name} is not bucketed"
+            path = self.table_path(name)
+            staging = path + ".bucket_staging"
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            bucketed = df.withColumn(
+                "_pb",
+                F.pmod(F.col(meta["key_col"]), F.lit(meta["n_buckets"])).cast(
+                    "int"
+                ),
+            )
+            (
+                bucketed.repartition(F.col("_pb"))
+                .write.mode("overwrite")
+                .partitionBy("_pb")
+                .parquet(staging)
+            )
+            for pb in buckets:
+                part = os.path.join(path, f"_pb={pb}")
+                newpart = os.path.join(staging, f"_pb={pb}")
+                oldpart = part + ".old"
+                if os.path.exists(oldpart):
+                    shutil.rmtree(oldpart)
+                if os.path.exists(part):
+                    os.rename(part, oldpart)
+                if os.path.exists(newpart):
+                    os.rename(newpart, part)
+                if os.path.exists(oldpart):
+                    shutil.rmtree(oldpart)
             shutil.rmtree(staging)
-        bucketed = df.withColumn(
-            "_pb",
-            F.pmod(F.col(meta["key_col"]), F.lit(meta["n_buckets"])).cast(
-                "int"
-            ),
-        )
-        (
-            bucketed.repartition(F.col("_pb"))
-            .write.mode("overwrite")
-            .partitionBy("_pb")
-            .parquet(staging)
-        )
-        for pb in buckets:
-            part = os.path.join(path, f"_pb={pb}")
-            newpart = os.path.join(staging, f"_pb={pb}")
-            oldpart = part + ".old"
-            if os.path.exists(oldpart):
-                shutil.rmtree(oldpart)
-            if os.path.exists(part):
-                os.rename(part, oldpart)
-            if os.path.exists(newpart):
-                os.rename(newpart, part)
-            if os.path.exists(oldpart):
-                shutil.rmtree(oldpart)
-        shutil.rmtree(staging)
-        if not any(d.startswith("_pb=") for d in os.listdir(path)):
-            # every bucket emptied: degrade to a plain empty table so
-            # reads keep working (schema preserved from df)
-            self.write(name, df.limit(0))
-
+            if not any(d.startswith("_pb=") for d in os.listdir(path)):
+                # every bucket emptied: degrade to a plain empty table so
+                # reads keep working (schema preserved from df)
+                self.write(name, df.limit(0))
     def merge_into(
         self,
         name: str,
@@ -216,27 +292,27 @@ class Warehouse:
         the anti-join runs only over those buckets' rows, and both its
         sides hash-partition on the same key.
         """
-        meta = self.bucket_meta(name)
-        assert meta is not None, f"{name} is not bucketed"
-        key, nb = meta["key_col"], meta["n_buckets"]
-        pb = F.pmod(F.col(key), F.lit(nb)).cast("int")
-        touched = sorted(
-            r[0]
-            for r in updates.select(pb.alias("b")).distinct().collect()
-        )
-        if not touched:
-            return {"buckets": [], "rows_written": 0}
-        cur = self.read_buckets(name, touched)
-        kept = cur.join(updates.select(key), key, "left_anti")
-        post = kept if delete else kept.unionByName(
-            updates.select(*cur.columns)
-        )
-        # count BEFORE the swap: post's lineage reads the pre-merge
-        # files, which overwrite_buckets deletes
-        rows = post.count()
-        self.overwrite_buckets(name, touched, post)
-        return {"buckets": touched, "rows_written": rows}
-
+        with self.write_lock(name):
+            meta = self.bucket_meta(name)
+            assert meta is not None, f"{name} is not bucketed"
+            key, nb = meta["key_col"], meta["n_buckets"]
+            pb = F.pmod(F.col(key), F.lit(nb)).cast("int")
+            touched = sorted(
+                r[0]
+                for r in updates.select(pb.alias("b")).distinct().collect()
+            )
+            if not touched:
+                return {"buckets": [], "rows_written": 0}
+            cur = self.read_buckets(name, touched)
+            kept = cur.join(updates.select(key), key, "left_anti")
+            post = kept if delete else kept.unionByName(
+                updates.select(*cur.columns)
+            )
+            # count BEFORE the swap: post's lineage reads the pre-merge
+            # files, which overwrite_buckets deletes
+            rows = post.count()
+            self.overwrite_buckets(name, touched, post)
+            return {"buckets": touched, "rows_written": rows}
     def write(self, name: str, df: DataFrame) -> None:
         """Atomically replace table ``name`` with ``df``.
 
@@ -244,18 +320,18 @@ class Warehouse:
         the swap, so a failed job never corrupts the current table
         (rollback-on-exception parity, kb.py:804-821).
         """
-        path = self.table_path(name)
-        staging = path + ".staging"
-        old = path + ".old"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-
+        with self.write_lock(name):
+            path = self.table_path(name)
+            staging = path + ".staging"
+            old = path + ".old"
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            df.write.mode("overwrite").parquet(staging)
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(staging, path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
     def drop_all(self) -> None:
         """force_fresh_db parity (kb.py:951-952): delete + recreate."""
         if os.path.exists(self.root):
