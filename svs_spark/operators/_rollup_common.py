@@ -2,37 +2,46 @@
 (hll_rollup: max-merge, cm_rollup: sum-merge, minhash_rollup:
 min-merge).
 
-Concurrency/atomicity contract (ADVICE round 4): the rollup tables are
-plain partitioned parquet, so appends assume a SINGLE WRITER per
-rollup path — Spark's dynamic partition overwrite is not transactional,
-and a failure mid-commit can leave a touched day partition partially
-rewritten (re-run the append to repair: the merge is idempotent
-because it recomputes from the batch + the surviving cells). The
-overwrite mode is scoped to the one writer via the DataFrameWriter
-option, never the session conf, so concurrent writers in the same
-session are unaffected.
+Concurrency/atomicity contract (ADVICE round 4, enforced round 6): the
+rollup tables are plain partitioned parquet, so appends require a
+SINGLE WRITER per rollup path — Spark's dynamic partition overwrite is
+not transactional, and a failure mid-commit can leave a touched day
+partition partially rewritten (re-run the append to repair: the merge
+is idempotent because it recomputes from the batch + the surviving
+cells). Round 6 turns the assumption into an invariant: every
+day-partition overwrite runs under the advisory cross-process writer
+lock (``sources.warehouse.path_writer_lock``), so a second concurrent
+appender fails fast instead of interleaving its read-merge-write with
+ours. The overwrite mode is scoped to the one writer via the
+DataFrameWriter option, never the session conf, so concurrent writers
+to OTHER paths in the same session are unaffected.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from svs_spark.sources.warehouse import path_writer_lock
+
 
 def overwrite_day_partitions(df: DataFrame, path: str) -> None:
-    """Dynamic-overwrite ONLY the day partitions present in ``df``.
+    """Dynamic-overwrite ONLY the day partitions present in ``df``,
+    under the per-path writer lock (concurrent appenders to the same
+    rollup would otherwise interleave read-merge-write cycles).
 
     The ``partitionOverwriteMode`` writer option takes precedence over
     ``spark.sql.sources.partitionOverwriteMode`` and applies to this
     write alone — no session-global conf flip (which would leak dynamic
     overwrite into concurrent writers for the duration of the write).
     """
-    (
-        df.repartition("day")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(path)
-    )
+    with path_writer_lock(path):
+        (
+            df.repartition("day")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(path)
+        )
 
 
 def rollup_day_range(spark: SparkSession, path: str) -> tuple[int, int]:

@@ -41,6 +41,67 @@ BUCKET_META_FILE = "_buckets.json"
 WRITER_LOCK_SUFFIX = ".writer.lock"
 
 
+@contextmanager
+def path_writer_lock(
+    path: str,
+    timeout_s: float = 60.0,
+    stale_after_s: float = 3600.0,
+    held: set[str] | None = None,
+):
+    """Advisory writer lock on an arbitrary table/rollup PATH — the
+    core behind :meth:`Warehouse.write_lock`, exposed standalone for
+    writers that manage raw parquet paths (the persisted sketch
+    rollups). O_CREAT|O_EXCL lock file (atomic on POSIX;
+    put-if-absent is the object-store analogue), stale-break with a
+    warning, TimeoutError on a live contender. ``held`` enables
+    re-entrancy for a caller-owned set of held paths."""
+    if held is not None and path in held:
+        yield
+        return
+    lp = path.rstrip("/") + WRITER_LOCK_SUFFIX
+    os.makedirs(os.path.dirname(lp) or ".", exist_ok=True)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"pid={os.getpid()} t={time.time()}".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lp)
+            except OSError:
+                continue  # holder released between attempts
+            if age > stale_after_s:
+                warnings.warn(
+                    f"breaking stale writer lock (age {age:.0f}s > "
+                    f"{stale_after_s:.0f}s): {lp}"
+                )
+                try:
+                    os.unlink(lp)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"another writer holds the lock {lp} "
+                    f"(age {age:.0f}s); not corrupting the table — "
+                    f"retry or remove the lock if the holder is dead"
+                )
+            time.sleep(0.2)
+    if held is not None:
+        held.add(path)
+    try:
+        yield
+    finally:
+        if held is not None:
+            held.discard(path)
+        try:
+            os.unlink(lp)
+        except FileNotFoundError:
+            pass
+
+
 def merge_supported() -> bool:
     """True when delta-spark is importable — the ACID MERGE upgrade path
     for the bucket-overwrite mutation strategy (absent in this
@@ -111,51 +172,11 @@ class Warehouse:
         is broken with a warning — safe because every commit below is
         staging+atomic-rename, so the table itself is never left
         mid-write; only the ADVISORY exclusion needs recovering."""
-        if name in self._held_locks:
+        with path_writer_lock(
+            self.table_path(name), timeout_s, stale_after_s,
+            held=self._held_locks,
+        ):
             yield
-            return
-        lp = self.table_path(name) + WRITER_LOCK_SUFFIX
-        deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(
-                    fd, f"pid={os.getpid()} t={time.time()}".encode()
-                )
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    age = time.time() - os.path.getmtime(lp)
-                except OSError:
-                    continue  # holder released between attempts
-                if age > stale_after_s:
-                    warnings.warn(
-                        f"breaking stale writer lock for '{name}' "
-                        f"(age {age:.0f}s > {stale_after_s:.0f}s): {lp}"
-                    )
-                    try:
-                        os.unlink(lp)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if time.monotonic() >= deadline:
-                    raise TimeoutError(
-                        f"another writer holds '{name}' "
-                        f"(lock {lp}, age {age:.0f}s); not corrupting "
-                        f"the table — retry or remove the lock if the "
-                        f"holder is dead"
-                    )
-                time.sleep(0.2)
-        self._held_locks.add(name)
-        try:
-            yield
-        finally:
-            self._held_locks.discard(name)
-            try:
-                os.unlink(lp)
-            except FileNotFoundError:
-                pass
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
