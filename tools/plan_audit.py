@@ -47,6 +47,8 @@ ONE_ROW_CROSS_OK = {
     "vocab_growth_curve", "zorder_locality_stats",
     "quality_rank_fusion",  # three 1-row min/max range aggregates (one
     # per two-level rank) + the unigram vocab total
+    "value_drift_ks",  # ks_vs_reference crosses the 1-row ref_total
+    # aggregate into the bucket-cardinality grid (drift.py)
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
