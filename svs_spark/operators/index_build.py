@@ -494,6 +494,49 @@ def search_ivf_index(
     )
 
 
+def ivf_assigned_frame(spark, index_path: str) -> "DataFrame":
+    """(vec_id, cluster_id, embedding) view of a ``build_ivf_index``
+    layout: the stored label IS a centroid assignment, so downstream
+    cluster-bucketed stages — SemDeDup's within-cluster pair kernel
+    first among them — REUSE the index's one assignment scan instead
+    of re-running a corpus × centroids GEMM argmax. The float32
+    vectors unpack from the packed femb BINARY in one Arrow kernel;
+    rows arrive already label-partitioned on disk, so the pair
+    stage's cluster_id exchange moves data that is largely
+    co-located.
+
+    Tie-rule caveat (documented, tested on tie-free data):
+    ``build_ivf_index`` assigns by raw-float32 argmax while
+    ``centroid_assign`` assigns by round-6 score with ties to the
+    lowest centroid id — identical everywhere except exact rounded
+    ties, so an assignment-sensitive EXACT pipeline should keep
+    ``centroid_assign``; dedup pipelines take the free scan."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    idx = spark.read.parquet(index_path).select("vec_id", "label", "femb")
+
+    def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.frombuffer(
+                b"".join(pdf["femb"].to_numpy()), dtype=np.float32
+            ).reshape(len(pdf), -1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": pdf["label"].to_numpy().astype("int64"),
+                    "embedding": list(mat),
+                }
+            )
+
+    return idx.mapInPandas(
+        unpack, schema="vec_id long, cluster_id long, embedding array<float>"
+    )
+
+
 class IvfLocalReader:
     """In-process serving twin of :func:`search_ivf_index` — reads the
     SAME Spark-built parquet layout with pyarrow, no Spark job.

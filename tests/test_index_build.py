@@ -388,6 +388,87 @@ class TestIvfPqIndex:
         assert len(exact & cand) >= 8
 
 
+class TestIvfAssignedFrame:
+    """ivf_assigned_frame: the (vec_id, cluster_id, embedding) reuse
+    view of an IVF layout — downstream cluster-bucketed stages skip
+    the assignment GEMM scan."""
+
+    @pytest.fixture(scope="class")
+    def built(self, spark, tmp_path_factory):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        k, dim, per = 6, 16, 50
+        centers = rng.standard_normal((k, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(k):
+            pts = centers[c] + 0.2 * rng.standard_normal((per, dim)).astype(
+                np.float32
+            )
+            pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+            for p in pts:
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        path = str(tmp_path_factory.mktemp("ivfreuse") / "idx")
+        cent = IX.train_centroids_sample(
+            df, n_clusters=k, sample_rows=300, iters=6
+        )
+        IX.build_ivf_index(df, path, cent)
+        return df, cent, path
+
+    def test_vectors_roundtrip_exactly(self, spark, built):
+        df, _, path = built
+        got = {
+            r["vec_id"]: r["embedding"]
+            for r in IX.ivf_assigned_frame(spark, path).collect()
+        }
+        want = {r["vec_id"]: r["embedding"] for r in df.collect()}
+        assert set(got) == set(want)
+        assert all(got[v] == want[v] for v in want)  # float32 exact
+
+    def test_assignment_matches_centroid_assign(self, spark, built):
+        from svs_spark.operators.similarity import centroid_assign
+
+        df, cent, path = built
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in IX.ivf_assigned_frame(spark, path).collect()
+        }
+        want = {
+            r["vec_id"]: r["cluster_id"]
+            for r in centroid_assign(
+                df, list(enumerate(cent.tolist()))
+            ).collect()
+        }
+        assert got == want  # tie-free data: raw vs round-6 argmax agree
+
+    def test_semdedup_pairs_identical_over_reuse_view(self, spark, built):
+        from svs_spark.operators.clustering import within_cluster_pairs
+        from svs_spark.operators.similarity import centroid_assign
+
+        df, cent, path = built
+        via_index = {
+            tuple(r)
+            for r in within_cluster_pairs(
+                IX.ivf_assigned_frame(spark, path), threshold=0.9
+            ).collect()
+        }
+        via_assign = {
+            tuple(r)
+            for r in within_cluster_pairs(
+                centroid_assign(
+                    df, list(enumerate(cent.tolist())), keep_vec=True
+                ),
+                threshold=0.9,
+            ).collect()
+        }
+        assert via_index == via_assign
+        assert via_index  # non-empty truth: tight clusters have pairs
+
+
 class TestIvfLocalReader:
     """The in-process serving twin must return EXACTLY what the Spark
     job path returns — same probed cells, same float64 scores, same
