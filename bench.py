@@ -90,6 +90,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "rare_token_stats",
     "minhash_incremental_dedup",
+    "minhash_estimator_calibration",
     "dedup_block_rewrite",
     "token_zipf_profile",
     "longest_dup_span",

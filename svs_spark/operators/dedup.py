@@ -291,8 +291,12 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     bucket_cap: int | None = None,
     skip_report: dict | None = None,
+    emit_estimate: bool = False,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup join, verified with exact Jaccard.
+    ``emit_estimate=True`` adds the signature-side Jaccard estimate
+    (agreeing minhash positions / num_hashes) as ``est_jaccard`` —
+    the calibration view of the estimator the banding thresholds on.
 
     Pipeline: shingle → signature → explode one row per band →
     self-join on (band, band-key) → distinct candidate pairs → exact
@@ -405,8 +409,14 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
     )
 
-    ta = base.select(F.col("did").alias("id_a"), F.col("hs").alias("hs_a"))
-    tb = base.select(F.col("did").alias("id_b"), F.col("hs").alias("hs_b"))
+    ta = base.select(
+        F.col("did").alias("id_a"), F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    tb = base.select(
+        F.col("did").alias("id_b"), F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+    )
     verified = (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
@@ -418,6 +428,25 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jac") >= jaccard_threshold)
     )
+    if emit_estimate:
+        # the signature-side Jaccard ESTIMATE: fraction of minhash
+        # positions that agree — calibration telemetry for choosing
+        # num_hashes/bands (the estimator the banded join implicitly
+        # thresholds on, exposed next to the exact value it estimates)
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: x == y
+                ),
+                lambda v: v,
+            )
+        )
+        return verified.select(
+            "id_a", "id_b", F.round("jac", 6).alias("jaccard"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
     return verified.select(
         "id_a", "id_b", F.round("jac", 6).alias("jaccard")
     )

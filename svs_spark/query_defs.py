@@ -906,6 +906,115 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) -> s
     """
 
 
+def _minhash_calibration_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    P = D.MINHASH_PRIME
+    coeffs = D.minhash_coeffs(num_hashes)
+    th = OG.token_hash_sql("t")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
+        for a, b in coeffs
+    )
+    rows = num_hashes // bands
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT did, {bi} AS band, "
+        + " || '-' || ".join(
+            f"sig[{bi * rows + ri + 1}]::VARCHAR" for ri in range(rows)
+        )
+        + " AS key FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id AS did,
+             list_distinct(list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 1),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2])) AS sh
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    tok AS (
+      SELECT did, list_transform(sh, t -> {th}) AS hs FROM shingled
+    ),
+    sig AS (SELECT did, hs, [{sig_exprs}] AS sig FROM tok),
+    bandrows AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.did AS id_a, b.did AS id_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band = b.band AND a.key = b.key AND a.did < b.did
+    ),
+    pairs AS (
+      SELECT round(inter::DOUBLE / (la + lb - inter), 6) AS jac,
+             len(list_filter(range(1, {num_hashes + 1}),
+                 i -> sa[i] = sb[i]))::DOUBLE / {num_hashes} AS est
+      FROM (
+        SELECT len(list_distinct(list_intersect(ta.hs, tb.hs))) AS inter,
+               len(ta.hs) AS la, len(tb.hs) AS lb,
+               ta.sig AS sa, tb.sig AS sb
+        FROM cand
+        JOIN sig ta ON cand.id_a = ta.did
+        JOIN sig tb ON cand.id_b = tb.did
+      )
+    ),
+    binned AS (
+      SELECT CAST(least(9, CAST(floor(jac * 10) AS BIGINT)) AS BIGINT)
+               AS bin,
+             CAST(round(1e6 * abs(est - jac)) AS BIGINT) AS err_fp
+      FROM pairs
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(err_fp) AS BIGINT) AS sum_abs_err_fp,
+           round(CAST(sum(err_fp) AS DOUBLE) / count(*) / 1e6, 6) AS mae
+    FROM binned GROUP BY bin
+    """
+
+
+@register(
+    "minhash_estimator_calibration",
+    oracle=_minhash_calibration_oracle(),
+)
+def q_minhash_estimator_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration of the MinHash Jaccard ESTIMATOR against the exact
+    value, over every banded-LSH candidate pair (threshold 0 — the
+    sub-threshold collisions are exactly where the estimator's error
+    matters, since they are what the banding implicitly thresholds
+    on): per exact-Jaccard decile bin, the pair count and the mean
+    absolute estimator error. The "measure, don't guess" answer to
+    "are 16 hashes enough for our dedup threshold" — expected error
+    is ~sqrt(j(1-j)/16) ≈ 0.12 at j=0.5, and this query shows the
+    realized error on OUR corpus, binned where it matters.
+
+    Scale shape: identical to minhash_lsh_dedup (one band-key
+    exchange, first-agreeing-band emission, per-doc shingle sets join
+    back by id) plus a 16-element zip_with per candidate — the bin
+    aggregate combines map-side to ≤10 rows; error terms are
+    fixed-point integers so the sums are order-independent."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.0, emit_estimate=True
+    )
+    binned = pairs.select(
+        F.least(
+            F.lit(9), F.floor(F.col("jaccard") * 10).cast("long")
+        ).alias("bin"),
+        F.round(
+            F.lit(1e6) * F.abs(F.col("est_jaccard") - F.col("jaccard"))
+        ).cast("long").alias("err_fp"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("err_fp").alias("sum_abs_err_fp"),
+        F.round(
+            F.sum("err_fp").cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("mae"),
+    )
+
+
 @register("minhash_lsh_dedup", oracle=_minhash_oracle())
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidate join, exact-Jaccard verified."""
