@@ -384,7 +384,14 @@ class KnowledgeBase:
         skipped = skipped.select(
             "id", "parent_id", "level", "text", "embedding", "meta"
         )
-        self._append_docs(embedded.unionByName(skipped))
+        # _append_docs runs ≥2 actions (bucket probe + write); persist so
+        # the embedding provider runs exactly once per pending doc.
+        staged = embedded.unionByName(skipped).persist()
+        try:
+            staged.count()
+            self._append_docs(staged)
+        finally:
+            staged.unpersist()
 
     def add_doc(self, text: str, parent_id: Optional[int] = None,
                 meta: Optional[dict] = None, no_embedding: bool = False) -> int:
@@ -450,7 +457,17 @@ class KnowledgeBase:
             F.col("embedding").cast(ArrayType(FloatType())).alias("embedding"),
             "meta",
         )
-        self._append_docs(staged)
+        if no_embedding:
+            self._append_docs(staged)
+        else:
+            # _append_docs runs ≥2 actions (bucket probe + write); persist
+            # the embedded frame so the provider runs exactly once/doc.
+            staged = staged.persist()
+            try:
+                staged.count()
+                self._append_docs(staged)
+            finally:
+                staged.unpersist()
         return n_new
 
     def add_chunked_documents_df(
@@ -501,7 +518,7 @@ class KnowledgeBase:
             F.lit(None).cast(ArrayType(FloatType())).alias("embedding"),
             F.lit(None).cast("string").alias("meta"),
         )
-        chunks = chunk_text_df(
+        chunks_pre = chunk_text_df(
             base, text_col="text", id_col="id",
             size=chunk_size, stride=chunk_stride,
         ).select(
@@ -513,28 +530,40 @@ class KnowledgeBase:
             F.col("chunk_text").alias("text"),
             F.lit(None).cast("string").alias("meta"),
         )
+        # Chunk ids are pure functions of (parent_id, chunk_idx), so every
+        # validation runs on the PRE-embedding frame — the embedding
+        # provider is never invoked for a batch that will be rejected.
+        all_ids = parents.select("id").unionAll(chunks_pre.select("id"))
+        clash = self.docs.join(all_ids, on="id", how="left_semi").count()
+        if clash:
+            raise ValueError(f"{clash} incoming doc ids already exist")
+        n_parents = parents.count()
+        n_chunks = chunks_pre.count()
+        if all_ids.distinct().count() != n_parents + n_chunks:
+            raise ValueError("chunk id collision within the ingest batch")
         if no_embedding:
-            chunks = chunks.withColumn(
+            chunks = chunks_pre.withColumn(
                 "embedding", F.lit(None).cast(ArrayType(FloatType()))
             )
         else:
-            chunks = embed_df(chunks, self.embedding_func, check=False)
+            chunks = embed_df(chunks_pre, self.embedding_func, check=False)
         chunks = chunks.select(
             "id", "parent_id", "level", "text",
             F.col("embedding").cast(ArrayType(FloatType())).alias("embedding"),
             "meta",
         )
         staged = parents.unionByName(chunks)
-        clash = self.docs.join(
-            staged.select("id"), on="id", how="left_semi"
-        ).count()
-        if clash:
-            raise ValueError(f"{clash} incoming doc ids already exist")
-        n_parents = parents.count()
-        n_chunks = chunks.count()
-        if staged.select("id").distinct().count() != n_parents + n_chunks:
-            raise ValueError("chunk id collision within the ingest batch")
-        self._append_docs(staged)
+        if no_embedding:
+            self._append_docs(staged)
+        else:
+            # _append_docs runs ≥2 actions (bucket probe + write); persist
+            # the embedded frame so the provider runs exactly once/chunk.
+            staged = staged.persist()
+            try:
+                staged.count()
+                self._append_docs(staged)
+            finally:
+                staged.unpersist()
         return n_parents, n_chunks
 
     # -- DML: bulk delete (M2) -------------------------------------------------

@@ -42,6 +42,17 @@ from svs_spark.operators.similarity import centroid_assign
 _NANO = 1_000_000_000
 
 
+def _screen_margin(dim: int) -> float:
+    """Safety margin for the float32 GEMM screen, derived from the
+    vector dimension: the worst-case float32 dot error for unit
+    vectors grows ~linearly with dim (≈ dim · 2⁻²⁴), so a fixed 1e-3
+    is ample at dim 1536 (~1e-4) but would silently drop true
+    near-threshold pairs at dim ≳ 10k. 8× headroom over the bound,
+    floored at the historical 1e-3 so emitted scores stay identical
+    at the dims already benchmarked."""
+    return max(1e-3, 8.0 * dim * 2.0 ** -24)
+
+
 def _recompute_means(assigned: DataFrame, vec_col: str) -> DataFrame:
     """(cluster_id, dim, n_assigned, centroid_v) from an assignment
     that carried the vector through (keep_vec=True)."""
@@ -301,15 +312,16 @@ def within_cluster_pairs(
         ids = pdf[id_col].to_numpy()[order]
         # two-precision block: the O(c²·d) GEMM screens in float32
         # (half the bytes/FLOP cost); only candidate pairs within a
-        # 1e-3 safety margin — far above the ~1e-4 worst-case float32
-        # dot error for unit vectors at these dims — are re-scored
-        # exactly in float64, so emitted scores are bit-identical to
-        # the previous all-float64 kernel after round(round_decimals)
+        # dim-derived safety margin (_screen_margin: ≥8× the
+        # worst-case float32 dot error for unit vectors at this dim)
+        # are re-scored exactly in float64, so emitted scores are
+        # bit-identical to the all-float64 kernel after
+        # round(round_decimals)
         mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         mat32 = mat.astype(np.float32)
         s32 = mat32 @ mat32.T
         ia, ib = np.triu_indices(n, k=1)
-        cand = s32[ia, ib] >= threshold - 1e-3
+        cand = s32[ia, ib] >= threshold - _screen_margin(mat.shape[1])
         ia, ib = ia[cand], ib[cand]
         if not len(ia):
             return pd.DataFrame(
@@ -395,12 +407,12 @@ def semdedup_recall_probe(
                 continue
             ids = pdf[id_col].to_numpy()
             # same two-precision block as the pair kernel: float32
-            # GEMM screen with a 1e-3 margin (>= 5x the worst-case
-            # float32 dot error at these dims), float64 exact rescore
-            # of candidates only
+            # GEMM screen with the dim-derived margin (_screen_margin,
+            # ≥8x the worst-case float32 dot error at this dim),
+            # float64 exact rescore of candidates only
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             s32 = mat.astype(np.float32) @ s_mat32.T
-            ci, sj = np.nonzero(s32 >= threshold - 1e-3)
+            ci, sj = np.nonzero(s32 >= threshold - _screen_margin(mat.shape[1]))
             if not len(ci):
                 continue
             exact = np.round(

@@ -41,6 +41,75 @@ BUCKET_META_FILE = "_buckets.json"
 WRITER_LOCK_SUFFIX = ".writer.lock"
 
 
+def _start_lock_heartbeat(lp: str, token: bytes, stale_after_s: float):
+    """Daemon thread refreshing the lock file mtime so a legitimately
+    slow holder (a multi-hour rollup overwrite at scale) is never
+    stale-broken while still writing: staleness now means "no live
+    holder process", not "write took longer than stale_after_s". The
+    beat verifies the file still holds OUR token before touching, so a
+    broken-and-reacquired lock is never refreshed on someone else's
+    behalf. Returns (stop_event, thread)."""
+    import threading
+
+    stop = threading.Event()
+    beat_s = min(max(stale_after_s / 4.0, 0.05), 10.0)
+
+    def run():
+        while not stop.wait(beat_s):
+            try:
+                with open(lp, "rb") as f:
+                    if f.read(len(token)) != token:
+                        return  # displaced — stop beating, never touch
+                os.utime(lp)
+            except OSError:
+                return  # released or broken — nothing to refresh
+
+    t = threading.Thread(
+        target=run, name=f"writer-lock-heartbeat:{lp}", daemon=True
+    )
+    t.start()
+    return stop, t
+
+
+def _break_stale_lock(lp: str, stale_after_s: float) -> bool:
+    """Break an apparently-stale lock via atomic rename-to-tombstone so
+    exactly ONE contender wins (the check-then-unlink race let two
+    contenders both judge stale, one unlink the other's fresh
+    re-acquisition, and both proceed). After the rename we re-verify
+    the captured file's mtime: if a heartbeat raced us and the lock is
+    actually fresh, restore it (hard-link back if the slot is still
+    empty) and report no break. Returns True iff the lock was broken."""
+    tomb = f"{lp}.tomb.{os.getpid()}.{time.monotonic_ns()}"
+    try:
+        os.rename(lp, tomb)
+    except OSError:
+        return False  # another contender won, or holder released
+    try:
+        age = time.time() - os.path.getmtime(tomb)
+    except OSError:
+        return True
+    if age <= stale_after_s:
+        # raced with a live holder's refresh — give the lock back
+        try:
+            os.link(tomb, lp)
+        except OSError:
+            pass  # slot re-taken; the displaced holder's beat will stop
+        try:
+            os.unlink(tomb)
+        except OSError:
+            pass
+        return False
+    warnings.warn(
+        f"broke stale writer lock (age {age:.0f}s > "
+        f"{stale_after_s:.0f}s, holder stopped heartbeating): {lp}"
+    )
+    try:
+        os.unlink(tomb)
+    except OSError:
+        pass
+    return True
+
+
 @contextmanager
 def path_writer_lock(
     path: str,
@@ -52,19 +121,22 @@ def path_writer_lock(
     core behind :meth:`Warehouse.write_lock`, exposed standalone for
     writers that manage raw parquet paths (the persisted sketch
     rollups). O_CREAT|O_EXCL lock file (atomic on POSIX;
-    put-if-absent is the object-store analogue), stale-break with a
-    warning, TimeoutError on a live contender. ``held`` enables
-    re-entrancy for a caller-owned set of held paths."""
+    put-if-absent is the object-store analogue), heartbeat-refreshed
+    mtime while held (so "stale" means dead holder, not slow write),
+    single-winner stale break via atomic rename, TimeoutError on a
+    live contender. ``held`` enables re-entrancy for a caller-owned
+    set of held paths."""
     if held is not None and path in held:
         yield
         return
     lp = path.rstrip("/") + WRITER_LOCK_SUFFIX
     os.makedirs(os.path.dirname(lp) or ".", exist_ok=True)
+    token = f"pid={os.getpid()} t={time.time()} n={time.monotonic_ns()}".encode()
     deadline = time.monotonic() + timeout_s
     while True:
         try:
             fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"pid={os.getpid()} t={time.time()}".encode())
+            os.write(fd, token)
             os.close(fd)
             break
         except FileExistsError:
@@ -72,15 +144,7 @@ def path_writer_lock(
                 age = time.time() - os.path.getmtime(lp)
             except OSError:
                 continue  # holder released between attempts
-            if age > stale_after_s:
-                warnings.warn(
-                    f"breaking stale writer lock (age {age:.0f}s > "
-                    f"{stale_after_s:.0f}s): {lp}"
-                )
-                try:
-                    os.unlink(lp)
-                except FileNotFoundError:
-                    pass
+            if age > stale_after_s and _break_stale_lock(lp, stale_after_s):
                 continue
             if time.monotonic() >= deadline:
                 raise TimeoutError(
@@ -89,16 +153,24 @@ def path_writer_lock(
                     f"retry or remove the lock if the holder is dead"
                 )
             time.sleep(0.2)
+    stop, beat = _start_lock_heartbeat(lp, token, stale_after_s)
     if held is not None:
         held.add(path)
     try:
         yield
     finally:
+        stop.set()
+        beat.join(timeout=1.0)
         if held is not None:
             held.discard(path)
         try:
-            os.unlink(lp)
-        except FileNotFoundError:
+            # only release OUR lock — if it was stale-broken and
+            # re-acquired by another process, leave theirs in place
+            with open(lp, "rb") as f:
+                mine = f.read(len(token)) == token
+            if mine:
+                os.unlink(lp)
+        except OSError:
             pass
 
 
@@ -168,9 +240,13 @@ class Warehouse:
         layout moves off a filesystem. Re-entrant within one Warehouse
         instance (merge_into holds the lock across its read-modify-
         write and the inner overwrite_buckets acquire is then a no-op).
-        A crashed writer's stale lock (older than ``stale_after_s``)
-        is broken with a warning — safe because every commit below is
-        staging+atomic-rename, so the table itself is never left
+        While held, a heartbeat thread refreshes the lock mtime, so a
+        lock older than ``stale_after_s`` means the holder PROCESS is
+        dead (crashed writer), not merely slow — a multi-hour rollup
+        overwrite keeps its lock alive. Dead-holder locks are broken
+        with a warning via single-winner atomic rename
+        (:func:`_break_stale_lock`); safe because every commit below
+        is staging+atomic-rename, so the table itself is never left
         mid-write; only the ADVISORY exclusion needs recovering."""
         with path_writer_lock(
             self.table_path(name), timeout_s, stale_after_s,

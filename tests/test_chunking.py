@@ -110,3 +110,49 @@ class TestChunkedIngest:
         with pytest.raises(ValueError, match="already exist"):
             kb.add_chunked_documents_df(df)
         assert kb.count() == 1  # nothing written
+
+    def test_embedding_provider_called_once_per_chunk(self, spark, tmp_path):
+        """The provider must run exactly once per chunk per ingest: the
+        clash/count/uniqueness checks run on the pre-embedding frame and
+        the embedded frame is persisted before the multi-action append.
+        Counted via an O_APPEND tally file because the provider executes
+        inside mapInPandas Python workers (separate processes)."""
+        import os
+
+        tally = str(tmp_path / "embed_tally")
+
+        def counting(texts):
+            with open(tally, "a") as f:
+                f.write(f"{len(texts)}\n")
+            return [[1.0, 0.0, 0.0] for _ in texts]
+
+        kb2 = KnowledgeBase(
+            spark,
+            str(tmp_path / "kb_tally"),
+            embedding_func=counting,
+            embedding_params={"provider": "mock"},
+            force_fresh_db=True,
+        )
+        long_text = "".join(f"{i:04d}" for i in range(310))  # 1240 chars
+        df = spark.createDataFrame(
+            [(10, long_text), (20, "short root body")],
+            "doc_id long, text string",
+        )
+        n_parents, n_chunks = kb2.add_chunked_documents_df(
+            df, chunk_size=500, chunk_stride=400
+        )
+        assert (n_parents, n_chunks) == (2, 4)
+        with open(tally) as f:
+            embedded = sum(int(line) for line in f if line.strip())
+        assert embedded == n_chunks
+
+        # same guarantee for the flat bulk ingest path
+        os.remove(tally)
+        df2 = spark.createDataFrame(
+            [(30, "another body"), (40, "yet another body")],
+            "doc_id long, text string",
+        )
+        assert kb2.add_documents_df(df2) == 2
+        with open(tally) as f:
+            embedded = sum(int(line) for line in f if line.strip())
+        assert embedded == 2

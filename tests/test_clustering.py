@@ -290,3 +290,16 @@ class TestSemdedupRecallProbe:
         out = semdedup_recall_probe(asg, threshold=0.99, sample_rows=20)
         assert out["true_pairs"] == 0
         assert out["recall"] == 1.0
+
+
+def test_screen_margin_scales_with_dimension():
+    """The float32 GEMM screen margin must track the ~dim·2^-24
+    worst-case dot error: floored at the historical 1e-3 for the
+    benchmarked dims, growing linearly once the bound approaches it."""
+    from svs_spark.operators.clustering import _screen_margin
+
+    assert _screen_margin(64) == 1e-3
+    assert _screen_margin(1536) == 1e-3  # bound ~1e-4, floor wins
+    big = _screen_margin(20_000)
+    assert big == 8.0 * 20_000 * 2.0 ** -24  # ~0.0095 > floor
+    assert _screen_margin(40_000) == 2 * big  # linear in dim

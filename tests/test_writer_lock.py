@@ -64,6 +64,116 @@ def test_lock_released_after_write_and_reentrant_merge(spark, wh):
     assert not os.path.exists(lock)
 
 
+_HOLDER_SCRIPT = """
+import sys, time
+from svs_spark.sources.warehouse import path_writer_lock
+path, hold_s, stale_s, ready = sys.argv[1], float(sys.argv[2]), float(sys.argv[3]), sys.argv[4]
+with path_writer_lock(path, timeout_s=5.0, stale_after_s=stale_s):
+    with open(ready, "w") as f:
+        f.write("ACQUIRED")
+    time.sleep(hold_s)
+"""
+
+
+def _spawn_holder(path, hold_s, stale_s, ready):
+    import subprocess
+    import sys
+
+    return subprocess.Popen(
+        [sys.executable, "-c", _HOLDER_SCRIPT,
+         path, str(hold_s), str(stale_s), str(ready)],
+        cwd="/root/repo",
+    )
+
+
+def _wait_for(pred, timeout_s=20.0, msg="condition"):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if pred():
+            return
+        time.sleep(0.05)
+    raise AssertionError(f"timed out waiting for {msg}")
+
+
+def test_two_process_contention_then_stale_break_after_kill(tmp_path):
+    """The cross-PROCESS interleave the lock exists to close: a second
+    process times out against a live holder; after the holder is
+    SIGKILLed (heartbeat dies with it) the lock goes stale and a new
+    writer breaks it via the single-winner rename path."""
+    import signal
+
+    from svs_spark.sources.warehouse import path_writer_lock
+
+    path = str(tmp_path / "table")
+    ready = str(tmp_path / "ready")
+    lock = path + WRITER_LOCK_SUFFIX
+    holder = _spawn_holder(path, hold_s=60.0, stale_s=2.0, ready=ready)
+    try:
+        _wait_for(lambda: os.path.exists(ready), msg="holder acquire")
+        # live contender -> fail fast, lock untouched
+        with pytest.raises(TimeoutError, match="another writer"):
+            with path_writer_lock(path, timeout_s=0.8, stale_after_s=2.0):
+                pass
+        assert os.path.exists(lock)
+        # kill the holder mid-write: no release, no more heartbeats
+        holder.send_signal(signal.SIGKILL)
+        holder.wait(timeout=10)
+        # once the last heartbeat ages past stale_after_s, a new writer
+        # breaks the dead holder's lock and proceeds
+        with pytest.warns(UserWarning, match="stale writer lock"):
+            with path_writer_lock(path, timeout_s=10.0, stale_after_s=2.0):
+                assert os.path.exists(lock)
+        assert not os.path.exists(lock)
+    finally:
+        if holder.poll() is None:
+            holder.kill()
+            holder.wait(timeout=10)
+
+
+def test_heartbeat_keeps_slow_writer_alive_past_stale_window(tmp_path):
+    """A legitimately slow holder (hold time >> stale_after_s) must NOT
+    be stale-broken: the heartbeat refreshes the lock mtime, so a
+    contender sees a live lock and times out instead of breaking it."""
+    from svs_spark.sources.warehouse import path_writer_lock
+
+    path = str(tmp_path / "table")
+    ready = str(tmp_path / "ready")
+    lock = path + WRITER_LOCK_SUFFIX
+    # holder keeps the lock for 6s with a 1s stale window (beat ~0.25s)
+    holder = _spawn_holder(path, hold_s=6.0, stale_s=1.0, ready=ready)
+    try:
+        _wait_for(lambda: os.path.exists(ready), msg="holder acquire")
+        time.sleep(2.0)  # well past stale_after_s of un-refreshed age
+        with pytest.raises(TimeoutError, match="another writer"):
+            with path_writer_lock(path, timeout_s=1.5, stale_after_s=1.0):
+                pass
+        assert os.path.exists(lock)  # never broken
+        holder.wait(timeout=20)
+        _wait_for(lambda: not os.path.exists(lock), msg="holder release")
+    finally:
+        if holder.poll() is None:
+            holder.kill()
+            holder.wait(timeout=10)
+
+
+def test_break_restores_lock_when_rename_races_a_fresh_refresh(tmp_path):
+    """_break_stale_lock must re-verify after the rename: capturing a
+    lock whose mtime turns out fresh (a heartbeat raced the stat) is
+    rolled back, not treated as a win."""
+    from svs_spark.sources.warehouse import _break_stale_lock
+
+    path = str(tmp_path / "table")
+    lock = path + WRITER_LOCK_SUFFIX
+    with open(lock, "w") as f:
+        f.write("pid=1 t=now")
+    # mtime is FRESH: the pre-rename stat is simulated stale, but the
+    # post-rename verify sees a live lock -> no break, file restored
+    assert _break_stale_lock(lock, stale_after_s=3600.0) is False
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "pid=1 t=now"
+
+
 def test_lock_released_on_write_failure(spark, wh):
     class Boom(Exception):
         pass
