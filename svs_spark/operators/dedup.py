@@ -1764,3 +1764,82 @@ def minhash_lsh_bipartite(
         "id_left", "id_right", F.round("jac", 6).alias("jaccard")
     )
     return out
+
+
+def containment_prefix_candidates(
+    kept: DataFrame,
+    g_df: DataFrame,
+    eval_counts: DataFrame,
+    threshold: float = 0.8,
+    is_test_col: str = "is_test",
+    id_col: str = "doc_id",
+    g_col: str = "g",
+) -> DataFrame:
+    """Containment-preserving candidate screen (PPJoin-style prefix
+    filter) for eval-side containment ≥ ``threshold`` — the screen a
+    MinHash band join CANNOT be: MinHash signatures estimate JACCARD,
+    so a small eval doc fully contained in a much larger train doc
+    (containment 1.0, Jaccard ~|e|/|t| → 0 — the most common real
+    contamination shape) essentially never agrees in any band and is
+    silently dropped. The prefix filter instead uses the pigeonhole
+    bound: if train covers ≥ m = ⌈threshold·c⌉ of the eval doc's c
+    shingles, then among the eval doc's kept shingles E_k at most
+    |E_k| − m can be uncovered, so train must contain at least one of
+    ANY (|E_k| − m + 1)-subset — in particular the prefix of the
+    |E_k| − m + 1 globally RAREST kept shingles. Indexing only that
+    prefix per eval doc and joining it against the train side's kept
+    shingles yields a candidate set with ZERO false negatives w.r.t.
+    the exact verify, at ~(1−threshold) of the full inverted-index
+    join's eval-side volume, with fan-out minimized by rarest-first
+    prefix ordering (each prefix shingle's df is the smallest
+    available, and all dfs are ≤ the caller's stop-shingle cap).
+
+    Inputs: ``kept`` = df-capped exploded shingles
+    (id_col, g_col, is_test_col); ``g_df`` = (g_col, _df) global
+    document frequency of kept shingles; ``eval_counts`` =
+    (id_eval, c) FULL (pre-cap) per-eval-doc shingle counts — the
+    verify denominator. Returns distinct (id_train, id_eval).
+
+    Scale shape: one shuffle on the shingle key for the df join, one
+    per-eval-doc window (partition cardinality = shingles/doc, never
+    corpus-sized), one prefix⨝train shuffle on the 8-byte shingle key,
+    one distinct on the candidate pair. The eval side is small by
+    construction (it is the benchmark split), and the threshold bounds
+    the prefix at ~(1−threshold)·shingles/doc rows per eval doc.
+
+    Reference parity: plays the screen role of svs's exact overlap
+    scan (reference src/svs — single-node full join) for the
+    decontamination family, with the exactness the MinHash screen
+    lacks."""
+    from pyspark.sql.window import Window
+
+    ek = (
+        kept.filter(F.col(is_test_col))
+        .select(F.col(id_col).alias("id_eval"), F.col(g_col).alias("g"))
+        .join(g_df.select(F.col(g_col).alias("g"), "_df"), "g")
+    )
+    nk = ek.groupBy("id_eval").agg(F.count("*").alias("n_kept"))
+    # smallest integer n_shared that can pass round(n/c, 6) >= threshold:
+    # widen by 1e-6·c against the round-6 on the verify side so the
+    # screen can only over-include, never drop a passing pair
+    bounds = (
+        eval_counts.join(nk, "id_eval")
+        .withColumn(
+            "m_min",
+            F.ceil((F.lit(threshold) - F.lit(1e-6)) * F.col("c")).cast("int"),
+        )
+        .withColumn("prefix_n", F.col("n_kept") - F.col("m_min") + 1)
+        .filter(F.col("prefix_n") >= 1)  # n_kept < m_min can never pass
+        .select("id_eval", "prefix_n")
+    )
+    w = Window.partitionBy("id_eval").orderBy(F.col("_df").asc(), F.col("g").asc())
+    prefix = (
+        ek.join(bounds, "id_eval")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("prefix_n"))
+        .select("id_eval", "g")
+    )
+    tr = kept.filter(~F.col(is_test_col)).select(
+        F.col(id_col).alias("id_train"), F.col(g_col).alias("g")
+    )
+    return prefix.join(tr, "g").select("id_train", "id_eval").dropDuplicates()

@@ -582,16 +582,24 @@ def test_rag_chunk_materialized_is_shuffle_free(spark, registry):
 
 
 def test_decontaminate_fuzzy_is_screen_then_rowwise_verify(spark, registry):
-    """round-6 shape: the registered fuzzy path must contain the
-    MinHash signature screen (MapInPandas kernel) and verify
-    containment per-ROW via array_intersect — the exploded
-    (pair × shingle) join+aggregate must not exist, so no aggregate
-    keyed on a shingle column appears above the candidate join."""
+    """round-7 shape: the registered fuzzy path screens with the
+    containment-preserving prefix filter (per-eval-doc rarest-shingle
+    window — partition key is the eval doc id, never a single global
+    partition) and verifies containment per-ROW via array_intersect —
+    the exploded (pair × shingle) join+aggregate must not exist. The
+    screen is JVM-side codegen end-to-end: no Python kernel remains
+    in the plan (the round-6 MinHash MapInPandas screen is gone)."""
     df = registry["decontaminate_fuzzy"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan, plan[:2000]
     assert "array_intersect" in plan, plan[:2000]
+    assert "MapInPandas" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+    # the prefix window partitions by the eval doc id
+    assert "windowspecdefinition(id_eval" in plan, plan[:2000]
+    # rank<=prefix_n is per-doc bounded, so no unpartitioned window
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(id_eval" in line, line
 
 
 def test_value_drift_ks_windows_are_group_partitioned(spark, registry):
