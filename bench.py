@@ -139,6 +139,7 @@ HEADLINE = [
     "holt_winters_forecast",
     "ewma_anomaly_counts",
     "value_drift_ks",
+    "script_mix_profile",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",

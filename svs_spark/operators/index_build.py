@@ -333,28 +333,42 @@ def update_ivf_index(
 
 
 def warm_ivf_cache(
-    df: DataFrame, precision: str = "float32"
+    df: DataFrame, precision: str = "float32", compressed: bool = False
 ) -> DataFrame:
     """Persist the probe-ready projection of an IVF index and return
     the cached handle (pass it as ``df`` to :func:`search_ivf_index`).
 
-    MEASURED CAVEAT (1M×1536, tools/million_bench.py, two independent
-    runs): against a warm LOCAL page cache this LOSES to re-reading
-    parquet (~0.88 s vs ~0.65 s/query) — Spark's in-memory columnar
-    store LZ4-compresses cached batches, and decompressing 96 MB of
-    incompressible packed vectors costs more than the parquet decode
-    it saves. Use it when the index lives on REMOTE/object storage
-    (where a probe re-read pays network latency, the case this
-    trades against), not for local serving. For low-latency local
-    serving use :class:`IvfLocalReader`, which is the architecture
-    BASELINE.json prescribes (Spark builds the layout; serving reads
-    it in-process)."""
+    ``compressed=False`` (default since round 7) disables Spark's
+    in-memory columnar LZ4 for the cached batches
+    (``spark.sql.inMemoryColumnarStorage.compressed``): packed unit
+    vectors are incompressible, so the LZ4 pass buys no space and its
+    DECOMPRESSION sat on every probed query — the measured reason the
+    round-6 cache variant (~0.9 s/query) LOST to re-reading parquet
+    from a warm page cache (~0.65 s). The conf is read at
+    cache-materialization time, so it is set just for the persist and
+    restored after.
+
+    DIAGNOSTIC, not a serving recommendation: even uncompressed, a
+    Spark-job-per-query path pays scheduler + Arrow dispatch per
+    probe; the serving architecture is :class:`IvfLocalReader` (Spark
+    builds the label-partitioned layout; serving reads it in-process —
+    BASELINE.json's own division of labor). Reach for this cache only
+    when queries must stay INSIDE a Spark job graph and the index
+    lives on remote/object storage where a probe re-read pays network
+    latency."""
+    spark = df.sparkSession
     cols = ["vec_id", "label"] + (
         ["qemb"] if precision == "int8" else
         ["femb", "qemb"] if precision == "int8_rerank" else ["femb"]
     )
-    cached = df.select(*cols).persist()
-    cached.count()  # materialize now, not on the first query
+    conf_key = "spark.sql.inMemoryColumnarStorage.compressed"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "true" if compressed else "false")
+    try:
+        cached = df.select(*cols).persist()
+        cached.count()  # materialize now, not on the first query
+    finally:
+        spark.conf.set(conf_key, old)
     return cached
 
 

@@ -11117,3 +11117,93 @@ def q_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script-mix profiling (round 7 — the multilingual-corpus story)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RANGES = {
+    # (low, high) code points, embedded as LITERAL chars in the regex so
+    # Java (Spark) and RE2 (DuckDB) parse the identical class
+    "cjk": (0x4E00, 0x9FFF),        # CJK Unified Ideographs
+    "arabic": (0x0600, 0x06FF),
+    "devanagari": (0x0900, 0x097F),
+}
+
+
+def _script_neg_class(lo: int, hi: int) -> str:
+    return f"[^{chr(lo)}-{chr(hi)}]"
+
+
+@register(
+    "script_mix_profile",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+                AS BIGINT) AS ascii_chars,
+           CAST(sum(length(regexp_replace(text,
+                '{_script_neg_class(*_SCRIPT_RANGES["cjk"])}', '', 'g')))
+                AS BIGINT) AS cjk_chars,
+           CAST(sum(length(regexp_replace(text,
+                '{_script_neg_class(*_SCRIPT_RANGES["arabic"])}', '', 'g')))
+                AS BIGINT) AS arabic_chars,
+           CAST(sum(length(regexp_replace(text,
+                '{_script_neg_class(*_SCRIPT_RANGES["devanagari"])}', '',
+                'g'))) AS BIGINT) AS devanagari_chars,
+           round(sum(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+                 ::DOUBLE / sum(length(text)), 6) AS ascii_ratio
+    FROM documents
+    WHERE length(text) > 0
+    GROUP BY source
+    """,
+)
+def q_script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Unicode SCRIPT-MIX profile: code points per script
+    class (ASCII, CJK Unified, Arabic, Devanagari) and the ASCII
+    ratio — the corpus-composition diagnostic a multilingual training
+    pipeline runs before choosing tokenizers and language filters
+    (lang_id_counts classifies docs; this measures the script mass
+    INSIDE them, catching mixed-script documents that per-doc language
+    labels flatten). Counting unit is the CODE POINT in both engines
+    (Spark UTF8String / DuckDB; pinned across scripts incl. astral
+    planes by tests/test_unicode_semantics.py); class membership is a
+    literal-char regex range so the Java and RE2 engines parse the
+    identical class.
+
+    Scale shape: pure scan-stage codegen (four regexp_replace + length
+    per row, no Python) followed by ONE map-side-combining aggregate
+    on the low-cardinality source key — the cheapest possible shape at
+    100 TB; no window, no join, no shuffle beyond the tiny final
+    exchange. The sf corpora are ASCII so the non-ASCII legs read 0
+    here; the planted multilingual corpus in
+    tests/test_unicode_semantics.py::test_script_mix_profile_multilingual
+    exercises every class against the same oracle."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+
+    def cls(lo: int, hi: int) -> F.Column:
+        return F.length(F.regexp_replace("text", _script_neg_class(lo, hi), ""))
+
+    ascii_n = F.length(F.regexp_replace("text", r"[^\x00-\x7F]", ""))
+    return (
+        docs.filter(n > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(n).cast("long").alias("total_chars"),
+            F.sum(ascii_n).cast("long").alias("ascii_chars"),
+            F.sum(cls(*_SCRIPT_RANGES["cjk"])).cast("long").alias("cjk_chars"),
+            F.sum(cls(*_SCRIPT_RANGES["arabic"])).cast("long").alias(
+                "arabic_chars"
+            ),
+            F.sum(cls(*_SCRIPT_RANGES["devanagari"])).cast("long").alias(
+                "devanagari_chars"
+            ),
+            F.round(
+                F.sum(ascii_n).cast("double") / F.sum(n), 6
+            ).alias("ascii_ratio"),
+        )
+    )

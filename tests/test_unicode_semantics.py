@@ -301,3 +301,56 @@ class TestBpeMultilingual:
         for w in words:
             assert "".join(out[w]) == w + B.END, w
             assert out[w] == B.bpe_encode(w, merges), w
+
+
+def test_script_mix_profile_multilingual(spark, tmp_path):
+    """The registered script-mix profile vs its own oracle on a planted
+    multilingual corpus — every script class non-zero (the sf corpora
+    are ASCII, so this is where the CJK/Arabic/Devanagari legs are
+    load-bearing), plus hand-computed truth for one source."""
+    from svs_spark.queries import queries, oracle_sql
+
+    rows = [(i, s) for i, s in enumerate(MULTI.values())]
+    rows.append((50, "pure ascii doc"))
+    path = _plant(spark, tmp_path, rows)
+    df = queries()["script_mix_profile"](spark, path)
+    cols = sorted(df.columns)
+    got = sorted(
+        tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c]
+            for c in cols
+        )
+        for r in df.collect()
+    )
+    con = _duck_on(path)
+    res = con.sql(oracle_sql()["script_mix_profile"])
+    order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    want = sorted(
+        tuple(
+            round(v, 6) if isinstance(v, float) else v
+            for v in (row[i] for i in order)
+        )
+        for row in res.fetchall()
+    )
+    assert sorted(res.columns) == cols
+    assert got == want
+    # hand truth: all planted docs share source='planted'
+    row = {c: v for c, v in zip(cols, got[0])}
+    texts = [t for _, t in rows]
+    assert row["n_docs"] == len(texts)
+    assert row["total_chars"] == sum(len(t) for t in texts)
+    assert row["cjk_chars"] == sum(
+        1 for t in texts for ch in t if 0x4E00 <= ord(ch) <= 0x9FFF
+    )
+    assert row["arabic_chars"] == sum(
+        1 for t in texts for ch in t if 0x0600 <= ord(ch) <= 0x06FF
+    )
+    assert row["devanagari_chars"] == sum(
+        1 for t in texts for ch in t if 0x0900 <= ord(ch) <= 0x097F
+    )
+    assert row["cjk_chars"] > 0
+    assert row["arabic_chars"] > 0
+    assert row["devanagari_chars"] > 0
+    assert row["ascii_chars"] == sum(
+        1 for t in texts for ch in t if ord(ch) < 128
+    )

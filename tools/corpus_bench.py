@@ -657,12 +657,14 @@ def main() -> None:
     run("decontaminate_minhash_lsh", fuzzy_decon_minhash)
 
     def fuzzy_decon_screened():
-        # the round-6 registered composition: banded-LSH candidate
-        # screen -> exact containment verify on survivors only. Must
-        # return the SAME count as decontaminate_fuzzy_dfcap1000 at a
-        # fraction of the cost (the verify g-join fans out per
+        # the registered composition (round-7: containment-preserving
+        # PREFIX-FILTER screen, zero false negatives — the r6 MinHash
+        # band screen thresholds on Jaccard and can drop asymmetric-
+        # size leaks) -> exact containment verify on survivors only.
+        # Must return the SAME count as decontaminate_fuzzy_dfcap1000
+        # at a fraction of the cost (the verify g-join fans out per
         # candidate pair, not per corpus pair).
-        from svs_spark.operators.dedup import minhash_lsh_bipartite
+        from svs_spark.operators.dedup import containment_prefix_candidates
 
         toks = F.split(F.lower(F.col("text")), " ")
         sh = F.array_distinct(
@@ -691,12 +693,8 @@ def main() -> None:
             .agg(F.count("*").alias("c"))
             .select(F.col("doc_id").alias("id_eval"), "c")
         )
-        keep = (
-            ex.groupBy("g")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= 1000)
-            .select("g")
-        )
+        g_df = ex.groupBy("g").agg(F.count("*").alias("_df"))
+        keep = g_df.filter(F.col("_df") <= 1000).select("g")
         exp = ex.join(keep, "g")
         tr_arr = (
             exp.filter(~F.col("is_test"))
@@ -710,15 +708,8 @@ def main() -> None:
             .agg(F.collect_list("g").alias("gs_e"))
             .select(F.col("doc_id").alias("id_eval"), "gs_e")
         )
-        split_did = (
-            (F.col("did") * F.lit(2654435761))
-            % F.lit(4294967296) % F.lit(1000) >= 900
-        )
-        cands = minhash_lsh_bipartite(
-            docs, right_side=split_did, candidates_only=True
-        ).select(
-            F.col("id_left").alias("id_train"),
-            F.col("id_right").alias("id_eval"),
+        cands = containment_prefix_candidates(
+            exp, g_df, n_eval, threshold=0.8
         )
         return (
             cands.join(tr_arr, "id_train")
