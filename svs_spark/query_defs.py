@@ -10050,12 +10050,14 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out per candidate pair instead of per corpus pair.
     The verify is per-ROW: per-doc kept-shingle arrays join the
     candidate table by id and n_shared is one array_intersect, so no
-    exploded (pair × shingle) shuffle ever exists. On a realistic
-    corpus (tiny eval set, rare leaks) the verify stage is
-    candidate-bounded and the composition collapses toward the
-    screen's ~(1−τ)-of-the-join cost, which is why it is the
-    registered path; CORPUS_BENCH carries the 1M saturated-corpus
-    (90% planted cross-split dups — worst case) measurement.
+    exploded (pair × shingle) shuffle ever exists. Measured at 1M
+    (CORPUS_BENCH r7, identical pair sets in every regime): saturated
+    10%-eval corpus (90% of eval docs are planted dups — worst case)
+    29.2 s vs 39.2 s for the plain exact join; realistic 0.1%-eval
+    split 38.8 s vs 35.0 s (within 1.1× — both regimes are dominated
+    by the shared shingle-index build). The g_df / exp / cands frames
+    are query-scoped cached: each feeds 2-4 consumers and the uncached
+    composition recomputed the ext⨝keep exchange per consumer (130 s).
     The verify stage still shares ``_tri3_index`` (8-byte xxhash64
     keys, built once per session) with the n-gram family; per-doc
     sizes join as plain shuffle joins on the id keys, never broadcast
@@ -10082,26 +10084,44 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .select(F.col("doc_id").alias("id_eval"), "c")
     )
-    g_df = ext.groupBy("g").agg(F.count("*").alias("_df"))
+    # g_df feeds the keep filter AND the screen's rarity order; exp
+    # feeds four consumers (screen eval+train sides, the two verify
+    # array builds) — cache both so the ext⨝keep exchange and the df
+    # aggregate run once per query build, not per consumer
+    g_df = cached(ext.groupBy("g").agg(F.count("*").alias("_df")))
     keep = g_df.filter(F.col("_df") <= 1000).select("g")
-    exp = ext.join(keep, "g")
-    cands = D.containment_prefix_candidates(
-        exp, g_df, n_eval, threshold=0.8
+    exp = cached(ext.join(keep, "g"))
+    # the candidate table feeds three consumers (two id semi-joins +
+    # the pair join) — persist it for the query's lifetime so the
+    # screen runs once
+    cands = cached(
+        D.containment_prefix_candidates(exp, g_df, n_eval, threshold=0.8)
     )
     # exact verify, candidate-bounded AND row-bounded: per-doc kept-
-    # shingle arrays (one linear collect per split) join the candidate
-    # pair table by id, and n_shared is a per-ROW array_intersect —
-    # no exploded (pair × shingle) shuffle ever exists, so the verify
-    # costs O(|candidates| × shingles/doc) local work instead of an
-    # 800M-row join+aggregate on the saturated corpus
+    # shingle arrays are built ONLY for docs that appear in a candidate
+    # pair (the semi-join below — Catalyst cannot infer it because the
+    # candidate ids are runtime values), join the candidate pair table
+    # by id, and n_shared is a per-ROW array_intersect — no exploded
+    # (pair × shingle) shuffle ever exists and no collect_list runs
+    # over non-candidate docs, so the verify costs
+    # O(|candidates| × shingles/doc) TOTAL work. The semi-join and the
+    # groupBy share the doc_id exchange (one shuffle per split).
     tr_arr = (
         exp.filter(~F.col("is_test"))
+        .join(
+            cands.select(F.col("id_train").alias("doc_id")),
+            "doc_id", "left_semi",
+        )
         .groupBy("doc_id")
         .agg(F.collect_list("g").alias("gs_t"))
         .select(F.col("doc_id").alias("id_train"), "gs_t")
     )
     ev_arr = (
         exp.filter(F.col("is_test"))
+        .join(
+            cands.select(F.col("id_eval").alias("doc_id")),
+            "doc_id", "left_semi",
+        )
         .groupBy("doc_id")
         .agg(F.collect_list("g").alias("gs_e"))
         .select(F.col("doc_id").alias("id_eval"), "gs_e")

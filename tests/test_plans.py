@@ -516,7 +516,14 @@ def test_decontaminate_fuzzy_never_broadcasts_doc_sizes(spark, registry):
     forced broadcast hint (the round-4 verdict's OOM shape). Detection
     mirrors test_no_forced_broadcast_of_per_doc_tables: with the
     auto-broadcast threshold disabled, a stats-driven broadcast
-    disappears; only an unconditional F.broadcast() hint survives."""
+    disappears; only an unconditional F.broadcast() hint survives.
+    release_caches() first/last: the query-scoped cached frames
+    (g_df/exp/cands since r7) embed their materialization-time plans —
+    the detection trick only works on plans rebuilt under the
+    disabled threshold."""
+    from svs_spark.queries import release_caches
+
+    release_caches()
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -525,6 +532,7 @@ def test_decontaminate_fuzzy_never_broadcasts_doc_sizes(spark, registry):
         assert "BroadcastHashJoin" not in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_caches()
 
 
 def test_quantile_align_windows_are_value_cardinality(spark, registry):

@@ -693,38 +693,158 @@ def main() -> None:
             .agg(F.count("*").alias("c"))
             .select(F.col("doc_id").alias("id_eval"), "c")
         )
-        g_df = ex.groupBy("g").agg(F.count("*").alias("_df"))
+        g_df = ex.groupBy("g").agg(F.count("*").alias("_df")).persist()
         keep = g_df.filter(F.col("_df") <= 1000).select("g")
-        exp = ex.join(keep, "g")
+        exp = ex.join(keep, "g").persist()
+        cands = containment_prefix_candidates(
+            exp, g_df, n_eval, threshold=0.8
+        ).persist()
         tr_arr = (
             exp.filter(~F.col("is_test"))
+            .join(
+                cands.select(F.col("id_train").alias("doc_id")),
+                "doc_id", "left_semi",
+            )
             .groupBy("doc_id")
             .agg(F.collect_list("g").alias("gs_t"))
             .select(F.col("doc_id").alias("id_train"), "gs_t")
         )
         ev_arr = (
             exp.filter(F.col("is_test"))
+            .join(
+                cands.select(F.col("id_eval").alias("doc_id")),
+                "doc_id", "left_semi",
+            )
             .groupBy("doc_id")
             .agg(F.collect_list("g").alias("gs_e"))
             .select(F.col("doc_id").alias("id_eval"), "gs_e")
         )
-        cands = containment_prefix_candidates(
-            exp, g_df, n_eval, threshold=0.8
+        try:
+            return (
+                cands.join(tr_arr, "id_train")
+                .join(ev_arr, "id_eval")
+                .select(
+                    "id_train", "id_eval",
+                    F.size(F.array_intersect("gs_t", "gs_e"))
+                    .cast("long").alias("n_shared"),
+                )
+                .join(n_eval, "id_eval")
+                .filter(F.col("n_shared").cast("double") / F.col("c") >= 0.8)
+                .count()
+            )
+        finally:
+            cands.unpersist()
+            exp.unpersist()
+            g_df.unpersist()
+
+    run("decontaminate_fuzzy_screened", fuzzy_decon_screened)
+
+    # --- the REALISTIC decontamination regime: a small benchmark set
+    # (0.1% eval split — ~1k docs at 1M) against the full train corpus.
+    # This is the shape the prefix screen exists for: the exact join's
+    # eval-side explode is corpus-wide, while the screen's prefix index
+    # is ~(1-t) of ONE THOUSAND docs' shingles. The 10% ops above are
+    # the saturated worst case (90% of eval docs are planted dups), the
+    # regime where no screen can beat the plain join.
+    def _sparse_frames():
+        toks = F.split(F.lower(F.col("text")), " ")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    )
+                ),
+            )
+        )
+        is_test = (
+            (F.col("doc_id") * F.lit(2654435761))
+            % F.lit(4294967296) % F.lit(1000) >= 999
+        )
+        ex = docs.filter(F.size(toks) >= 3).select(
+            "doc_id", is_test.alias("is_test"), F.explode(sh).alias("g")
+        )
+        n_eval = (
+            ex.filter(F.col("is_test"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("doc_id").alias("id_eval"), "c")
+        )
+        g_df = ex.groupBy("g").agg(F.count("*").alias("_df"))
+        keep = g_df.filter(F.col("_df") <= 1000).select("g")
+        return ex.join(keep, "g"), g_df, n_eval
+
+    def fuzzy_sparse_exact():
+        exp, _, n_eval = _sparse_frames()
+        tr = exp.filter(~F.col("is_test")).select(
+            F.col("doc_id").alias("id_train"), "g"
+        )
+        ev = exp.filter(F.col("is_test")).select(
+            F.col("doc_id").alias("id_eval"), "g"
         )
         return (
-            cands.join(tr_arr, "id_train")
-            .join(ev_arr, "id_eval")
-            .select(
-                "id_train", "id_eval",
-                F.size(F.array_intersect("gs_t", "gs_e"))
-                .cast("long").alias("n_shared"),
-            )
+            tr.join(ev, "g")
+            .groupBy("id_train", "id_eval")
+            .agg(F.count("*").alias("n_shared"))
             .join(n_eval, "id_eval")
             .filter(F.col("n_shared").cast("double") / F.col("c") >= 0.8)
             .count()
         )
 
-    run("decontaminate_fuzzy_screened", fuzzy_decon_screened)
+    run("decontaminate_fuzzy_sparse_exact", fuzzy_sparse_exact)
+
+    def fuzzy_sparse_screened():
+        from svs_spark.operators.dedup import containment_prefix_candidates
+
+        exp, g_df, n_eval = _sparse_frames()
+        exp = exp.persist()
+        g_df = g_df.persist()
+        cands = containment_prefix_candidates(
+            exp, g_df, n_eval, threshold=0.8
+        ).persist()
+        tr_arr = (
+            exp.filter(~F.col("is_test"))
+            .join(
+                cands.select(F.col("id_train").alias("doc_id")),
+                "doc_id", "left_semi",
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list("g").alias("gs_t"))
+            .select(F.col("doc_id").alias("id_train"), "gs_t")
+        )
+        ev_arr = (
+            exp.filter(F.col("is_test"))
+            .join(
+                cands.select(F.col("id_eval").alias("doc_id")),
+                "doc_id", "left_semi",
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list("g").alias("gs_e"))
+            .select(F.col("doc_id").alias("id_eval"), "gs_e")
+        )
+        try:
+            return (
+                cands.join(tr_arr, "id_train")
+                .join(ev_arr, "id_eval")
+                .select(
+                    "id_train", "id_eval",
+                    F.size(F.array_intersect("gs_t", "gs_e"))
+                    .cast("long").alias("n_shared"),
+                )
+                .join(n_eval, "id_eval")
+                .filter(F.col("n_shared").cast("double") / F.col("c") >= 0.8)
+                .count()
+            )
+        finally:
+            cands.unpersist()
+            exp.unpersist()
+            g_df.unpersist()
+
+    run("decontaminate_fuzzy_sparse_screened", fuzzy_sparse_screened)
 
     def bpe_encode_corpus():
         # train a small merge table on the vocab, then encode the FULL
