@@ -140,6 +140,7 @@ HEADLINE = [
     "ewma_anomaly_counts",
     "value_drift_ks",
     "script_mix_profile",
+    "nfc_normalization_audit",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",

@@ -11227,3 +11227,85 @@ def q_script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ascii_ratio"),
         )
     )
+
+
+@register(
+    "nfc_normalization_audit",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_not_nfc,
+           CAST(sum(length(text) - length(nfc_normalize(text))) AS BIGINT)
+                AS codepoints_saved
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_nfc_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Unicode NORMALIZATION audit: how many documents are
+    not in NFC form, and how many code points NFC composition would
+    remove. The dedup gotcha this catches: "café" typed as NFD
+    (e + COMBINING ACUTE) and NFC (é) are byte-different but
+    render identically, so exact-hash dedup, MinHash shingles and
+    substring spans all silently treat them as distinct — a corpus
+    mixing keyboard input with OCR/PDF extractions defeats every
+    hash-keyed dedup stage until it is normalized. The reference
+    stores raw Python str and never normalizes (reference
+    src/svs/kb.py:85-92), so this is the pre-ingest audit a curator
+    runs to decide whether a normalization pass is needed.
+
+    Kernel: Python's unicodedata (the same UAX #15 implementation
+    DuckDB's utf8proc mirrors — equality pinned in
+    tests/test_unicode_semantics.py on NFD/NFC planted pairs) over
+    Arrow-batched mapInPandas — NOT a row-at-a-time UDF; Spark has no
+    JVM-side NFC, so the Python stage is the honest implementation
+    (at cluster scale you would register an ICU-backed JVM UDF, same
+    plan shape). Aggregation is ONE map-side-combining groupBy on the
+    low-cardinality source key.
+
+    The sf corpora are ASCII (trivially NFC, all zeros except
+    n_docs); the planted NFD corpus in
+    tests/test_unicode_semantics.py::test_nfc_audit_multilingual is
+    where the non-trivial legs are load-bearing."""
+    import pandas as pd
+    from typing import Iterator
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            texts = pdf["text"].tolist()
+            not_nfc = []
+            saved = []
+            for t in texts:
+                t = t or ""
+                if unicodedata.is_normalized("NFC", t):
+                    not_nfc.append(0)
+                    saved.append(0)
+                else:
+                    not_nfc.append(1)
+                    saved.append(len(t) - len(unicodedata.normalize("NFC", t)))
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "not_nfc": pd.Series(not_nfc, dtype="int64"),
+                    "saved": pd.Series(saved, dtype="int64"),
+                }
+            )
+
+    return (
+        docs.mapInPandas(
+            audit, schema="source string, not_nfc long, saved long"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("not_nfc").cast("long").alias("n_not_nfc"),
+            F.sum("saved").cast("long").alias("codepoints_saved"),
+        )
+    )

@@ -354,3 +354,43 @@ def test_script_mix_profile_multilingual(spark, tmp_path):
     assert row["ascii_chars"] == sum(
         1 for t in texts for ch in t if ord(ch) < 128
     )
+
+
+def test_nfc_audit_multilingual(spark, tmp_path):
+    """NFC audit vs its oracle on a planted corpus mixing NFD and NFC
+    forms — Python unicodedata (Spark kernel) and DuckDB's utf8proc
+    nfc_normalize must agree on which docs are unnormalized and how
+    many code points composition removes."""
+    import unicodedata
+
+    from svs_spark.queries import queries, oracle_sql
+
+    nfd = unicodedata.normalize("NFD", "café noël résumé")  # decomposed
+    rows = [
+        (1, nfd),                                  # NFD: 3 docs' worth of marks
+        (2, unicodedata.normalize("NFC", nfd)),    # same text, composed
+        (3, "plain ascii"),
+        (4, MULTI["cjk"]),                         # CJK is NFC already
+        (5, nfd + " " + MULTI["mixed"]),
+    ]
+    path = _plant(spark, tmp_path, rows)
+    df = queries()["nfc_normalization_audit"](spark, path)
+    cols = sorted(df.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+    con = _duck_on(path)
+    res = con.sql(oracle_sql()["nfc_normalization_audit"])
+    order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    want = sorted(tuple(row[i] for i in order) for row in res.fetchall())
+    assert sorted(res.columns) == cols
+    assert got == want
+    row = {c: v for c, v in zip(cols, got[0])}
+    texts = [t for _, t in rows]
+    assert row["n_docs"] == 5
+    assert row["n_not_nfc"] == sum(
+        1 for t in texts if not unicodedata.is_normalized("NFC", t)
+    )
+    assert row["n_not_nfc"] >= 2                   # docs 1 and 5 at least
+    assert row["codepoints_saved"] == sum(
+        len(t) - len(unicodedata.normalize("NFC", t)) for t in texts
+    )
+    assert row["codepoints_saved"] > 0
