@@ -529,3 +529,160 @@ class TestDriftAndPackingProperties:
             )
 
         check()
+
+
+# --- containment prefix filter (round-7 decontamination screen) -----------
+
+def _prefix_candidates_py(kept, eval_full_c, threshold):
+    """Pure-Python twin of operators/dedup.containment_prefix_candidates:
+    kept = {doc_id: set(g)} per split-tagged doc (eval docs are the
+    keys of eval_full_c), eval_full_c = {doc_id: FULL shingle count}.
+    Returns the candidate (train, eval) set via the same rarity-ordered
+    pigeonhole prefix (df asc, g asc; m_min widened by 1e-6*c)."""
+    import math
+
+    df = {}
+    for gs in kept.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    out = set()
+    train = {d: gs for d, gs in kept.items() if d not in eval_full_c}
+    for ev, gs in kept.items():
+        c = eval_full_c.get(ev)
+        if c is None:
+            continue
+        n_kept = len(gs)
+        m_min = math.ceil((threshold - 1e-6) * c)
+        prefix_n = n_kept - m_min + 1
+        if prefix_n < 1:
+            continue
+        prefix = sorted(gs, key=lambda g: (df[g], g))[:prefix_n]
+        pset = set(prefix)
+        for tr, tgs in train.items():
+            if pset & tgs:
+                out.add((tr, ev))
+    return out
+
+
+@given(
+    st.lists(  # train docs: shingle sets over a small universe
+        st.sets(st.integers(0, 25), min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.lists(  # eval docs: (kept shingles, n dropped stop-shingles)
+        st.tuples(
+            st.sets(st.integers(0, 25), min_size=1, max_size=12),
+            st.integers(0, 4),
+        ),
+        min_size=1, max_size=4,
+    ),
+    st.sampled_from([0.5, 0.8, 0.9, 1.0]),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_screen_pigeonhole_never_misses(train_sets, eval_specs, thr):
+    """The pigeonhole guarantee, adversarially: EVERY (train, eval)
+    pair whose kept-shingle containment passes the verify condition
+    round(n_shared / c, 6) >= thr must appear in the prefix-screen
+    candidate set — including when stop-shingle drops inflate the
+    denominator (c > |kept|) and when rounding rescues a pair at the
+    boundary (the 1e-6 widening's job)."""
+    kept = {}
+    eval_full_c = {}
+    for i, gs in enumerate(train_sets):
+        kept[i] = gs
+    for j, (gs, dropped) in enumerate(eval_specs):
+        ev = 1000 + j
+        kept[ev] = gs
+        eval_full_c[ev] = len(gs) + dropped
+    cands = _prefix_candidates_py(kept, eval_full_c, thr)
+    for tr in range(len(train_sets)):
+        for ev, c in eval_full_c.items():
+            n_shared = len(kept[tr] & kept[ev])
+            if round(n_shared / c, 6) >= thr:
+                assert (tr, ev) in cands, (
+                    tr, ev, n_shared, c, thr, sorted(kept[tr]),
+                    sorted(kept[ev]),
+                )
+
+
+def test_prefix_screen_spark_equals_python_twin(spark):
+    """The Spark operator emits exactly the Python twin's candidate
+    set on a seeded random universe (the rarity tie-order (df, g) is
+    total, so the two implementations are deterministic twins)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from svs_spark.operators.dedup import containment_prefix_candidates
+
+    rng = random.Random(42)
+    kept = {}
+    eval_full_c = {}
+    for d in range(30):
+        kept[d] = set(rng.sample(range(60), rng.randint(2, 15)))
+    for e in range(5):
+        ev = 1000 + e
+        base = kept[rng.randint(0, 29)]
+        # eval docs overlap a train doc to varying degrees
+        gs = set(rng.sample(sorted(base), max(1, len(base) * (e + 1) // 6)))
+        gs |= set(rng.sample(range(60, 80), rng.randint(0, 3)))
+        kept[ev] = gs
+        eval_full_c[ev] = len(gs) + rng.randint(0, 2)
+    want = _prefix_candidates_py(kept, eval_full_c, 0.8)
+    rows = [
+        (d, g, d >= 1000) for d, gs in kept.items() for g in gs
+    ]
+    kdf = spark.createDataFrame(rows, "doc_id long, g long, is_test boolean")
+    g_df = kdf.groupBy("g").agg(F.count("*").alias("_df"))
+    ec = spark.createDataFrame(
+        list(eval_full_c.items()), "id_eval long, c long"
+    )
+    got = {
+        (r.id_train, r.id_eval)
+        for r in containment_prefix_candidates(
+            kdf, g_df, ec, threshold=0.8
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            # force coverage of the tricky planes: astral, combining,
+            # CJK, surrogates-adjacent, plus plain ascii
+            alphabet=st.sampled_from(
+                list("ab c𝄞🎉你好é́‍�\U0001F469")
+            ),
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.sampled_from([(5, 3), (10, 7), (10, 10), (8, 1)]),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunker_matches_python_slicing_property(spark, texts, sz):
+    """chunk_text_df boundaries == Python code-point slicing for
+    arbitrary unicode content (astral emoji, ZWJ, combining marks,
+    replacement chars) across several (size, stride) shapes. Few
+    drawn examples (Spark round-trips are expensive); the alphabet is
+    adversarial rather than the sample count."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from svs_spark.operators.chunking import chunk_text_df
+
+    size, stride = sz
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.parent_id, r.chunk_idx): r.chunk_text
+        for r in chunk_text_df(df, size=size, stride=stride).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(t) == 0:
+            assert not any(k[0] == i for k in got)
+            continue
+        n = 1 if len(t) <= size else 1 + -(-(len(t) - size) // stride)
+        for j in range(n):
+            assert got[(i, j)] == t[j * stride : j * stride + size]
+        assert (i, n) not in got
