@@ -23,6 +23,7 @@ FLAGSHIPS = [
     "data_readiness.py",
     "sketch_monitoring.py",
     "telemetry_forecasting.py",
+    "i18n_health_check.py",
 ]
 
 
