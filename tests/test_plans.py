@@ -654,3 +654,28 @@ def test_rank_fusion_uses_two_level_ranks(spark, registry):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "windowspecdefinition(_bucket" in line, line
+
+
+def test_script_mix_profile_is_scan_stage_single_aggregate(spark, registry):
+    """The script-mix profile must be pure scan-stage codegen (four
+    regexp counts per row, NO Python stage) feeding ONE
+    map-side-combining aggregate on the source key — at 100 TB this is
+    a single pass with a tiny final exchange."""
+    df = registry["script_mix_profile"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "MapInPandas" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+    # partial aggregation below the exchange (map-side combine)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan[:2000]
+
+
+def test_nfc_audit_is_arrow_batched_single_aggregate(spark, registry):
+    """The NFC audit's Python stage must be the Arrow-batched
+    mapInPandas kernel (never a row-at-a-time BatchEvalPython), with
+    ONE map-side-combining aggregate on source after it."""
+    df = registry["nfc_normalization_audit"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
