@@ -394,3 +394,53 @@ def test_nfc_audit_multilingual(spark, tmp_path):
         len(t) - len(unicodedata.normalize("NFC", t)) for t in texts
     )
     assert row["codepoints_saved"] > 0
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "simhash_pairs",       # per-char polynomial token hash -> bit votes
+        "fingerprint_docs",    # rolling polynomial doc fingerprint
+        "winnow_pairs",        # winnowing window minima over token hashes
+        "token_stats",         # tokenization counts
+        "lang_id_counts",      # n-gram language heuristic
+    ],
+)
+def test_hash_kernel_oracle_parity_multilingual(spark, tmp_path, qname):
+    """Every token/char-hash kernel (the SimHash vote hash, document
+    fingerprints, winnowing minima, token counts, lang-ID) must agree
+    with its DuckDB oracle on multilingual text: both engines fold
+    per-CODE-POINT (Spark split('') ≡ DuckDB string_split(x, '') ≡
+    Python list(str), probed incl. astral emoji). Near-identical CJK
+    docs are planted so pair-emitting queries have non-empty output."""
+    from svs_spark.queries import queries, oracle_sql
+
+    rows = [(i, t) for i, t in enumerate(MULTI.values())]
+    # near-dups for the pair queries: one token changed; the long
+    # NON-repeating shared CJK run gives winnowing enough distinct
+    # shared window-minima to clear its >=8-print emission threshold
+    long_cjk = " ".join(
+        chr(0x4E00 + i) + chr(0x4E00 + i + 1) for i in range(100)
+    )
+    rows.append((100, MULTI["cjk"]))
+    rows.append((101, MULTI["cjk"].replace("样本", "样例")))
+    rows.append((102, MULTI["emoji"]))
+    rows.append((103, long_cjk + " 结尾 专属 标记"))
+    rows.append((104, long_cjk + " 另一 结尾 标志"))
+    path = _plant(spark, tmp_path, rows)
+    df = queries()[qname](spark, path)
+    cols = sorted(df.columns)
+    norm = lambda v: round(v, 6) if isinstance(v, float) else v  # noqa: E731
+    got = sorted(
+        tuple(norm(r[c]) for c in cols) for r in df.collect()
+    )
+    con = _duck_on(path)
+    res = con.sql(oracle_sql()[qname])
+    order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    want = sorted(
+        tuple(norm(v) for v in (row[i] for i in order))
+        for row in res.fetchall()
+    )
+    assert sorted(res.columns) == cols, qname
+    assert got == want, (qname, got[:3], want[:3])
+    assert got, f"{qname}: planted corpus must produce rows"
