@@ -132,3 +132,101 @@ def quality_gate_stream(
     if require_lang:
         pred = pred & F.col("lang").isNotNull()
     return stream.filter(pred)
+
+
+def build_eval_containment_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Static index for the CONTAINMENT screen (the streaming twin of
+    the registered ``decontaminate_fuzzy`` contract): returns
+    ``(eval_index, eval_counts)`` where eval_index = one row per
+    (trigram hash, protected doc id) and eval_counts = the FULL
+    per-doc shingle count (the containment denominator). Batch job;
+    persist once, reuse across streams. Benchmark suites are
+    thousands-to-millions of shingles — broadcast-sized."""
+    sh = docs.filter(
+        F.size(F.split(F.lower(F.col(text_col)), " ")) >= 3
+    ).select(
+        F.col(id_col).alias("id_eval"),
+        F.explode(ngram_hashes(text_col, n=3)).alias("h"),
+    )
+    counts = sh.groupBy("id_eval").agg(F.count("*").alias("c"))
+    return sh, counts
+
+
+def eval_containment_flags(
+    batch: DataFrame,
+    eval_index: DataFrame,
+    eval_counts: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag (incoming doc, protected eval doc) pairs where the incoming
+    TRAINING-candidate document covers ≥ ``threshold`` of the eval
+    doc's trigram shingles — the asymmetric containment that a
+    shared-shingle EXISTS screen (``contaminated_ids_stream``) cannot
+    express and a Jaccard screen silently under-flags. Pure batch
+    function: run it inside ``foreachBatch`` (each incoming document
+    is one atomic row, so per-batch semantics are exact — no streaming
+    state, no watermark).
+
+    Scale shape: incoming shingles explode in the scan stage; the join
+    keys on the 8-byte shingle hash against the benchmark-sized static
+    index (stats-driven broadcast); the pair aggregate groups on
+    (incoming id, eval id) — output bounded by true overlaps, and the
+    denominator joins from the tiny static counts table."""
+    inc = batch.filter(
+        F.size(F.split(F.lower(F.col(text_col)), " ")) >= 3
+    ).select(
+        F.col(id_col).alias("id_train"),
+        F.explode(ngram_hashes(text_col, n=3)).alias("h"),
+    )
+    return (
+        inc.join(eval_index, "h")
+        .groupBy("id_train", "id_eval")
+        .agg(F.count("*").alias("n_shared"))
+        .join(eval_counts, "id_eval")
+        .withColumn(
+            "eval_containment",
+            F.round(F.col("n_shared").cast("double") / F.col("c"), 6),
+        )
+        .filter(F.col("eval_containment") >= threshold)
+        .select("id_train", "id_eval", "n_shared", "eval_containment")
+    )
+
+
+def eval_containment_stream(
+    stream: DataFrame,
+    eval_index: DataFrame,
+    eval_counts: DataFrame,
+    sink_table: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch driver for :func:`eval_containment_flags`: each
+    micro-batch of landing-zone documents is containment-screened
+    against the static benchmark index and flagged pairs append to
+    ``sink_table`` (an in-memory list-backed global temp view in this
+    helper; production swaps the writer for kafka/delta/parquet).
+    Returns the started query (caller awaits)."""
+    spark = stream.sparkSession
+    acc: list = []
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        rows = eval_containment_flags(
+            batch, eval_index, eval_counts, threshold, id_col, text_col
+        ).collect()
+        acc.extend(rows)
+        spark.createDataFrame(
+            acc or [],
+            "id_train long, id_eval long, n_shared long,"
+            " eval_containment double",
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -81,3 +81,43 @@ def test_quality_gate_matches_batch_funnel_tail(spark):
     run_to_memory(gated, "quality_gate", output_mode="append")
     got = {r["doc_id"] for r in spark.table("quality_gate").collect()}
     assert got == expected and 0 < len(got) < docs.count()
+
+
+def test_eval_containment_stream_matches_batch_twin(spark):
+    """The streaming containment screen (foreachBatch twin of the
+    registered decontaminate_fuzzy CONTRACT) must flag exactly the
+    pairs the batch computation flags over the same corpus — including
+    the asymmetric shape: an incoming doc that fully embeds a
+    protected doc is flagged even though their Jaccard is tiny."""
+    from svs_spark.streaming.decontaminate import (
+        build_eval_containment_index,
+        eval_containment_flags,
+        eval_containment_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    protected = docs.filter(F.col("doc_id") % 10 == 0)
+    incoming_batch = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_index, eval_counts = build_eval_containment_index(protected)
+    eval_index = eval_index.persist()
+    eval_counts = eval_counts.persist()
+    eval_index.count(), eval_counts.count()
+
+    stream = stream_docs(spark, SF_DIR).filter(F.col("doc_id") % 10 != 0)
+    q = eval_containment_stream(
+        stream, eval_index, eval_counts, "containment_flags", threshold=0.8
+    )
+    q.awaitTermination()
+    got = {
+        (r.id_train, r.id_eval, r.n_shared, r.eval_containment)
+        for r in spark.table("containment_flags").collect()
+    }
+    want = {
+        (r.id_train, r.id_eval, r.n_shared, r.eval_containment)
+        for r in eval_containment_flags(
+            incoming_batch, eval_index, eval_counts, threshold=0.8
+        ).collect()
+    }
+    assert got == want
+    assert got, "template corpus must produce containment flags"
+    eval_index.unpersist(), eval_counts.unpersist()
