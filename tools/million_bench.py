@@ -27,11 +27,96 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+N_CENTERS = 512
+NOISE = 0.35
+# planted near-duplicates at the 0.95 operating point (round-5
+# verdict ask #6): ids (p, p+1) for p ≡ 0 (mod PLANT_EVERY) are two
+# tiny perturbations of one per-pair base vector, so the production
+# semdedup threshold finds real pairs end-to-end (the background
+# mixture has no cos ≥ 0.95 pairs). Each member is reconstructible
+# from its id alone — the precision check recomputes exact cosines
+# driver-side.
+PLANT_EVERY = 100_000
+PLANT_EPS = 0.12
+
+
+def centers_matrix(dim: int):
+    import numpy as np
+
+    c = np.random.default_rng(999).standard_normal(
+        (N_CENTERS, dim), dtype=np.float32
+    )
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def planted_vec(vid: int, centers, dim: int):
+    import numpy as np
+
+    pair = vid // PLANT_EVERY
+    rp = np.random.default_rng(777_000 + pair)
+    base = centers[pair % N_CENTERS] + rp.standard_normal(
+        dim
+    ).astype(np.float32) * np.float32(NOISE / dim ** 0.5)
+    base /= np.linalg.norm(base)
+    rm = np.random.default_rng(888_000 + vid)
+    v = base + rm.standard_normal(dim).astype(np.float32) * np.float32(
+        PLANT_EPS / dim ** 0.5
+    )
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def make_query(seed: int, dim: int) -> list:
+    import numpy as np
+
+    centers = centers_matrix(dim)
+    rng = np.random.default_rng(10_000 + seed)
+    g = rng.standard_normal(dim, dtype=np.float32)
+    g *= NOISE / np.linalg.norm(g)
+    q = centers[seed % N_CENTERS] + g
+    q /= np.linalg.norm(q)
+    return [float(x) for x in q]
+
+
+def synth_corpus(spark, n: int, dim: int):
+    """Deterministic synthetic unit-vector corpus (mixture over
+    N_CENTERS cluster centers, planted 0.95-cosine near-dup pairs),
+    generated executor-side with no driver materialization. Returns
+    the persisted (vec_id, embedding) frame — identical bytes across
+    processes, so focused probes (tools/serving_probe.py) measure the
+    same corpus the full bench does."""
+    from pyspark import StorageLevel
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        centers = centers_matrix(dim)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(ids[0] if len(ids) else 0)
+            g = rng.standard_normal((len(ids), dim), dtype=np.float32)
+            # noise scaled to a FIXED vector norm (raw gaussian noise
+            # has norm ~sqrt(dim), would drown the unit-norm center)
+            g *= NOISE / np.linalg.norm(g, axis=1, keepdims=True)
+            mat = centers[ids % N_CENTERS] + g
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            for row_i in np.nonzero(ids % PLANT_EVERY < 2)[0]:
+                mat[row_i] = planted_vec(int(ids[row_i]), centers, dim)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+
+    emb = (
+        spark.range(n, numPartitions=64)
+        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    emb.count()
+    return emb
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 1536
 
-    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from svs_spark.session import get_session
@@ -46,75 +131,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # deterministic synthetic unit vectors, generated executor-side as a
-    # mixture over N_CENTERS cluster centers (docs near centers, like
-    # real embedding corpora; center set regenerated per worker from the
-    # fixed seed — cheaper than broadcasting 6 MB)
     import numpy as np
-    import pandas as pd
 
-    N_CENTERS = 512
-    NOISE = 0.35
-    # planted near-duplicates at the 0.95 operating point (round-5
-    # verdict ask #6): ids (p, p+1) for p ≡ 0 (mod PLANT_EVERY) are two
-    # tiny perturbations of one per-pair base vector, so the production
-    # semdedup threshold finds real pairs end-to-end (the background
-    # mixture has no cos ≥ 0.95 pairs). Each member is reconstructible
-    # from its id alone — the precision check below recomputes exact
-    # cosines driver-side.
-    PLANT_EVERY = 100_000
-    PLANT_EPS = 0.12
-
-    def centers_matrix() -> np.ndarray:
-        c = np.random.default_rng(999).standard_normal(
-            (N_CENTERS, dim), dtype=np.float32
-        )
-        return c / np.linalg.norm(c, axis=1, keepdims=True)
-
-    def planted_vec(vid: int, centers: np.ndarray) -> np.ndarray:
-        pair = vid // PLANT_EVERY
-        rp = np.random.default_rng(777_000 + pair)
-        base = centers[pair % N_CENTERS] + rp.standard_normal(
-            dim
-        ).astype(np.float32) * np.float32(NOISE / dim ** 0.5)
-        base /= np.linalg.norm(base)
-        rm = np.random.default_rng(888_000 + vid)
-        v = base + rm.standard_normal(dim).astype(np.float32) * np.float32(
-            PLANT_EPS / dim ** 0.5
-        )
-        return (v / np.linalg.norm(v)).astype(np.float32)
-
-    def gen(batches):
-        centers = centers_matrix()
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            rng = np.random.default_rng(ids[0] if len(ids) else 0)
-            g = rng.standard_normal((len(ids), dim), dtype=np.float32)
-            # noise scaled to a FIXED vector norm (raw gaussian noise has
-            # norm ~sqrt(dim) and would drown the unit-norm center)
-            g *= NOISE / np.linalg.norm(g, axis=1, keepdims=True)
-            mat = centers[ids % N_CENTERS] + g
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            for row_i in np.nonzero(ids % PLANT_EVERY < 2)[0]:
-                mat[row_i] = planted_vec(int(ids[row_i]), centers)
-            yield pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
-
-    def make_query(seed: int) -> list:
-        centers = centers_matrix()
-        rng = np.random.default_rng(10_000 + seed)
-        g = rng.standard_normal(dim, dtype=np.float32)
-        g *= NOISE / np.linalg.norm(g)
-        q = centers[seed % N_CENTERS] + g
-        q /= np.linalg.norm(q)
-        return [float(x) for x in q]
-
-    emb = (
-        spark.range(n, numPartitions=64)
-        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
-    )
     t0 = time.perf_counter()
-    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
-    emb.count()
+    emb = synth_corpus(spark, n, dim)
     build_s = time.perf_counter() - t0
 
     # bulk load: write the corpus as a parquet table (reference: 8 s
@@ -226,7 +246,7 @@ def main() -> None:
 
     probes = 8
     n_eval = 5
-    qs = [make_query(i) for i in range(n_eval)]
+    qs = [make_query(i, dim) for i in range(n_eval)]
     exacts = []
     for q in qs:
         exacts.append(
@@ -327,13 +347,14 @@ def main() -> None:
     # planted-pair precision/recall at the 0.95 operating point: every
     # planted pair whose exact cosine clears the threshold must be
     # found with the exact score (both members regenerate from ids)
-    centers_d = centers_matrix()
+    centers_d = centers_matrix(dim)
     sem_found = {(r["id_a"], r["id_b"]): r["score"] for r in sem_rows}
     planted_true = 0
     planted_hit = 0
     planted_score_ok = True
     for p in range(0, n - 1, PLANT_EVERY):
-        va, vb = planted_vec(p, centers_d), planted_vec(p + 1, centers_d)
+        va, vb = (planted_vec(p, centers_d, dim),
+                  planted_vec(p + 1, centers_d, dim))
         exact_cos = round(float(np.float64(va) @ np.float64(vb)), 6)
         if exact_cos >= 0.95:
             planted_true += 1

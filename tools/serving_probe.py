@@ -1,0 +1,101 @@
+"""Focused first-position probe for single MILLION_BENCH metrics.
+
+The full bench runs ~15 stages in one process, so late stages inherit
+page-cache / JIT / persisted-frame state from earlier ones — the r7
+verdict-prep found semdedup's two compositions swapping rank purely by
+run ORDER, and bulk_64q drifting with background load. This tool runs
+exactly ONE op, first-position, in a fresh process over the identical
+deterministic corpus (million_bench.synth_corpus), reporting
+median-of-3 — the adjudicator for any full-run number under suspicion.
+
+Usage: python tools/serving_probe.py <op> [n_docs] [dim]
+  op ∈ bulk64 | semdedup_reuse | semdedup_standalone
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    op = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 1536
+
+    from svs_spark.session import get_session
+    from tools.million_bench import make_query, synth_corpus
+
+    spark = get_session(
+        "serving_probe",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = synth_corpus(spark, n, dim)
+    out: dict = {"metric": f"probe_{op}", "n_docs": n, "dim": dim}
+
+    def median3(once, reps=3):
+        vals = sorted(once() for _ in range(reps))
+        return {
+            "median": round(vals[len(vals) // 2], 3),
+            "min": round(vals[0], 3),
+            "max": round(vals[-1], 3),
+        }
+
+    if op == "bulk64":
+        from svs_spark.operators.similarity import knn_join_batch
+
+        qbatch = [(i, make_query(100 + i, dim)) for i in range(64)]
+        knn_join_batch(emb, qbatch[:2], 100).count()  # warm
+        assert knn_join_batch(emb, qbatch, 100).count() == 64 * 100
+
+        def once():
+            t0 = time.perf_counter()
+            knn_join_batch(emb, qbatch, 100).count()
+            return time.perf_counter() - t0
+
+        out["bulk_64q_stats"] = median3(once)
+
+    elif op in ("semdedup_reuse", "semdedup_standalone"):
+        import tempfile
+
+        from svs_spark.operators import index_build as IX
+        from svs_spark.operators.clustering import within_cluster_pairs
+        from svs_spark.operators.similarity import centroid_assign
+
+        cent = IX.train_centroids_sample(
+            emb, n_clusters=min(512, max(8, n // 1000)),
+            sample_rows=min(10_000, n), iters=6,
+        )
+        if op == "semdedup_reuse":
+            idx_path = os.path.join(
+                tempfile.gettempdir(), f"probe_ivf_{n}_{dim}"
+            )
+            IX.build_ivf_index(emb, idx_path, cent)
+            assigned = lambda: IX.ivf_assigned_frame(spark, idx_path)  # noqa: E731
+        else:
+            assigned = lambda: centroid_assign(  # noqa: E731
+                emb, list(enumerate(cent.tolist())), keep_vec=True
+            )
+        t0 = time.perf_counter()
+        pairs = within_cluster_pairs(
+            assigned(), threshold=0.95, cluster_cap=20_000, auto_split=True
+        ).count()
+        out["pair_stage_sec_first_position"] = round(
+            time.perf_counter() - t0, 3
+        )
+        out["pairs_found"] = pairs
+    else:
+        raise SystemExit(f"unknown op: {op}")
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
