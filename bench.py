@@ -141,6 +141,7 @@ HEADLINE = [
     "value_drift_ks",
     "script_mix_profile",
     "nfc_normalization_audit",
+    "tokenizer_fertility_by_script",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",

@@ -11309,3 +11309,98 @@ def q_nfc_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("saved").cast("long").alias("codepoints_saved"),
         )
     )
+
+
+def _script_class_case_sql() -> str:
+    cjk = _script_neg_class(*_SCRIPT_RANGES["cjk"])
+    ar = _script_neg_class(*_SCRIPT_RANGES["arabic"])
+    dv = _script_neg_class(*_SCRIPT_RANGES["devanagari"])
+    return f"""
+      CASE
+        WHEN length(regexp_replace(text, '{cjk}', '', 'g')) > 0
+         AND length(regexp_replace(text, '{cjk}', '', 'g'))
+             >= length(regexp_replace(text, '{ar}', '', 'g'))
+         AND length(regexp_replace(text, '{cjk}', '', 'g'))
+             >= length(regexp_replace(text, '{dv}', '', 'g'))
+        THEN 'cjk'
+        WHEN length(regexp_replace(text, '{ar}', '', 'g')) > 0
+         AND length(regexp_replace(text, '{ar}', '', 'g'))
+             >= length(regexp_replace(text, '{dv}', '', 'g'))
+        THEN 'arabic'
+        WHEN length(regexp_replace(text, '{dv}', '', 'g')) > 0
+        THEN 'devanagari'
+        ELSE 'latin'
+      END"""
+
+
+@register(
+    "tokenizer_fertility_by_script",
+    oracle=f"""
+    WITH d AS (
+      SELECT {_script_class_case_sql()} AS script_class,
+             length(text) AS n_ch,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT script_class,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ch) AS BIGINT) AS total_chars,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(sum(n_ch)::DOUBLE / sum(n_tok), 6) AS chars_per_token
+    FROM d
+    GROUP BY script_class
+    """,
+)
+def q_tokenizer_fertility_by_script(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whitespace-tokenizer FERTILITY by dominant script class:
+    chars-per-token for docs classified by their heaviest script mass
+    (CJK / Arabic / Devanagari / latin fallback, deterministic
+    tie-order). The multilingual-pipeline cost metric: a tokenizer
+    tuned on Latin text over-fragments CJK (no spaces → one giant
+    "token" per clause under whitespace splitting, or many tiny ones
+    under BPE), and fertility per script is how you catch it BEFORE
+    paying a 3× token bill on a multilingual corpus — run it again
+    over BPE token counts (``bpe_merge_candidates`` family) after
+    training to compare tokenizers.
+
+    Scale shape: the script classifier is the same scan-stage literal
+    regexp codegen as script_mix_profile (identical CASE in Java and
+    RE2), feeding ONE map-side-combining aggregate on the ≤4-row
+    class key — single pass, tiny exchange. The sf corpora are ASCII
+    (one 'latin' row); the planted multilingual corpus in
+    tests/test_unicode_semantics.py exercises every class."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+
+    def mass(key: str) -> F.Column:
+        return F.length(
+            F.regexp_replace("text", _script_neg_class(*_SCRIPT_RANGES[key]), "")
+        )
+
+    cjk, ar, dv = mass("cjk"), mass("arabic"), mass("devanagari")
+    cls = (
+        F.when((cjk > 0) & (cjk >= ar) & (cjk >= dv), F.lit("cjk"))
+        .when((ar > 0) & (ar >= dv), F.lit("arabic"))
+        .when(dv > 0, F.lit("devanagari"))
+        .otherwise(F.lit("latin"))
+    )
+    return (
+        docs.filter(n > 0)
+        .select(
+            cls.alias("script_class"),
+            n.alias("n_ch"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("script_class")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_ch").cast("long").alias("total_chars"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_ch").cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+    )

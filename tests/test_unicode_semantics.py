@@ -444,3 +444,50 @@ def test_hash_kernel_oracle_parity_multilingual(spark, tmp_path, qname):
     assert sorted(res.columns) == cols, qname
     assert got == want, (qname, got[:3], want[:3])
     assert got, f"{qname}: planted corpus must produce rows"
+
+
+def test_tokenizer_fertility_multilingual(spark, tmp_path):
+    """Fertility query vs oracle on the planted multilingual corpus:
+    every script class appears, the CASE tie-order matches between
+    Java regex and RE2, and the CJK class shows the whitespace-
+    tokenizer pathology (far more chars per token than latin)."""
+    from svs_spark.queries import queries, oracle_sql
+
+    rows = [(i, t) for i, t in enumerate(MULTI.values())]
+    rows.append((50, "plain ascii doc with several small words"))
+    rows.append((51, "你好世界这是一个没有空格的长中文句子用来测试"))  # no spaces
+    path = _plant(spark, tmp_path, rows)
+    df = queries()["tokenizer_fertility_by_script"](spark, path)
+    cols = sorted(df.columns)
+    norm = lambda v: round(v, 6) if isinstance(v, float) else v  # noqa: E731
+    got = sorted(tuple(norm(r[c]) for c in cols) for r in df.collect())
+    con = _duck_on(path)
+    res = con.sql(oracle_sql()["tokenizer_fertility_by_script"])
+    order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    want = sorted(
+        tuple(norm(v) for v in (row[i] for i in order))
+        for row in res.fetchall()
+    )
+    assert sorted(res.columns) == cols
+    assert got == want
+    classes = {t[cols.index("script_class")] for t in got}
+    assert classes == {"cjk", "arabic", "devanagari", "latin"}
+    by_class = {t[cols.index("script_class")]: t for t in got}
+
+    # hand truth for the cjk class (docs 0/spaced and 51/no-space):
+    def counts(lo, hi, t):
+        return sum(1 for ch in t if lo <= ord(ch) <= hi)
+
+    cjk_docs = [
+        t for _, t in rows
+        if counts(0x4E00, 0x9FFF, t) > 0
+        and counts(0x4E00, 0x9FFF, t) >= counts(0x0600, 0x06FF, t)
+        and counts(0x4E00, 0x9FFF, t) >= counts(0x0900, 0x097F, t)
+    ]
+    row = {c: v for c, v in zip(cols, by_class["cjk"])}
+    assert row["n_docs"] == len(cjk_docs)
+    assert row["total_chars"] == sum(len(t) for t in cjk_docs)
+    assert row["total_tokens"] == sum(len(t.split(" ")) for t in cjk_docs)
+    # the unsegmented doc 51 is 1 token of 22 chars — the whitespace-
+    # tokenizer pathology the per-class fertility exposes
+    assert row["chars_per_token"] > 4.0
