@@ -142,6 +142,14 @@ HEADLINE = [
     "script_mix_profile",
     "nfc_normalization_audit",
     "tokenizer_fertility_by_script",
+    "gopher_quality_flags",
+    "source_lang_entropy",
+    "k_anonymity_audit",
+    "customer_fuzzy_matches",
+    "seasonal_naive_mase",
+    "interval_overlap_join",
+    "kcenter_coreset",
+    "pareto_frontier_parts",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",

@@ -86,6 +86,39 @@ def main() -> None:
             f" norm outliers (mean |v|^2 {r['mean_norm2']:.3f})"
         )
 
+    print("\n## Rule gate (Gopher-style) — worst 3 sources by pass rate")
+    gate = sorted(
+        reg["gopher_quality_flags"](spark, SF).collect(),
+        key=lambda r: r["n_pass"] / r["n_docs"],
+    )
+    for r in gate[:3]:
+        print(
+            f"  {r['source']}: {r['n_pass']}/{r['n_docs']} pass"
+            f" (wc {r['fail_word_count']}, wlen {r['fail_mean_word_len']},"
+            f" sym {r['fail_symbol_ratio']}, alpha {r['fail_alpha_frac']},"
+            f" stop {r['fail_stopwords']})"
+        )
+
+    print("\n## Mix + privacy")
+    for r in sorted(
+        reg["source_lang_entropy"](spark, SF).collect(),
+        key=lambda r: r["lang_entropy_nats"],
+    )[:3]:
+        print(
+            f"  {r['source']}: lang entropy {r['lang_entropy_nats']:.3f} nats"
+            f" over {r['n_langs']} langs"
+        )
+    ka = reg["k_anonymity_audit"](spark, SF).first()
+    print(
+        f"  k-anonymity: {ka['n_groups']} QI classes, min size"
+        f" {ka['min_group_size']}; rows below k=5: {ka['rows_below_k5']}"
+    )
+
+    print("\n## Diversity coreset (greedy k-center coverage radii)")
+    for r in rows("kcenter_coreset", 4):
+        rad = "seed" if r["radius"] is None else f"{r['radius']:.4f}"
+        print(f"  pick {r['pick_round']}: vec {r['vec_id']} (radius {rad})")
+
     spark.stop()
 
 

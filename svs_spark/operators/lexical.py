@@ -147,3 +147,64 @@ def tfidf_cosine_pairs(
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
     )
     return out.limit(limit) if limit is not None else out
+
+
+# ---------------------------------------------------------------------------
+# Rule-based quality gating (Gopher-style; Rae et al. 2021 §A1.1 subset)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_flags(text_col: str = "text") -> list:
+    """The five deterministic Gopher-style rule-violation flags as pure
+    Column expressions (scan-stage codegen, stream-safe — no state, no
+    Python): f_words (word count outside [5, 10000]), f_wlen (mean word
+    length outside [3, 10]), f_sym (non-alphanumeric ratio > 0.1),
+    f_alpha (< 80% of words contain a letter), f_stop (< 2 of the 8
+    Gopher stopwords present). Shared by the registered batch query
+    (query_defs.gopher_quality_flags, DuckDB-oracle-gated) and the
+    streaming ingest monitor (streaming.ingest.quality_flag_stream);
+    callers must pre-filter length(text) > 0."""
+    c = F.col(text_col)
+    words = F.split(c, " ")
+    n_words = F.size(words)
+    mean_wlen = F.length(F.regexp_replace(c, " ", "")).cast("double") / n_words
+    sym_ratio = (
+        F.length(F.regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length(c)
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(padded.contains(f" {w} "), F.lit(1)).otherwise(F.lit(0))
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return [
+        F.when((n_words < 5) | (n_words > 10000), 1).otherwise(0).alias("f_words"),
+        F.when((mean_wlen < 3) | (mean_wlen > 10), 1).otherwise(0).alias("f_wlen"),
+        F.when(sym_ratio > 0.1, 1).otherwise(0).alias("f_sym"),
+        F.when(alpha_frac < 0.8, 1).otherwise(0).alias("f_alpha"),
+        F.when(stop_hits < 2, 1).otherwise(0).alias("f_stop"),
+    ]
+
+
+def gopher_flag_aggs() -> list:
+    """The aggregate list pairing ``gopher_rule_flags`` — per-group doc
+    count, per-rule failure counts, and the all-rules-pass count."""
+    all_pass = (
+        F.col("f_words") + F.col("f_wlen") + F.col("f_sym")
+        + F.col("f_alpha") + F.col("f_stop")
+    ) == 0
+    return [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_words").cast("long").alias("fail_word_count"),
+        F.sum("f_wlen").cast("long").alias("fail_mean_word_len"),
+        F.sum("f_sym").cast("long").alias("fail_symbol_ratio"),
+        F.sum("f_alpha").cast("long").alias("fail_alpha_frac"),
+        F.sum("f_stop").cast("long").alias("fail_stopwords"),
+        F.sum(F.when(all_pass, 1).otherwise(0)).cast("long").alias("n_pass"),
+    ]

@@ -11404,3 +11404,515 @@ def q_tokenizer_fertility_by_script(
             ).alias("chars_per_token"),
         )
     )
+
+
+# ===========================================================================
+# Curation audit pack (round 7, session 2): rule-based quality gating
+# (Gopher-style), per-source language entropy, k-anonymity audit, blocked
+# record linkage, and a seasonal-naive forecast backtest. These extend the
+# training-data-pipeline suite (SURVEY.md "beyond-reference" mandate);
+# reference counterpart for the doc-centric ones is the svs document store
+# (/root/reference/src/svs/kb.py:85-92 TEXT column) which stores but does
+# not analyze text.
+# ===========================================================================
+
+# single source of truth with the Column builder (operators/lexical.py)
+from svs_spark.operators.lexical import GOPHER_STOPWORDS as _STOPWORDS_8  # noqa: E402
+
+
+def _gopher_stop_like_sql() -> str:
+    return " + ".join(
+        "CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END".format(w=w)
+        for w in _STOPWORDS_8
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', ''))::DOUBLE
+               / len(string_split(text, ' ')) AS mean_wlen,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+               / length(text) AS sym_ratio,
+             len(list_filter(string_split(text, ' '),
+                             x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / len(string_split(text, ' ')) AS alpha_frac,
+             ({_gopher_stop_like_sql()}) AS stop_hits
+      FROM documents WHERE length(text) > 0
+    ),
+    f AS (
+      SELECT source,
+             CASE WHEN n_words < 5 OR n_words > 10000 THEN 1 ELSE 0 END AS f_words,
+             CASE WHEN mean_wlen < 3 OR mean_wlen > 10 THEN 1 ELSE 0 END AS f_wlen,
+             CASE WHEN sym_ratio > 0.1 THEN 1 ELSE 0 END AS f_sym,
+             CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stop
+      FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_words) AS BIGINT) AS fail_word_count,
+           CAST(sum(f_wlen) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(f_sym) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_frac,
+           CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(sum(CASE WHEN f_words + f_wlen + f_sym + f_alpha + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM f GROUP BY source
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    adapted to the deterministic subset expressible identically in Spark
+    and ANSI SQL): word-count bounds, mean-word-length bounds, symbol
+    ratio, alphabetic-word fraction, and a stopword-presence check, with
+    per-source failure counts per rule plus the all-rules-pass count.
+    This is the first screen of a pretraining curation funnel — run it
+    per ingest batch and alert when a source's n_pass rate moves.
+
+    Scale shape: every rule is scan-stage codegen (split / replace /
+    regexp_replace / LIKE — no Python, no UDF), feeding ONE map-side-
+    combining aggregate keyed by the low-cardinality source. Single
+    pass, single tiny exchange; at 100 TB the scan dominates and the
+    rules ride it for free. The sf corpus passes every rule everywhere
+    (clean synthetic text), so each rule leg is load-bearing in the
+    planted-truth pytest (tests/test_curation_ops.py) which plants one
+    violating doc per rule."""
+    from svs_spark.operators import lexical as LX
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    flagged = docs.select("source", *LX.gopher_rule_flags("text"))
+    return flagged.groupBy("source").agg(*LX.gopher_flag_aggs())
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+    WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, sum(n) AS tot, count(*) AS n_langs FROM c GROUP BY 1)
+    SELECT c.source,
+           CAST(max(t.n_langs) AS BIGINT) AS n_langs,
+           CAST(max(t.tot) AS BIGINT) AS n_docs,
+           round(sum(-(c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)), 6)
+             AS lang_entropy_nats
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the language distribution inside each
+    source — the corpus-mix diagnostic that catches a 'multilingual'
+    source that is actually 95% English (entropy near 0) before a
+    sampling plan trusts its label. Pairs with corpus_mix_allocation
+    (allocation decides how much to take; entropy says how mixed what
+    you take really is).
+
+    Scale shape: two map-side-combining aggregates over the tiny
+    (source × lang) key space, then an entropy fold over the ≤|langs|
+    rows per source — the raw scan is the only data-sized stage; the
+    join is on the aggregated table (|sources| rows, broadcast)."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_langs")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_langs").cast("long").alias("n_langs"),
+            F.max("tot").cast("long").alias("n_docs"),
+            F.round(F.sum(-p * F.log(p)), 6).alias("lang_entropy_nats"),
+        )
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             count(*) AS c
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(min(c) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN c < 2 THEN c ELSE 0 END) AS BIGINT) AS rows_below_k2,
+           CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS rows_below_k5,
+           CAST(sum(CASE WHEN c < 10 THEN c ELSE 0 END) AS BIGINT) AS rows_below_k10
+    FROM g
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance kilobucket): how many equivalence
+    classes exist, the smallest class, and how many ROWS sit in classes
+    smaller than k ∈ {2, 5, 10} — the rows a release at that k would
+    have to suppress or generalize. The privacy-side sibling of
+    pii_scrub: scrub removes direct identifiers; this measures
+    re-identification risk from the indirect ones (Sweeney 2002).
+
+    Scale shape: one map-side-combining aggregate on the QI tuple, then
+    a scalar fold over the class-count table — the second stage's input
+    is |QI classes| rows, independent of corpus size."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count("*").alias("c"))
+    below = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("c") < k, F.col("c")).otherwise(F.lit(0))
+    ).cast("long")
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.min("c").cast("long").alias("min_group_size"),
+        below(2).alias("rows_below_k2"),
+        below(5).alias("rows_below_k5"),
+        below(10).alias("rows_below_k10"),
+    )
+
+
+@register(
+    "customer_fuzzy_matches",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY lev, id_a, id_b
+    LIMIT 50
+    """,
+)
+def q_customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage: candidate pairs restricted to the same
+    (nation, market segment) block, scored by Levenshtein edit distance
+    on the name, kept at distance ≤ 2, top-50 by (distance, ids). The
+    entity-resolution pattern — blocking turns the O(n²) all-pairs
+    linkage into Σ_b |b|² comparisons, which is what makes it runnable
+    at warehouse scale; the deterministic semantics are defined WITH
+    the block (a cross-block near-match is out of contract, exactly as
+    in production blocking-based ER).
+
+    Scale shape: self-equi-join on the block key (shuffle hash join,
+    never a cartesian — gated in tests/test_plans.py), per-pair
+    levenshtein in JVM codegen, TakeOrderedAndProject for the top-50.
+    Skewed blocks are AQE-split; at 100 TB the block key would widen
+    (e.g. + name-prefix) to bound |b| — same plan shape."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            lev.cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+    )
+    return pairs.orderBy("lev", "id_a", "id_b").limit(50)
+
+
+@register(
+    "seasonal_naive_mase",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS sn,
+             lag(n, 1)  OVER (PARTITION BY event_type ORDER BY hr) AS nv
+      FROM h
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours_scored,
+           round(avg(abs(n - sn)), 6) AS mae_seasonal_naive,
+           round(avg(abs(n - nv)), 6) AS mae_naive,
+           round(avg(abs(n - sn)) / nullif(avg(abs(n - nv)), 0), 6) AS mase
+    FROM l WHERE sn IS NOT NULL AND nv IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST metric: MASE of the 24-hour seasonal-naive
+    forecaster over each event type's hourly count series, i.e.
+    MAE(predict n[t-24]) / MAE(predict n[t-1]). MASE < 1 means daily
+    seasonality carries real signal beyond persistence — the go/no-go
+    check to run BEFORE trusting holt_winters_forecast's seasonal
+    component. Scored on the observed hourly grid (hours with zero
+    events don't emit rows; the lag is over observed hours — documented
+    contract, identical in both engines).
+
+    Scale shape: the raw scan collapses via ONE map-side-combining
+    aggregate on (event_type, hour); the window + final fold run on the
+    aggregated series (|types| × |hours| rows — time-cardinality, not
+    event-cardinality), so the second exchange is negligible at any
+    corpus size."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            # ts is normalized to BIGINT nanos (normalize_events_ts);
+            # ns -> us -> hour index, matching the oracle's epoch_us // 3.6e9
+            F.expr("ts div 1000 div 3600000000").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    l = h.select(
+        "event_type",
+        "n",
+        F.lag("n", 24).over(w).alias("sn"),
+        F.lag("n", 1).over(w).alias("nv"),
+    ).filter(F.col("sn").isNotNull() & F.col("nv").isNotNull())
+    mae_s = F.avg(F.abs(F.col("n") - F.col("sn")))
+    mae_n = F.avg(F.abs(F.col("n") - F.col("nv")))
+    return l.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours_scored"),
+        F.round(mae_s, 6).alias("mae_seasonal_naive"),
+        F.round(mae_n, 6).alias("mae_naive"),
+        F.round(
+            mae_s / F.nullif(mae_n, F.lit(0.0)), 6
+        ).alias("mase"),
+    )
+
+
+# ===========================================================================
+# Curation audit pack, part 2: interval-overlap join, greedy k-center
+# coreset selection (diversity sampling), and a Pareto-frontier (skyline)
+# operator. Distinct operator classes the suite lacked: interval×interval
+# joins, sequential-greedy selection, and dominance filtering.
+# ===========================================================================
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE event_type IN ('click', 'purchase')
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, us,
+             sum(new_sess) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    ),
+    iv AS (
+      SELECT user_id, event_type, session_id,
+             min(us) AS st, max(us) AS en
+      FROM s GROUP BY 1, 2, 3
+    ),
+    a AS (SELECT user_id, st AS a_s, en AS a_e FROM iv WHERE event_type = 'click'),
+    b AS (SELECT user_id, st AS b_s, en AS b_e FROM iv WHERE event_type = 'purchase')
+    SELECT a.user_id,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(least(a_e, b_e) - greatest(a_s, b_s)) // 1000000 AS BIGINT)
+             AS overlap_s
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a_s <= b_e AND b_s <= a_e
+    GROUP BY a.user_id
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join: sessionize each user's click and
+    purchase streams independently (30-min gap rule), then join the two
+    interval sets per user on closed-interval overlap
+    (a.start ≤ b.end ∧ b.start ≤ a.end) and report per-user overlapping
+    pair counts + total overlap seconds. The attribution primitive for
+    "was the user mid-click-session when they purchased" — a different
+    operator class from range_join_attribution's point-in-interval.
+
+    Scale shape: ONE window pass partitioned by (user_id, event_type)
+    sessionizes both streams together; the overlap join is an EQUI join
+    on user_id (session-cardinality inputs, far below event cardinality)
+    with the overlap predicate as a residual filter — per-user session
+    counts bound the per-key work, and AQE splits a skewed power user.
+    Overlap duration is exact integer µs arithmetic (no float drift)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id", "event_type", "event_id",
+            F.expr("ts div 1000").alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(run))
+        .groupBy("user_id", "event_type", "session_id")
+        .agg(F.min("us").alias("st"), F.max("us").alias("en"))
+    )
+    a = iv.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("st").alias("a_s"), F.col("en").alias("a_e")
+    )
+    b = iv.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("st").alias("b_s"), F.col("en").alias("b_e")
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_overlaps"),
+        F.expr(
+            "sum(least(a_e, b_e) - greatest(a_s, b_s)) div 1000000"
+        ).cast("long").alias("overlap_s"),
+    )
+
+
+_KCENTER_DOT = "round(1 - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
+
+
+@register(
+    "kcenter_coreset",
+    oracle=f"""
+    WITH seed AS (SELECT min(vec_id) AS vec_id FROM embeddings),
+    c1 AS (SELECT e.vec_id, e.embedding
+           FROM embeddings e JOIN seed s ON e.vec_id = s.vec_id),
+    d1 AS (SELECT e.vec_id, {_KCENTER_DOT} AS md
+           FROM embeddings e CROSS JOIN c1 c),
+    p2 AS (SELECT vec_id, md FROM d1 ORDER BY md DESC, vec_id LIMIT 1),
+    c2 AS (SELECT e.vec_id, e.embedding, p.md
+           FROM embeddings e JOIN p2 p ON e.vec_id = p.vec_id),
+    d2 AS (SELECT d.vec_id, least(d.md, {_KCENTER_DOT}) AS md
+           FROM d1 d JOIN embeddings e ON d.vec_id = e.vec_id CROSS JOIN c2 c),
+    p3 AS (SELECT vec_id, md FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+    c3 AS (SELECT e.vec_id, e.embedding, p.md
+           FROM embeddings e JOIN p3 p ON e.vec_id = p.vec_id),
+    d3 AS (SELECT d.vec_id, least(d.md, {_KCENTER_DOT}) AS md
+           FROM d2 d JOIN embeddings e ON d.vec_id = e.vec_id CROSS JOIN c3 c),
+    p4 AS (SELECT vec_id, md FROM d3 ORDER BY md DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS pick_round, vec_id, CAST(NULL AS DOUBLE) AS radius
+    FROM c1
+    UNION ALL SELECT 2, vec_id, md FROM p2
+    UNION ALL SELECT 3, vec_id, md FROM p3
+    UNION ALL SELECT 4, vec_id, md FROM p4
+    """,
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the diversity-
+    sampling half of modern data-selection recipes): seed with the
+    lowest vec_id, then k−1 times pick the point FARTHEST (max-min
+    cosine distance, rounded to 6 in both engines before the min/argmax
+    so selection is engine-exact; ties → lower vec_id) from the chosen
+    set. Emits (pick_round, vec_id, radius) where radius is the max-min
+    distance at pick time — the sequence of radii is the coverage curve.
+
+    Scale shape: the chosen center is folded into the plan as an array
+    LITERAL each round (no join, no shuffle — same mechanism as
+    retrieve_topk's query vector), so each round is one TakeOrdered scan
+    over the cached corpus plus one pushdown point-lookup; k rounds = k
+    bounded single-row driver collects (inherent to sequential greedy
+    selection — at 100 TB you'd amortize with over-sampled batched picks,
+    same plan shape per round). The DuckDB oracle unrolls the k=4 rounds
+    as nested CTEs over the identical rounded-distance contract."""
+    emb = cached(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    seed_id = int(emb.agg(F.min("vec_id")).collect()[0][0])
+    seed_vec = (
+        emb.filter(F.col("vec_id") == seed_id).select("embedding").collect()[0][0]
+    )
+    picks = [(1, seed_id, None)]
+    cur = emb.select(
+        "vec_id",
+        "embedding",
+        F.round(F.lit(1.0) - V.dot_literal("embedding", seed_vec), 6).alias("md"),
+    )
+    for r in (2, 3, 4):
+        top = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        picks.append((r, int(top.vec_id), float(top.md)))
+        cvec = (
+            emb.filter(F.col("vec_id") == int(top.vec_id))
+            .select("embedding")
+            .collect()[0][0]
+        )
+        nd = F.round(F.lit(1.0) - V.dot_literal("embedding", cvec), 6)
+        cur = cur.select(
+            "vec_id", "embedding", F.least(F.col("md"), nd).alias("md")
+        )
+    return spark.createDataFrame(
+        picks, "pick_round long, vec_id long, radius double"
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH g AS (
+      SELECT p_retailprice AS price, max(p_size) AS psize_max
+      FROM part GROUP BY 1
+    ),
+    r AS (
+      SELECT price, psize_max,
+             max(psize_max) OVER (ORDER BY price
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS run_prev
+      FROM g
+    )
+    SELECT p.p_partkey, p.p_retailprice AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p JOIN r ON p.p_retailprice = r.price
+    WHERE p.p_size = r.psize_max
+      AND (r.run_prev IS NULL OR p.p_size > r.run_prev)
+    """,
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (SKYLINE) of parts on (minimize retail price,
+    maximize size): a part survives iff no other part is at most as
+    expensive AND at least as large with strict improvement in one
+    dimension. Equal (price, size) duplicates are co-frontier (neither
+    dominates). The dominance-filter operator class — naive skyline is
+    an O(n²) NOT EXISTS theta-join; this is the sort-based linear plan.
+
+    Scale shape: collapse to one row per price (map-side-combining
+    aggregate on the price key), running strict-predecessor max over
+    the PRICE-cardinality table (tiny, single window partition over
+    distinct prices — not over parts), then a BROADCAST join back to
+    the full part table with the frontier predicate as a scan-stage
+    filter. No cartesian, no per-part window."""
+    part = load(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("psize_max")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("run_prev", F.max("psize_max").over(w))
+    joined = part.join(
+        F.broadcast(r), part["p_retailprice"] == r["price"]
+    ).filter(
+        (F.col("p_size") == F.col("psize_max"))
+        & (F.col("run_prev").isNull() | (F.col("p_size") > F.col("run_prev")))
+    )
+    return joined.select(
+        "p_partkey", F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )

@@ -85,3 +85,33 @@ def ingest_stream_into_kb(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_documents(spark, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (single-file staging, same
+    mechanism as sessions.stream_events)."""
+    from svs_spark.streaming import stage_single_file_dir
+
+    src = stage_single_file_dir(f"{sf_dir}/documents.parquet", "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def quality_flag_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming quality-gate MONITOR: per-source running counts of
+    Gopher-rule violations over a document stream — the continuous twin
+    of the registered ``gopher_quality_flags`` batch query (same Column
+    expressions via ``operators.lexical.gopher_rule_flags``, so
+    stream ≡ batch exactly; tests/test_streaming.py gates the equality).
+
+    Every rule is a stateless scan-stage expression; the only streaming
+    state is the per-(source) aggregation — |sources| rows, bounded
+    regardless of stream length. Run it beside ``prepare_doc_stream`` on
+    the ingest path and alert when a source's pass rate moves between
+    batches (the live version of re-running the batch audit)."""
+    from svs_spark.operators import lexical as LX
+
+    flagged = docs.filter(F.length(text_col) > 0).select(
+        "source", *LX.gopher_rule_flags(text_col)
+    )
+    return flagged.groupBy("source").agg(*LX.gopher_flag_aggs())

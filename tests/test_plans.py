@@ -679,3 +679,69 @@ def test_nfc_audit_is_arrow_batched_single_aggregate(spark, registry):
     assert "MapInPandas" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_fuzzy_matches_blocked_equi_join(spark, registry):
+    """The record-linkage candidate stage must be an equi-join on the
+    block key (hash join; the id inequality and the distance threshold
+    ride as post-join filters) — a NestedLoop/Cartesian here means the
+    blocking regressed to all-pairs O(N²)."""
+    df = registry["customer_fuzzy_matches"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]
+    assert "HashJoin" in plan, plan[:2000]
+    # top-50 must be TakeOrdered, never a global sort of all pairs
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_gopher_flags_single_pass_codegen(spark, registry):
+    """Every quality rule must ride the scan stage (JVM codegen — no
+    Python anywhere) into ONE map-side-combining aggregate on source."""
+    df = registry["gopher_quality_flags"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "MapInPandas" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_seasonal_mase_windows_on_aggregated_series(spark, registry):
+    """The lag windows must run AFTER the (event_type, hour) aggregate —
+    i.e. on the time-cardinality series, not the raw events. Plan order:
+    HashAggregate(partial) -> Exchange -> HashAggregate -> Exchange ->
+    Window. A Window before the first aggregate would shuffle every raw
+    event into per-type single partitions (the 100 TB killer)."""
+    df = registry["seasonal_naive_mase"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    # the tree prints root-first, so everything after the Window node is
+    # its subtree: the (event_type, hour) aggregate must be IN there
+    # (window reads the aggregated series), and the subtree must contain
+    # exactly one exchange (the agg's own shuffle) — the raw scan never
+    # feeds the window directly
+    below_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_window, plan[:2000]
+    assert plan.count("Exchange") <= 3, plan[:2000]
+
+
+def test_interval_overlap_is_equi_join(spark, registry):
+    """The overlap join must be an equi-join on user_id with the
+    interval predicate as a residual — a NestedLoop here is the O(n²)
+    interval-join regression."""
+    df = registry["interval_overlap_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]
+    assert "HashJoin" in plan, plan[:2000]
+
+
+def test_pareto_frontier_broadcasts_price_table(spark, registry):
+    """The frontier predicate table (one row per distinct price) must
+    come back to the part scan as a BROADCAST join; the window must be
+    the only single-partition stage (it runs on price cardinality, not
+    part cardinality)."""
+    df = registry["pareto_frontier_parts"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]

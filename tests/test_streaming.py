@@ -236,3 +236,28 @@ def test_query_stream_matches_bulk_retrieval(spark, tmp_path):
         for r in knn_join_batch(corpus, qbatch, 5).collect()
     }
     assert got == expected
+
+
+def test_quality_flag_stream_matches_batch_twin(spark):
+    """The streaming quality-gate monitor must produce exactly the
+    registered gopher_quality_flags batch rows after an availableNow
+    drain (same Column expressions, complete-mode aggregate)."""
+    from svs_spark.queries import queries
+    from svs_spark.streaming.ingest import quality_flag_stream, stream_documents
+    from svs_spark.streaming.sessions import run_to_memory
+
+    stream = quality_flag_stream(stream_documents(spark, SF_DIR))
+    run_to_memory(stream, "qflags_stream", output_mode="complete")
+    got = {
+        r.source: (r.n_docs, r.fail_word_count, r.fail_mean_word_len,
+                   r.fail_symbol_ratio, r.fail_alpha_frac,
+                   r.fail_stopwords, r.n_pass)
+        for r in spark.table("qflags_stream").collect()
+    }
+    want = {
+        r.source: (r.n_docs, r.fail_word_count, r.fail_mean_word_len,
+                   r.fail_symbol_ratio, r.fail_alpha_frac,
+                   r.fail_stopwords, r.n_pass)
+        for r in queries()["gopher_quality_flags"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
