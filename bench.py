@@ -142,14 +142,6 @@ HEADLINE = [
     "script_mix_profile",
     "nfc_normalization_audit",
     "tokenizer_fertility_by_script",
-    "gopher_quality_flags",
-    "source_lang_entropy",
-    "k_anonymity_audit",
-    "customer_fuzzy_matches",
-    "seasonal_naive_mase",
-    "interval_overlap_join",
-    "kcenter_coreset",
-    "pareto_frontier_parts",
     "ngram_containment_pairs",
     "chunk_boundary_overlap",
     "embedding_norm_outliers",
@@ -187,6 +179,19 @@ HEADLINE = [
     "decontaminate_minhash",
     "source_js_divergence",
     "quality_rank_fusion",
+    # round-7 session-2 curation pack — deliberately LAST: these
+    # broadcast a vocabulary / cache embeddings, and running them
+    # mid-sequence evicted the shared token/shingle caches the
+    # dup/LM queries re-use (measured +21 s on the other 124)
+    "gopher_quality_flags",
+    "source_lang_entropy",
+    "k_anonymity_audit",
+    "customer_fuzzy_matches",
+    "seasonal_naive_mase",
+    "interval_overlap_join",
+    "kcenter_coreset",
+    "pareto_frontier_parts",
+    "domain_reweighting",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -226,3 +226,27 @@ def test_pareto_frontier_dominance(spark, registry, tmp_path):
     out = registry["pareto_frontier_parts"](spark, str(tmp_path)).collect()
     got = sorted((r.p_partkey, r.price, r.size) for r in out)
     assert got == [(1, 10.0, 5), (2, 10.0, 5), (4, 20.0, 6), (6, 5.0, 1)]
+
+
+def test_domain_reweighting_harder_source_weighs_more(spark, registry, tmp_path):
+    """A source whose tokens are corpus-rare must get a larger mixture
+    weight than one made of corpus-common tokens; weights sum to ~1."""
+    rows = [
+        # 'easy' source: the same common tokens over and over
+        (1, "easy", "aa bb aa bb aa bb"),
+        (2, "easy", "aa bb aa bb"),
+        (3, "easy", "aa bb aa"),
+        # 'hard' source: every token unique in the corpus
+        (4, "hard", "qq ww ee rr tt yy"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.source: r for r in
+        registry["domain_reweighting"](spark, str(tmp_path)).collect()
+    }
+    assert out["hard"].decibits_per_token > out["easy"].decibits_per_token
+    assert out["hard"].mix_weight > out["easy"].mix_weight
+    assert abs(out["hard"].mix_weight + out["easy"].mix_weight - 1.0) < 1e-6

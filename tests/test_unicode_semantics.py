@@ -491,3 +491,34 @@ def test_tokenizer_fertility_multilingual(spark, tmp_path):
     # the unsegmented doc 51 is 1 token of 22 chars — the whitespace-
     # tokenizer pathology the per-class fertility exposes
     assert row["chars_per_token"] > 4.0
+
+
+def test_gopher_flags_multilingual_parity(spark, tmp_path):
+    """The Gopher rule gate vs its own DuckDB oracle on multilingual
+    text: an unsegmented CJK doc fires ALL FIVE rules (one giant
+    'word' -> word-count + mean-word-length fail; CJK chars are
+    non-[A-Za-z0-9 ] -> symbol-ratio fail; no Latin letter -> alpha
+    fail; no English stopwords -> stopword fail), while an emoji-mixed
+    English doc passes every rule (emoji are code points, not symbols
+    enough to trip 0.1) — both engines must agree cell-exactly."""
+    from svs_spark.queries import queries, oracle_sql
+
+    rows = [
+        (1, "你好世界这是一个测试文档没有空格"),        # all five rules fire
+        (2, "the cat 🐱🐱🐱 and dog play here often"),   # passes all
+        (3, "मानक हिन्दी और the of and with that tests"),  # devanagari mix
+    ]
+    path = _plant(spark, tmp_path, rows)
+    df = queries()["gopher_quality_flags"](spark, path)
+    got = sorted(tuple(r) for r in df.collect())
+    con = _duck_on(path)
+    res = con.sql(oracle_sql()["gopher_quality_flags"])
+    assert [f.lower() for f in res.columns] == [c.lower() for c in df.columns]
+    want = sorted(tuple(row) for row in res.fetchall())
+    assert got == want
+    r = {c: v for c, v in zip(df.columns, got[0])}
+    assert r["n_docs"] == 3
+    # doc 1 fails everything; docs 2-3 decide the per-rule remainders
+    assert r["fail_word_count"] >= 1 and r["fail_symbol_ratio"] >= 1
+    assert r["fail_alpha_frac"] >= 1 and r["fail_mean_word_len"] >= 1
+    assert r["n_pass"] == 1  # only the emoji-English doc survives

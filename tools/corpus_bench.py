@@ -959,6 +959,43 @@ def main() -> None:
 
     run("rank_fusion_top100", rank_fusion_top100)
 
+    # --- curation-audit pack at 1M (round-7 session 2) ---
+
+    def gopher_rules():
+        from svs_spark.operators import lexical as LX
+
+        return (
+            docs.filter(F.length("text") > 0)
+            .select("source", *LX.gopher_rule_flags("text"))
+            .groupBy("source")
+            .agg(*LX.gopher_flag_aggs())
+            .count()
+        )
+
+    run("gopher_quality_flags", gopher_rules)
+
+    def domain_reweight():
+        toks = docs.filter(F.length("text") > 0).select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+        vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+        total = vocab.agg(F.sum("c").alias("total"))
+        j = tf.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+        return (
+            j.groupBy("source")
+            .agg(
+                F.sum("tf").alias("n_tokens"),
+                F.expr(
+                    "sum(tf * ((length(bin(total)) - 1)"
+                    " - (length(bin(c)) - 1))) * 10 div sum(tf)"
+                ).alias("decibits_per_token"),
+            )
+            .count()
+        )
+
+    run("domain_reweighting", domain_reweight)
+
     print(
         json.dumps(
             {

@@ -49,6 +49,9 @@ ONE_ROW_CROSS_OK = {
     # per two-level rank) + the unigram vocab total
     "value_drift_ks",  # ks_vs_reference crosses the 1-row ref_total
     # aggregate into the bucket-cardinality grid (drift.py)
+    "domain_reweighting",  # crosses the 1-row corpus token total into
+    # the per-(source, tok) tf table — same shape as
+    # unigram_logprob_quality, of which it is the source-level sibling
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
