@@ -90,6 +90,53 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
         out["pairs_found"] = pairs
+    elif op == "kcenter":
+        # greedy k-center diversity selection at 1M×1536 — the scale
+        # shape of the registered kcenter_coreset query: every round is
+        # ONE scan of the persisted corpus evaluating least() over the
+        # chosen centers as array LITERALS (Catalyst collapses the
+        # per-round projections to exactly this), plus one bounded
+        # single-row collect.
+        from pyspark.sql import functions as F
+
+        from svs_spark.operators.similarity import centroid_assign
+
+        # At dim 1536 the query-path array-literal form explodes janino
+        # codegen (8 × 1536 float literals in a least() chain), so the
+        # probe uses the repo's Arrow-GEMM kernel: per round, ONE
+        # map-only centroid_assign pass gives each row its max-dot over
+        # the chosen centers (mindist = 1 - score, same rounded-6
+        # contract), then TakeOrdered(asc score, asc vec_id) picks the
+        # farthest row — identical greedy sequence, GEMM-speed.
+        def run_kcenter(k):
+            seed = emb.orderBy("vec_id").limit(1).collect()[0]
+            centers = [(0, list(seed.embedding))]
+            radii = []
+            for r in range(2, k + 1):
+                top = (
+                    centroid_assign(emb, centers)
+                    .orderBy(F.asc("score"), F.asc("vec_id"))
+                    .limit(1)
+                    .collect()[0]
+                )
+                radii.append(round(1.0 - float(top.score), 6))
+                cvec = (
+                    emb.filter(F.col("vec_id") == int(top.vec_id))
+                    .select("embedding")
+                    .collect()[0][0]
+                )
+                centers.append((r - 1, list(cvec)))
+            return radii
+
+        run_kcenter(3)  # warm (JIT + broadcastless literal plan cache)
+
+        def once():
+            t0 = time.perf_counter()
+            run_kcenter(8)
+            return time.perf_counter() - t0
+
+        out["kcenter_k8_stats"] = median3(once)
+        out["coverage_radii_k8"] = [round(r, 4) for r in run_kcenter(8)]
     else:
         raise SystemExit(f"unknown op: {op}")
 
