@@ -11996,3 +11996,86 @@ def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mix_weight"),
     )
+
+
+@register(
+    "cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    cc AS (
+      SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+      FROM reach GROUP BY a
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             coalesce(cc.canonical_id, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    )
+    SELECT CASE
+             WHEN (canonical_id * 2654435761) % 4294967296 % 1000 < 800
+             THEN 'train'
+             WHEN (canonical_id * 2654435761) % 4294967296 % 1000 < 900
+             THEN 'val' ELSE 'test'
+           END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters
+    FROM lab GROUP BY 1
+    """,
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split: near-dup clusters (n-gram
+    Jaccard ≥ 0.8 → connected components, same contract as
+    dedup_clusters) are assigned to splits as WHOLE UNITS by a Knuth
+    multiplicative hash of the cluster's canonical id — so two
+    near-duplicate documents can never land on opposite sides of the
+    train/eval boundary. Completes the split family:
+    train_test_split is the naive per-doc hash, split_leakage_clusters
+    MEASURES the leaks that naive split causes, and this one
+    constructs the split that has none by construction.
+
+    Scale shape: the pair stage is the shared banded trigram index
+    (bounded buckets), components are path-doubling with
+    localCheckpoint (log-diameter rounds), and the split itself is
+    scan-stage arithmetic on the canonical id; the final aggregate is
+    3 rows. Singletons (docs in no pair) are their own canonical via
+    the left join + coalesce."""
+    pairs = (
+        _tri3_pair_stats(spark, sf_dir)
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("ca") + F.col("cb") - F.col("inter"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    cc = D.connected_components(pairs)
+    pairs.unpersist()
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+    )
+    bucket = (
+        (F.col("canonical_id") * F.lit(2654435761))
+        % F.lit(4294967296) % F.lit(1000)
+    )
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return lab.select(split.alias("split"), "canonical_id").groupBy(
+        "split"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("canonical_id").cast("long").alias("n_clusters"),
+    )

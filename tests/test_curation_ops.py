@@ -250,3 +250,26 @@ def test_domain_reweighting_harder_source_weighs_more(spark, registry, tmp_path)
     assert out["hard"].decibits_per_token > out["easy"].decibits_per_token
     assert out["hard"].mix_weight > out["easy"].mix_weight
     assert abs(out["hard"].mix_weight + out["easy"].mix_weight - 1.0) < 1e-6
+
+
+def test_cluster_safe_split_keeps_clusters_whole(spark, registry, tmp_path):
+    """A near-dup pair (one 2-doc cluster) plus three distinct
+    singletons: whichever split gets the cluster shows n_docs exceeding
+    n_clusters by exactly one; totals prove whole-unit assignment."""
+    near = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, near, "xx", "s", len(near)),
+        (2, near + " yes", "xx", "s", len(near) + 4),
+        (10, "completely different text about sailing ships across oceans", "xx", "s", 60),
+        (11, "numerical tables of crop yields for the northern region here", "xx", "s", 61),
+        (12, "assembly instructions for the modular shelving system parts", "xx", "s", 60),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = registry["cluster_safe_split"](spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in out) == 5
+    assert sum(r.n_clusters for r in out) == 4
+    gaps = sorted(r.n_docs - r.n_clusters for r in out)
+    assert gaps[-1] == 1 and all(g == 0 for g in gaps[:-1])
