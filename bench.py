@@ -193,6 +193,7 @@ HEADLINE = [
     "pareto_frontier_parts",
     "domain_reweighting",
     "cluster_safe_split",
+    "conversion_latency_quantiles",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

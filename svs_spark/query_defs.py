@@ -12079,3 +12079,57 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("canonical_id").cast("long").alias("n_clusters"),
     )
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+    l AS (
+      SELECT epoch_us(p.ts) - epoch_us(c.cts) AS lat_us
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(lat_us / 1000000.0, 0.5), 6) AS p50_s,
+           round(quantile_cont(lat_us / 1000000.0, 0.9), 6) AS p90_s,
+           round(quantile_cont(lat_us / 1000000.0, 0.99), 6) AS p99_s
+    FROM l WHERE lat_us <= 86400000000
+    """,
+)
+def q_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase CONVERSION LATENCY distribution: for every
+    purchase, the time since that user's most recent prior-or-equal
+    click (backward as-of), kept within a 24 h attribution window, then
+    exact interpolated p50/p90/p99 in seconds. The funnel-timing
+    metric conversion_funnel (who converts) and asof_last_purchase
+    (what the last touch was) don't give: HOW LONG conversion takes.
+    The DuckDB oracle is the NATIVE ASOF JOIN — an independent
+    implementation of the same semantics, as for asof_last_purchase.
+
+    Scale shape: both event streams collapse to (user, ts) before the
+    as-of (union + one user-keyed window exchange, the same plan as
+    asof_last_purchase); latencies are exact integer µs; the final
+    quantile is one aggregate over the conversion-cardinality frame."""
+    from svs_spark.operators.temporal import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("ts div 1000").alias("us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts div 1000").alias("cus")
+    )
+    j = asof_join_backward(
+        purchases, clicks, key="user_id", left_ts="us", right_ts="cus",
+        payload_cols=[], strict=False,
+    )
+    lat = j.filter(F.col("asof_ts").isNotNull()).select(
+        (F.col("us") - F.col("asof_ts")).alias("lat_us")
+    ).filter(F.col("lat_us") <= 86400 * 1_000_000)
+    return lat.agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.round(F.expr("percentile(lat_us / 1000000.0, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lat_us / 1000000.0, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(lat_us / 1000000.0, 0.99)"), 6).alias("p99_s"),
+    )

@@ -273,3 +273,29 @@ def test_cluster_safe_split_keeps_clusters_whole(spark, registry, tmp_path):
     assert sum(r.n_clusters for r in out) == 4
     gaps = sorted(r.n_docs - r.n_clusters for r in out)
     assert gaps[-1] == 1 and all(g == 0 for g in gaps[:-1])
+
+
+def test_conversion_latency_planted(spark, registry, tmp_path):
+    """Hand-computed latencies: user 1 purchases 90 s after its second
+    click (the as-of picks the LATEST prior click); user 2's purchase
+    has no prior click (dropped); user 3's prior click is 25 h old
+    (outside the 24 h window, dropped). One conversion, all quantiles
+    exactly 90 s."""
+    base = dt.datetime(2024, 5, 1)
+
+    def ev(eid, user, typ, seconds):
+        return (eid, base + dt.timedelta(seconds=seconds), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "click", 0), ev(2, 1, "click", 300), ev(3, 1, "purchase", 390),
+        ev(4, 2, "purchase", 100), ev(5, 2, "click", 200),
+        ev(6, 3, "click", 0), ev(7, 3, "purchase", 25 * 3600),
+    ]
+    frame = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    frame.write.parquet(f"{tmp_path}/events.parquet")
+    r = registry["conversion_latency_quantiles"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_conversions, r.p50_s, r.p90_s, r.p99_s) == (1, 90.0, 90.0, 90.0)
