@@ -194,6 +194,12 @@ HEADLINE = [
     "domain_reweighting",
     "cluster_safe_split",
     "conversion_latency_quantiles",
+    # round-7 session-3 pack (cache-light; appended last per the
+    # DEVNOTES #22 ordering rule)
+    "retrieval_ndcg_eval",
+    "hard_negative_mining",
+    "distinct_ngram_diversity",
+    "benford_first_digit",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

@@ -456,3 +456,116 @@ def semdedup_recall_probe(
         "found_pairs": len(found_in_universe),
         "recall": recall,
     }
+
+
+def kcenter_greedy(
+    embeddings: DataFrame,
+    k: int,
+    batch_candidates: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[list[int], list[float], int]":
+    """Greedy (Gonzalez) k-center selection over cosine scores: seed =
+    lowest id, then repeatedly pick the point FARTHEST from its nearest
+    chosen center (max-min), ties to lowest id — the diversity-coreset
+    selector behind ``kcenter_coreset``. Returns (center ids in
+    selection order, coverage radii before each selection from round 2
+    on, number of corpus passes).
+
+    ``batch_candidates = 0`` is the sequential form: one corpus pass
+    per round (k − 1 passes) — each pass is a map-only
+    ``centroid_assign`` GEMM over the current centers plus a 1-row
+    TakeOrdered.
+
+    ``batch_candidates = m > 0`` is the BATCHED form: each pass
+    collects the top-m farthest rows (score asc, id asc — the same
+    total order the sequential form ranks by) WITH their vectors, then
+    selects centers locally, updating only the m candidates' scores per
+    selection. Local selection is EXACT by a pigeonhole guard: every
+    non-collected row's (score, id) pair was lexicographically greater
+    than the m-th candidate's at collection time, and scores only
+    INCREASE as centers are added — so while the best remaining
+    candidate's UPDATED pair is still ≤ the m-th candidate's ORIGINAL
+    pair, no outside row can beat it, and the selection equals the
+    sequential greedy's. When the guard trips, a fresh corpus pass
+    re-collects. With m ≳ a few × k the whole selection takes ~2 passes
+    instead of k − 1 (measured 7 passes → 2 at 1M×1536, k = 8).
+
+    Determinism matches the sequential form: scores are rounded to 6dp
+    before any comparison (the repo-wide GEMM contract), and the local
+    update's per-center GEMV is the same float64 BLAS reduction as the
+    kernel's GEMM column; rounding to 6dp swamps any last-ulp blocking
+    difference. Collecting m rows × dim doubles is the only driver
+    transfer (m is a tuning constant, never data-sized)."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(1)
+        .collect()[0]
+    )
+    center_ids = [int(seed[id_col])]
+    centers = [(0, [float(x) for x in seed[vec_col]])]
+    radii: list[float] = []
+    n_passes = 0
+
+    if batch_candidates <= 0:
+        while len(center_ids) < k:
+            n_passes += 1
+            top = (
+                centroid_assign(embeddings, centers, id_col=id_col,
+                                vec_col=vec_col, keep_vec=True)
+                .orderBy(F.asc("score"), F.asc(id_col))
+                .limit(1)
+                .collect()[0]
+            )
+            radii.append(round(1.0 - float(top["score"]), 6))
+            center_ids.append(int(top[id_col]))
+            centers.append((len(centers), [float(x) for x in top[vec_col]]))
+        return center_ids, radii, n_passes
+
+    m = int(batch_candidates)
+    while len(center_ids) < k:
+        n_passes += 1
+        rows = (
+            centroid_assign(embeddings, centers, id_col=id_col,
+                            vec_col=vec_col, keep_vec=True)
+            .orderBy(F.asc("score"), F.asc(id_col))
+            .limit(m)
+            .collect()
+        )
+        if not rows:
+            break  # corpus smaller than the selected set
+        cand_ids = np.asarray([int(r[id_col]) for r in rows], dtype=np.int64)
+        cand_mat = np.asarray(
+            [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+        )
+        scores = np.asarray([float(r["score"]) for r in rows])
+        # guard threshold: the LAST collected row's pair at collection
+        # time; None when the whole remaining corpus fit in m rows
+        # (then every row is in hand and the guard never trips)
+        bound = (
+            None
+            if len(rows) < m
+            else (float(rows[-1]["score"]), int(rows[-1][id_col]))
+        )
+        alive = np.ones(len(rows), dtype=bool)
+        while len(center_ids) < k and alive.any():
+            idx_alive = np.nonzero(alive)[0]
+            order = np.lexsort((cand_ids[idx_alive], scores[idx_alive]))
+            best = idx_alive[order[0]]
+            pair = (float(scores[best]), int(cand_ids[best]))
+            if bound is not None and pair > bound:
+                break  # an uncollected row could be farther — rescan
+            radii.append(round(1.0 - pair[0], 6))
+            center_ids.append(pair[1])
+            cvec = cand_mat[best]
+            centers.append((len(centers), cvec.tolist()))
+            alive[best] = False
+            if alive.any():
+                upd = np.round(cand_mat[alive] @ cvec, 6)
+                scores[alive] = np.maximum(scores[alive], upd)
+    return center_ids, radii, n_passes

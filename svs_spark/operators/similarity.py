@@ -303,6 +303,86 @@ def knn_join_batch(
     )
 
 
+def hard_negative_join(
+    embeddings: DataFrame,
+    query_vecs: "list[tuple[int, int, Sequence[float]]]",
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-NEGATIVE mining: for each labeled query, the top-k most
+    similar corpus rows whose label DIFFERS from the query's — the
+    candidates a contrastive trainer (embedding fine-tuning, reranker
+    distillation) wants as negatives precisely because the current
+    model scores them like positives.
+
+    Same one-scan GEMM shape as ``knn_join_batch`` (query matrix in the
+    task closure, one BLAS GEMM per Arrow batch, local top-k before the
+    exchange carries ≤ k·q rows per batch) with one addition: rows
+    sharing the query's label are masked out of that query's column
+    BEFORE local selection, so the per-batch prune can never starve a
+    query whose top scores are all same-label (filtering AFTER a plain
+    top-k would). The query row itself shares its own label, so it is
+    excluded automatically. Kept separate from knn_join_batch on
+    purpose: that kernel backs a driver-green query and stays
+    byte-identical.
+
+    ``query_vecs`` is [(query_id, query_label, vector), ...] — a
+    bounded serving-style literal batch, like knn_join_batch's.
+    """
+    import numpy as np
+
+    qids = [int(q) for q, _, _ in query_vecs]
+    qlabels = [int(lb) for _, lb, _ in query_vecs]
+    qmat_list = [[float(x) for x in v] for _, _, v in query_vecs]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmat = np.asarray(qmat_list, dtype=np.float64).T  # (d, q)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        qlab_arr = np.asarray(qlabels, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy().astype(np.int64)
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # round BEFORE masking/selection: the global window ranks by
+            # rounded score, so pruning on unrounded values could drop
+            # the id-desc tie winner at the k boundary (same rule as
+            # knn_join_batch)
+            scores = np.round(mat @ qmat, 6)  # (batch, q)
+            scores[labs[:, None] == qlab_arr[None, :]] = -np.inf
+            take = min(k, len(ids))
+            part = np.argpartition(-scores, take - 1, axis=0)[:take]
+            kth = np.take_along_axis(scores, part, axis=0).min(axis=0)
+            rows, cols = np.nonzero(
+                (scores >= kth[None, :]) & np.isfinite(scores)
+            )
+            if len(rows) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": qid_arr[cols],
+                    id_col: ids[rows],
+                    "score": scores[rows, cols],
+                }
+            )
+
+    partials = embeddings.select(id_col, vec_col, label_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.desc(id_col)
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def self_knn(
     embeddings: DataFrame,
     k: int = 1,

@@ -12133,3 +12133,351 @@ def q_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.expr("percentile(lat_us / 1000000.0, 0.9)"), 6).alias("p90_s"),
         F.round(F.expr("percentile(lat_us / 1000000.0, 0.99)"), 6).alias("p99_s"),
     )
+
+
+# --- retrieval-quality evaluation + hard-negative mining + corpus
+# --- diversity + numeric-integrity audit (round 7, session 3) --------
+
+# DCG discount terms 1/log2(rank+1) for ranks 1..10 and their prefix
+# sums (the ideal DCG for m relevant results), pre-scaled to integer
+# NANOS so both engines sum exact BIGINTs in any partial-aggregation
+# order (invariant 15) and divide once at the end. Generated by
+# floor(1e9 / log2(r + 1) + 0.5); inlined as identical literals into
+# the Spark plan and the DuckDB oracle.
+_DCG_NANO = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+_IDCG_NANO_CUM = [
+    1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+    3304666306, 3637999639, 3953464516, 4254494512, 4543559338,
+]
+_DCG_SQL = "[" + ", ".join(str(v) for v in _DCG_NANO) + "]::BIGINT[]"
+_IDCG_SQL = "[" + ", ".join(str(v) for v in _IDCG_NANO_CUM) + "]::BIGINT[]"
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    labcnt AS (SELECT label, count(*) AS n_rel_total FROM c GROUP BY label),
+    top AS (
+      SELECT query_id, qlabel, vec_id, label, rank FROM (
+        SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, cv), 6) DESC,
+                          c.vec_id DESC) AS INTEGER) AS rank
+        FROM q CROSS JOIN c
+      ) WHERE rank <= 10
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_top10,
+             sum(CASE WHEN label = qlabel
+                      THEN ({_DCG_SQL})[rank] ELSE 0 END) AS dcg_nanos,
+             min(CASE WHEN label = qlabel THEN rank END) AS first_rel_rank
+      FROM top GROUP BY query_id
+    )
+    SELECT p.query_id,
+           p.n_rel_top10,
+           CAST(coalesce(l.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+           CASE WHEN coalesce(l.n_rel_total, 0) = 0 THEN 0.0
+                ELSE round(p.dcg_nanos::DOUBLE /
+                           ({_IDCG_SQL})[least(10, l.n_rel_total)], 6)
+           END AS ndcg10,
+           CASE WHEN p.first_rel_rank IS NULL THEN 0.0
+                ELSE round(1.0 / p.first_rel_rank, 6)
+           END AS rr
+    FROM per_q p
+    JOIN q USING (query_id)
+    LEFT JOIN labcnt l ON l.label = q.qlabel
+    """,
+)
+def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@10 and reciprocal rank per
+    query, with relevance = "candidate shares the query's label" — the
+    offline eval loop every retrieval/embedding team runs before
+    swapping an index or a model. Complements the recall-vs-exact gates
+    (which score the ANN approximation) by scoring the EMBEDDING's
+    ranking quality itself against labeled truth.
+
+    Parity discipline: DCG discount terms and ideal-DCG prefix sums are
+    pre-scaled integer-nano literals inlined into BOTH engines, so the
+    per-query sums are exact BIGINT arithmetic in any partial-agg order
+    (invariant 15) with ONE double division at the end; ranks come from
+    the same rounded-score/id-desc order as every knn query.
+
+    Scale shape: the ranked join is the brute-force eval shape (10
+    labeled queries × candidates — eval sets are bounded); per-query
+    metrics are one group-by over ≤ 10·k rows, and the per-label
+    relevant-total is a label-cardinality aggregate joined back to 10
+    rows. At 100 TB the candidate scan is the same one-pass GEMM the
+    bulk path uses; everything after it is eval-set-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        "embedding",
+    )
+    c = emb.filter(F.col("vec_id") >= 10)
+    top = A.knn_join(
+        q.select("query_id", "embedding"), c, k=10
+    )
+    labcnt = c.groupBy("label").agg(F.count("*").alias("n_rel_total"))
+    top = top.join(
+        F.broadcast(q.select("query_id", "qlabel")), "query_id"
+    ).join(c.select("vec_id", "label"), "vec_id")
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    dcg_terms = F.array(*[F.lit(v) for v in _DCG_NANO])
+    idcg_terms = F.array(*[F.lit(v) for v in _IDCG_NANO_CUM])
+    per_q = top.groupBy("query_id").agg(
+        F.sum(rel).cast("long").alias("n_rel_top10"),
+        F.sum(
+            F.when(
+                F.col("label") == F.col("qlabel"),
+                F.element_at(dcg_terms, F.col("rank")),
+            ).otherwise(F.lit(0))
+        ).alias("dcg_nanos"),
+        F.min(
+            F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
+        ).alias("first_rel_rank"),
+    )
+    out = per_q.join(
+        F.broadcast(q.select("query_id", "qlabel")), "query_id"
+    ).join(
+        F.broadcast(labcnt),
+        F.col("label") == F.col("qlabel"),
+        "left",
+    )
+    n_rel_total = F.coalesce(F.col("n_rel_total"), F.lit(0))
+    m = F.least(F.lit(10), n_rel_total)
+    ndcg = F.when(n_rel_total == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("dcg_nanos").cast("double")
+            / F.element_at(idcg_terms, m.cast("int")),
+            6,
+        )
+    )
+    rr = F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) / F.col("first_rel_rank"), 6)
+    )
+    return out.select(
+        "query_id",
+        "n_rel_top10",
+        n_rel_total.cast("long").alias("n_rel_total"),
+        ndcg.alias("ndcg10"),
+        rr.alias("rr"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    s AS (SELECT query_id, c.vec_id,
+                 round(list_dot_product(qv, c.embedding::DOUBLE[]), 6)
+                   AS score
+          FROM q JOIN embeddings c ON c.label <> q.qlabel)
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id DESC)
+                     AS INTEGER) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per labeled query,
+    the 5 most-similar corpus vectors with a DIFFERENT label — the rows
+    an embedding fine-tune or reranker distillation wants as negatives
+    precisely because the current model scores them like positives
+    (SimCSE/DPR-style curriculum). The label mask runs INSIDE the
+    one-scan GEMM kernel before local top-k (operators/similarity.py
+    hard_negative_join), so a query whose nearest neighbors are all
+    same-label can never be starved by the per-batch prune — the
+    failure mode of "retrieve top-k, then filter".
+
+    Scale shape: identical to knn_batch_topk (query matrix in the task
+    closure, one BLAS GEMM + local top-k per Arrow batch, exchange
+    carries ≤ k·q rows per batch); the mask is a vectorized compare on
+    the batch's label column. The 8 labeled queries are a bounded
+    serving-batch literal, as in knn_batch_topk."""
+    from svs_spark.operators.similarity import hard_negative_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "label", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = [
+        (int(r["vec_id"]), int(r["label"]), list(r["embedding"]))
+        for r in qrows
+    ]
+    return hard_negative_join(emb, qvecs, k=5)
+
+
+@register(
+    "distinct_ngram_diversity",
+    oracle="""
+    WITH tk AS (
+      SELECT d.source, string_split(lower(d.text), ' ') AS t
+      FROM documents d
+    ),
+    g AS (
+      SELECT source, 1 AS n, unnest(t) AS gram FROM tk
+      UNION ALL
+      SELECT source, 2 AS n,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM tk WHERE len(t) >= 2
+      UNION ALL
+      SELECT source, 3 AS n,
+             unnest(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1] || ' '
+                                        || t[i + 2])) AS gram
+      FROM tk WHERE len(t) >= 3
+    )
+    SELECT source, CAST(n AS INTEGER) AS n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS diversity
+    FROM g GROUP BY source, n
+    """,
+)
+def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (distinct n-grams / total
+    n-grams for n = 1, 2, 3) — the standard self-repetition audit for
+    generated or templated corpora (low distinct-2/3 = the source is
+    re-serving the same phrasing; the self-BLEU-adjacent signal used to
+    catch model-generated spam and boilerplate farms before training).
+
+    Scale shape: n-grams are intra-row transforms over the token array
+    (no join, no window); grams collapse to 8-byte xxhash64 keys before
+    the distinct (invariant 7 — the oracle counts the same distincts on
+    strings), and each per-(source, n) aggregate partial-combines
+    map-side. Three scan passes (one per n) — each is scan-stage
+    codegen, and a combined pass would carry all three exploded gram
+    streams through one shuffle anyway. Docs shorter than n tokens are
+    filtered BEFORE the sequence transform on both sides (descending-
+    sequence gotcha, invariant 8/9 family)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+
+    def gram_frame(n: int) -> DataFrame:
+        base = docs.filter(F.size("t") >= n)
+        if n == 1:
+            g = F.explode("t").alias("gram")
+        else:
+            parts = [
+                f"element_at(t, i + {j})" for j in range(n)
+            ]
+            expr = (
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> concat_ws(' ', {', '.join(parts)}))"
+            )
+            g = F.explode(F.expr(expr)).alias("gram")
+        # explode in one select, hash in the next (nested generators
+        # are rejected at analysis — invariant 8)
+        return base.select("source", F.lit(n).alias("n"), g).select(
+            "source", "n", F.xxhash64("gram").alias("gh")
+        )
+
+    grams = gram_frame(1).unionByName(gram_frame(2)).unionByName(
+        gram_frame(3)
+    )
+    return grams.groupBy("source", "n").agg(
+        F.count("*").cast("long").alias("total_ngrams"),
+        F.countDistinct("gh").cast("long").alias("distinct_ngrams"),
+        F.round(
+            F.countDistinct("gh").cast("double") / F.count("*"), 6
+        ).alias("diversity"),
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d = 1..9, rounded
+# to 6dp in Python and inlined as identical literals into both engines.
+_BENFORD_EXP = [
+    0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757,
+]
+_BENFORD_SQL = "[" + ", ".join(repr(v) for v in _BENFORD_EXP) + "]::DOUBLE[]"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    d AS (
+      SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS INTEGER) AS digit
+      FROM cents
+    )
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM d), 6)
+             AS obs_share,
+           ({_BENFORD_SQL})[digit] AS exp_share,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM d)
+                 - ({_BENFORD_SQL})[digit], 6) AS deviation
+    FROM d GROUP BY digit
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of a monetary column: observed first-
+    significant-digit distribution of l_extendedprice vs the Benford
+    expectation log10(1 + 1/d) — the classic fabricated/synthetic-data
+    and unit-mixup detector for numeric feeds (a feed that switched
+    units, got truncated, or was generated uniformly shows up as a
+    gross deviation on digits 1 and 9 long before any schema check
+    fires).
+
+    Parity discipline: the first digit comes from the DECIMAL STRING of
+    exact integer cents (floor(x·100 + 0.5), invariant 15) — never from
+    log10 of a double, whose boundary behavior at exact powers of ten
+    is engine-dependent; expected shares are Python-rounded literals
+    inlined into both engines.
+
+    Scale shape: one scan-stage projection (integer cents → first
+    char), a 9-key aggregate that partial-combines map-side, and the
+    total folded in as a 1-row broadcast — the digit histogram never
+    shuffles more than 9 rows per partition."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    d = li.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    total = d.agg(F.count("*").alias("n_total"))
+    exp_terms = F.array(*[F.lit(v) for v in _BENFORD_EXP])
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_total"), 6
+            ).alias("obs_share"),
+            F.element_at(exp_terms, F.col("digit")).alias("exp_share"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_total")
+                - F.element_at(exp_terms, F.col("digit")),
+                6,
+            ).alias("deviation"),
+        )
+    )

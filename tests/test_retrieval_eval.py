@@ -1,0 +1,214 @@
+"""Second-oracle tests for the round-7 session-3 queries: each result
+is re-derived in pure Python/NumPy from the raw parquet (independent of
+both the Spark plan and the DuckDB SQL mirror), plus planted-truth
+kernels for the hard-negative mask semantics."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from svs_spark.queries import queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return queries()
+
+
+def _emb(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _brute_rank(qv: np.ndarray, cids: np.ndarray, cmat: np.ndarray, k: int):
+    """Ranked ids by (rounded score desc, id desc), top-k, mirroring the
+    knn ordering contract."""
+    scores = np.round(cmat @ qv, 6)
+    order = sorted(range(len(cids)), key=lambda i: (-scores[i], -cids[i]))
+    return [(int(cids[i]), float(scores[i])) for i in order[:k]]
+
+
+def test_retrieval_ndcg_matches_python(spark, registry):
+    out = (
+        registry["retrieval_ndcg_eval"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    emb = _emb(SF_DIR)
+    q = emb[emb.vec_id < 10]
+    c = emb[emb.vec_id >= 10]
+    cids = c.vec_id.to_numpy()
+    cmat = np.vstack(c.embedding.to_numpy()).astype(np.float64)
+    clab = c.label.to_numpy()
+    labcnt = collections.Counter(clab.tolist())
+    dcg_nano = [int(math.floor(1e9 / math.log2(r + 1) + 0.5)) for r in range(1, 11)]
+    idcg_cum = np.cumsum(dcg_nano)
+    rows = []
+    for _, qr in q.iterrows():
+        qv = np.asarray(qr.embedding, dtype=np.float64)
+        top = _brute_rank(qv, cids, cmat, 10)
+        lab_of = dict(zip(cids.tolist(), clab.tolist()))
+        rel = [1 if lab_of[cid] == qr.label else 0 for cid, _ in top]
+        n_rel_total = labcnt.get(qr.label, 0)
+        dcg = sum(r * dcg_nano[i] for i, r in enumerate(rel))
+        if n_rel_total == 0:
+            ndcg = 0.0
+        else:
+            ndcg = round(dcg / idcg_cum[min(10, n_rel_total) - 1], 6)
+        first = next((i + 1 for i, r in enumerate(rel) if r), None)
+        rr = 0.0 if first is None else round(1.0 / first, 6)
+        rows.append((int(qr.vec_id), sum(rel), n_rel_total, ndcg, rr))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "n_rel_top10", "n_rel_total", "ndcg10", "rr"]
+    ).sort_values("query_id").reset_index(drop=True)
+    assert len(out) == len(exp) == 10
+    for col in ("n_rel_top10", "n_rel_total"):
+        assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
+    for col in ("ndcg10", "rr"):
+        assert np.allclose(out[col].to_numpy(), exp[col].to_numpy(), atol=1e-9), col
+    # metric sanity: nDCG and RR live in [0, 1]
+    assert ((out.ndcg10 >= 0) & (out.ndcg10 <= 1)).all()
+    assert ((out.rr >= 0) & (out.rr <= 1)).all()
+
+
+def test_hard_negative_mining_matches_python(spark, registry):
+    out = (
+        registry["hard_negative_mining"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    emb = _emb(SF_DIR)
+    q = emb[emb.vec_id < 8]
+    ids = emb.vec_id.to_numpy()
+    mat = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+    lab = emb.label.to_numpy()
+    rows = []
+    for _, qr in q.iterrows():
+        qv = np.asarray(qr.embedding, dtype=np.float64)
+        mask = lab != qr.label
+        top = _brute_rank(qv, ids[mask], mat[mask], 5)
+        for rank, (cid, score) in enumerate(top, start=1):
+            rows.append((int(qr.vec_id), cid, score, rank))
+    exp = pd.DataFrame(rows, columns=["query_id", "vec_id", "score", "rank"])
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert (out.vec_id.to_numpy() == exp.vec_id.to_numpy()).all()
+    assert np.allclose(out.score.to_numpy(), exp.score.to_numpy(), atol=1e-9)
+    # no mined negative shares its query's label, and the query row
+    # itself never appears
+    lab_of = dict(zip(emb.vec_id.tolist(), emb.label.tolist()))
+    qlab_of = dict(zip(q.vec_id.tolist(), q.label.tolist()))
+    for _, r in out.iterrows():
+        assert lab_of[r.vec_id] != qlab_of[r.query_id]
+        assert r.vec_id != r.query_id
+
+
+def test_hard_negative_join_starvation_planted(spark):
+    """A query whose NEAREST rows are all same-label must still get k
+    negatives: the mask runs before the local top-k, so same-label rows
+    can't crowd the per-batch candidate set (the 'retrieve-then-filter'
+    failure mode this kernel exists to avoid). Corpus is forced into
+    several partitions so per-batch pruning is real."""
+    from svs_spark.operators.similarity import hard_negative_join
+
+    dim = 4
+    qv = [1.0, 0.0, 0.0, 0.0]
+    rows = []
+    # 40 same-label rows nearly identical to the query (would fill any
+    # plain top-k), 5 different-label rows clearly farther
+    for i in range(40):
+        rows.append((i, 0, [1.0 - 1e-6 * (i + 1), 0.0, 0.0, 0.0]))
+    for j in range(5):
+        rows.append((100 + j, 1, [0.5 - 0.01 * j, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).repartition(8)
+    out = (
+        hard_negative_join(df, [(7, 0, qv)], k=5)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert out.vec_id.tolist() == [100, 101, 102, 103, 104]
+    assert (out.score.to_numpy() == np.round(
+        [0.5, 0.49, 0.48, 0.47, 0.46], 6)).all()
+
+
+def test_hard_negative_join_fewer_than_k(spark):
+    """Fewer different-label rows than k: return what exists, never a
+    masked (same-label) row and never a -inf score."""
+    from svs_spark.operators.similarity import hard_negative_join
+
+    rows = [(i, 0, [float(i), 1.0]) for i in range(6)]
+    rows.append((10, 1, [0.0, 2.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = hard_negative_join(df, [(0, 0, [0.0, 1.0])], k=5).toPandas()
+    assert out.vec_id.tolist() == [10]
+    assert np.isfinite(out.score).all()
+
+
+def test_distinct_ngram_diversity_matches_python(spark, registry):
+    out = registry["distinct_ngram_diversity"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    exp_rows = {}
+    for n in (1, 2, 3):
+        per_src_total: dict = collections.Counter()
+        per_src_grams: dict = collections.defaultdict(set)
+        for _, d in docs.iterrows():
+            toks = d.text.lower().split(" ")
+            if len(toks) < n:
+                continue
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            per_src_total[d.source] += len(grams)
+            per_src_grams[d.source].update(grams)
+        for src in per_src_total:
+            tot = per_src_total[src]
+            dst = len(per_src_grams[src])
+            exp_rows[(src, n)] = (tot, dst, round(dst / tot, 6))
+    assert len(out) == len(exp_rows)
+    for _, r in out.iterrows():
+        tot, dst, div = exp_rows[(r.source, r.n)]
+        assert r.total_ngrams == tot, (r.source, r.n)
+        assert r.distinct_ngrams == dst, (r.source, r.n)
+        assert abs(r.diversity - div) < 1e-9
+    # unigram diversity can never be below bigram-gram-count effects:
+    # every diversity is a ratio in (0, 1]
+    assert ((out.diversity > 0) & (out.diversity <= 1)).all()
+
+
+def test_benford_first_digit_matches_python(spark, registry):
+    out = (
+        registry["benford_first_digit"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    px = li.l_extendedprice.to_numpy()
+    px = px[px > 0]
+    cents = np.floor(px * 100 + 0.5).astype(np.int64)
+    digits = np.array([int(str(c)[0]) for c in cents])
+    total = len(digits)
+    cnt = collections.Counter(digits.tolist())
+    exp_share = {
+        d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)
+    }
+    assert set(out.digit) == set(cnt)
+    for _, r in out.iterrows():
+        n = cnt[r.digit]
+        assert r.n == n
+        assert abs(r.obs_share - round(n / total, 6)) < 1e-9
+        assert abs(r.exp_share - exp_share[r.digit]) < 1e-9
+        assert abs(r.deviation - round(n / total - exp_share[r.digit], 6)) < 1e-9
+    # shares sum to ~1
+    assert abs(out.obs_share.sum() - 1.0) < 1e-4

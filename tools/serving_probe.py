@@ -137,6 +137,29 @@ def main() -> None:
 
         out["kcenter_k8_stats"] = median3(once)
         out["coverage_radii_k8"] = [round(r, 4) for r in run_kcenter(8)]
+
+        # batched candidate form (operators/clustering.kcenter_greedy):
+        # top-m farthest rows collected per pass, centers selected
+        # locally under the pigeonhole guard — same greedy sequence
+        # (equality asserted below against the sequential radii),
+        # ~2 corpus passes instead of k−1
+        from svs_spark.operators.clustering import kcenter_greedy
+
+        passes_seen = []
+
+        def once_batched():
+            t0 = time.perf_counter()
+            _, radii_b, n_passes = kcenter_greedy(
+                emb, 8, batch_candidates=4096
+            )
+            passes_seen.append(n_passes)
+            out["kcenter_batched_radii_equal"] = [
+                round(r, 4) for r in radii_b
+            ] == out["coverage_radii_k8"]
+            return time.perf_counter() - t0
+
+        out["kcenter_k8_batched_stats"] = median3(once_batched)
+        out["kcenter_k8_batched_passes"] = passes_seen[-1]
     else:
         raise SystemExit(f"unknown op: {op}")
 
