@@ -12481,3 +12481,150 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+@register(
+    "event_disorder_audit",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT event_type,
+             max(us) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) - us AS late_us
+      FROM e
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_late,
+           round(quantile_cont(late_us / 1000000.0, 0.5), 6) AS p50_late_s,
+           round(quantile_cont(late_us / 1000000.0, 0.95), 6) AS p95_late_s,
+           round(max(late_us) / 1000000.0, 6) AS max_late_s
+    FROM l GROUP BY event_type
+    """,
+)
+def q_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER audit: per event type, how late events
+    arrive relative to the running event-time high-water mark in
+    ARRIVAL order (event_id) — lateness = running max(ts so far) − ts.
+    This is the measurement that picks a Structured Streaming
+    WATERMARK: p95/max lateness bound the `withWatermark` delay below
+    which windowed state stays small and above which rows get dropped
+    (streaming/*.py all take that delay as a parameter; this query is
+    where its value comes from).
+
+    Scale shape: the running max per type is decomposed the two-level
+    sharding way (operators/sharding.py discipline) — an equi-width
+    event_id bucket from a 1-row min/max broadcast, a running max
+    WITHIN each (type, bucket) partition, and the cross-bucket prefix
+    max over the bounded bucket table broadcast back — so no window
+    ever partitions by type alone (which would single-task each type's
+    full history at 100 TB). The oracle is the single plain running-max
+    window, equal by construction."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    rng = ev.agg(
+        F.min("event_id").alias("_lo"), F.max("event_id").alias("_hi")
+    )
+    b = ev.crossJoin(F.broadcast(rng)).withColumn(
+        "_bucket",
+        F.floor(
+            (F.col("event_id") - F.col("_lo"))
+            * 512
+            / (F.col("_hi") - F.col("_lo") + 1)
+        ),
+    ).drop("_lo", "_hi")
+    w_in = (
+        Window.partitionBy("event_type", "_bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = b.withColumn("_run_in", F.max("us").over(w_in))
+    bmax = b.groupBy("event_type", "_bucket").agg(
+        F.max("us").alias("_bmax")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bmax.withColumn("_pre", F.max("_bmax").over(w_off)).select(
+        "event_type", "_bucket", "_pre"
+    )
+    late = (
+        b.join(F.broadcast(offs), ["event_type", "_bucket"])
+        .select(
+            "event_type",
+            (
+                F.greatest(
+                    F.col("_run_in"),
+                    F.coalesce(F.col("_pre"), F.col("_run_in")),
+                )
+                - F.col("us")
+            ).alias("late_us"),
+        )
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(F.when(F.col("late_us") > 0, 1)).cast("long").alias(
+            "n_late"
+        ),
+        F.round(
+            F.expr("percentile(late_us / 1000000.0, 0.5)"), 6
+        ).alias("p50_late_s"),
+        F.round(
+            F.expr("percentile(late_us / 1000000.0, 0.95)"), 6
+        ).alias("p95_late_s"),
+        F.round(F.max("late_us") / 1000000.0, 6).alias("max_late_s"),
+    )
+
+
+@register(
+    "join_key_skew_audit",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows_per_key,
+           round(quantile_cont(n, 0.5), 6) AS p50_rows_per_key,
+           round(quantile_cont(n, 0.99), 6) AS p99_rows_per_key,
+           round(max(n)::DOUBLE * count(*) / sum(n), 6) AS skew_factor
+    FROM c
+    """,
+)
+def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW audit over events.user_id: per-key row counts
+    summarized as key cardinality, hottest-key size, p50/p99 rows per
+    key, and skew factor = max / mean rows per key — the pre-flight
+    that decides whether a join on this key needs salting
+    (skew_salted_join), an AQE skew split, or nothing. A skew factor
+    near 1 means hash partitioning balances; a factor of 100+ means
+    one task owns the hot key's entire fan-in and the stage runs at
+    straggler speed regardless of cluster size.
+
+    Scale shape: ONE map-side-combining aggregate on the key (the same
+    exchange the audited join itself would do), then a single global
+    aggregate over key-cardinality rows; the skew factor is one double
+    division of exact BIGINTs. The exact percentiles are over per-key
+    counts (key cardinality, not row cardinality) — at 100 TB swap in
+    approx_percentile or the KLL sketch (operators/sketch.py) if even
+    the key table is huge."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows_per_key"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_rows_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_rows_per_key"),
+        F.round(
+            F.max("n").cast("double") * F.count("*") / F.sum("n"), 6
+        ).alias("skew_factor"),
+    )

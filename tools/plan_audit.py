@@ -52,6 +52,11 @@ ONE_ROW_CROSS_OK = {
     "domain_reweighting",  # crosses the 1-row corpus token total into
     # the per-(source, tok) tf table — same shape as
     # unigram_logprob_quality, of which it is the source-level sibling
+    "benford_first_digit",  # crosses the 1-row grand-total aggregate
+    # into the 9-row digit histogram
+    "event_disorder_audit",  # crosses the 1-row min/max event_id range
+    # into the scan-stage bucket expression (the two-level running-max
+    # decomposition) — same shape as hilbert/zorder's range broadcast
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
@@ -63,6 +68,9 @@ QUADRATIC_BY_DESIGN = {
     "embedding_near_dup",   # blocked-GEMM threshold pairs (oracle form)
     "knn_bruteforce",       # 10 query rows × corpus, the recall baseline
     "knn_self_top1",        # blocked-GEMM self-kNN block-pair sweep
+    "retrieval_ndcg_eval",  # 10 labeled eval rows × candidates — the
+    # eval-set brute force that scores the embedding itself (eval sets
+    # are bounded; the corpus side is the same one-pass scan)
 }
 ONE_ROW_CROSS_OK |= QUADRATIC_BY_DESIGN
 
