@@ -478,8 +478,9 @@ def kcenter_greedy(
     TakeOrdered.
 
     ``batch_candidates = m > 0`` is the BATCHED form: each pass
-    collects the top-m farthest rows (score asc, id asc — the same
-    total order the sequential form ranks by) WITH their vectors, then
+    collects the top-m farthest rows as (id, score) only — the
+    TakeOrdered heaps carry 16-byte rows, never 8·dim-byte payloads —
+    fetches the m candidate vectors with one pruned InSet scan, then
     selects centers locally, updating only the m candidates' scores per
     selection. Local selection is EXACT by a pigeonhole guard: every
     non-collected row's (score, id) pair was lexicographically greater
@@ -488,15 +489,22 @@ def kcenter_greedy(
     candidate's UPDATED pair is still ≤ the m-th candidate's ORIGINAL
     pair, no outside row can beat it, and the selection equals the
     sequential greedy's. When the guard trips, a fresh corpus pass
-    re-collects. With m ≳ a few × k the whole selection takes ~2 passes
-    instead of k − 1 (measured 7 passes → 2 at 1M×1536, k = 8).
+    re-collects.
+
+    Where it pays (measured at 1M×1536, PROBES_r07): the LARGE-k
+    coreset regime — k=64 takes 7 passes / 220 s vs the sequential's
+    63 passes / 1774 s (8.1×, identical output). At small k over
+    clustered data the guard trips after ~2 local picks (the farthest
+    candidates co-locate, and one selection re-covers its neighbors),
+    so k=8 stays on the sequential form — pick by k, not by default.
 
     Determinism matches the sequential form: scores are rounded to 6dp
     before any comparison (the repo-wide GEMM contract), and the local
     update's per-center GEMV is the same float64 BLAS reduction as the
     kernel's GEMM column; rounding to 6dp swamps any last-ulp blocking
-    difference. Collecting m rows × dim doubles is the only driver
-    transfer (m is a tuning constant, never data-sized)."""
+    difference. Collecting m (id, score) rows plus one m·dim vector
+    fetch is the only driver transfer (m is a tuning constant, never
+    data-sized)."""
     import numpy as np
 
     if k < 1:
@@ -530,20 +538,34 @@ def kcenter_greedy(
     m = int(batch_candidates)
     while len(center_ids) < k:
         n_passes += 1
+        # top-m (score asc, id asc) WITHOUT vectors: the TakeOrdered
+        # heaps then carry 16-byte rows instead of 8·dim-byte ones (at
+        # dim 1536 the payload-carrying sort dominated the pass cost —
+        # measured slower than the sequential form at 1M×1536)
         rows = (
             centroid_assign(embeddings, centers, id_col=id_col,
-                            vec_col=vec_col, keep_vec=True)
+                            vec_col=vec_col)
             .orderBy(F.asc("score"), F.asc(id_col))
             .limit(m)
+            .select(id_col, "score")
             .collect()
         )
         if not rows:
             break  # corpus smaller than the selected set
         cand_ids = np.asarray([int(r[id_col]) for r in rows], dtype=np.int64)
-        cand_mat = np.asarray(
-            [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
-        )
         scores = np.asarray([float(r["score"]) for r in rows])
+        # one pruned fetch of the m candidate vectors (InSet filter at
+        # the scan — m·dim doubles cross the driver, never the corpus)
+        vec_rows = (
+            embeddings.select(id_col, vec_col)
+            .filter(F.col(id_col).isin([int(i) for i in cand_ids]))
+            .collect()
+        )
+        vec_of = {int(r[id_col]): r[vec_col] for r in vec_rows}
+        cand_mat = np.asarray(
+            [[float(x) for x in vec_of[int(i)]] for i in cand_ids],
+            dtype=np.float64,
+        )
         # guard threshold: the LAST collected row's pair at collection
         # time; None when the whole remaining corpus fit in m rows
         # (then every row is in hand and the guard never trips)

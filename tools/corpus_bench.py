@@ -996,6 +996,48 @@ def main() -> None:
 
     run("domain_reweighting", domain_reweight)
 
+    # --- retrieval-eval pack at 1M (round-7 session 3) ---
+
+    def ngram_diversity():
+        # registered distinct_ngram_diversity shape: per-(source, n)
+        # distinct/total over xxhash64'd grams, n = 1, 2, 3
+        base = docs.select(
+            (F.col("doc_id") % 20).alias("source"),
+            F.split(F.lower("text"), " ").alias("t"),
+        )
+
+        def gram_frame(n: int):
+            b = base.filter(F.size("t") >= n)
+            if n == 1:
+                g = F.explode("t").alias("gram")
+            else:
+                parts = ", ".join(
+                    f"element_at(t, i + {j})" for j in range(n)
+                )
+                g = F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}),"
+                        f" i -> concat_ws(' ', {parts}))"
+                    )
+                ).alias("gram")
+            return b.select("source", F.lit(n).alias("n"), g).select(
+                "source", "n", F.xxhash64("gram").alias("gh")
+            )
+
+        grams = (
+            gram_frame(1).unionByName(gram_frame(2)).unionByName(gram_frame(3))
+        )
+        return (
+            grams.groupBy("source", "n")
+            .agg(
+                F.count("*").alias("total_ngrams"),
+                F.countDistinct("gh").alias("distinct_ngrams"),
+            )
+            .count()
+        )
+
+    run("distinct_ngram_diversity", ngram_diversity)
+
     print(
         json.dumps(
             {

@@ -61,6 +61,32 @@ def main() -> None:
 
         out["bulk_64q_stats"] = median3(once)
 
+    elif op == "hardneg64":
+        # masked bulk retrieval (hard-negative mining shape): same
+        # one-scan GEMM as bulk64 plus the per-batch label mask —
+        # measures what the mask costs at 1M×1536. Labels derive
+        # scan-stage from vec_id (the corpus generator's cluster id).
+        from pyspark.sql import functions as F
+
+        from svs_spark.operators.similarity import hard_negative_join
+        from tools.million_bench import N_CENTERS
+
+        labeled = emb.withColumn(
+            "label", F.pmod(F.col("vec_id"), F.lit(N_CENTERS)).cast("int")
+        )
+        qbatch = [
+            (i, i % N_CENTERS, make_query(100 + i, dim)) for i in range(64)
+        ]
+        hard_negative_join(labeled, qbatch[:2], 100).count()  # warm
+        assert hard_negative_join(labeled, qbatch, 100).count() == 64 * 100
+
+        def once():
+            t0 = time.perf_counter()
+            hard_negative_join(labeled, qbatch, 100).count()
+            return time.perf_counter() - t0
+
+        out["hardneg_64q_stats"] = median3(once)
+
     elif op in ("semdedup_reuse", "semdedup_standalone"):
         import tempfile
 
@@ -160,6 +186,31 @@ def main() -> None:
 
         out["kcenter_k8_batched_stats"] = median3(once_batched)
         out["kcenter_k8_batched_passes"] = passes_seen[-1]
+    elif op == "kcenter64":
+        # the LARGE-k coreset regime, where batching is the difference
+        # between feasible and not: sequential greedy = k−1 = 63 full
+        # corpus passes; the batched form re-collects only when its
+        # pigeonhole guard trips. Single rep per form (the gap is
+        # x-fold, not noise-scale); batched runs FIRST so any residual
+        # cache warmth favors the sequential baseline, not the claim.
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from svs_spark.operators.clustering import kcenter_greedy
+
+        kcenter_greedy(emb, 3, batch_candidates=4096)  # warm both paths
+        t0 = time.perf_counter()
+        ids_b, radii_b, passes_b = kcenter_greedy(
+            emb, 64, batch_candidates=4096
+        )
+        out["kcenter_k64_batched_sec"] = round(time.perf_counter() - t0, 3)
+        out["kcenter_k64_batched_passes"] = passes_b
+        t0 = time.perf_counter()
+        ids_s, radii_s, passes_s = kcenter_greedy(emb, 64)
+        out["kcenter_k64_sequential_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        out["kcenter_k64_sequential_passes"] = passes_s
+        out["kcenter_k64_equal"] = ids_b == ids_s and radii_b == radii_s
     else:
         raise SystemExit(f"unknown op: {op}")
 
