@@ -148,6 +148,26 @@ def main() -> None:
         ),
     )
 
+    from svs_spark.streaming.lateness import lateness_stream
+
+    # deterministic jitter pulls ~all rows below the running high-water
+    # mark so the monitor's cummax/state path does real work
+    drain(
+        "lateness_state",
+        lateness_stream(
+            stream().select(
+                "event_type",
+                "event_id",
+                (
+                    F.unix_micros("event_time")
+                    - F.pmod(F.xxhash64("event_id"), F.lit(100))
+                    * F.lit(500_000)
+                ).alias("us"),
+            )
+        ),
+        mode="update",
+    )
+
     print(
         json.dumps(
             {
