@@ -745,3 +745,66 @@ def test_pareto_frontier_broadcasts_price_table(spark, registry):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "Cartesian" not in plan, plan[:2000]
     assert "NestedLoop" not in plan, plan[:2000]
+
+
+def test_event_disorder_windows_are_bucket_partitioned(spark, registry):
+    """The running max must go through the TWO-LEVEL decomposition:
+    the corpus-sized window partitions on (event_type, _bucket) and
+    the cross-bucket prefix window runs only over the bounded offsets
+    table — no window may partition the corpus by event_type alone
+    (that single-tasks a type's full history at scale)."""
+    df = registry["event_disorder_audit"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    saw_bucketed = False
+    for line in plan.splitlines():
+        if "windowspecdefinition(event_type" in line:
+            assert "_bucket" in line, line
+            saw_bucketed = True
+    assert saw_bucketed, plan[:2000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_join_key_skew_audit_two_exchanges_only(spark, registry):
+    """One key-agg exchange (the same the audited join would pay) plus
+    the single-row global fold — nothing else; no window, no join."""
+    df = registry["join_key_skew_audit"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3, plan[:2000]  # key agg + global
+    assert "Window" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_hard_negative_mining_is_one_scan_kernel(spark, registry):
+    """The mask lives INSIDE the Arrow kernel: exactly one
+    FlatMapGroups/MapInPandas stage over one corpus scan, no join
+    against a label table, no cartesian, and the global resolve is a
+    per-query window over ≤ k·q·partitions rows."""
+    df = registry["hard_negative_mining"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") <= 2, plan[:2000]
+
+
+def test_distinct_ngram_diversity_no_join(spark, registry):
+    """n-grams are intra-row transforms: three Generate stages union
+    into one two-phase distinct aggregate — no join anywhere, and the
+    distinct runs on the 8-byte hashed gram (xxhash64 in the plan)."""
+    df = registry["distinct_ngram_diversity"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Generate") == 3, plan[:2000]
+    assert "xxhash64" in plan, plan[:2000]
+
+
+def test_retrieval_ndcg_label_totals_are_aggregates(spark, registry):
+    """The eval join is the bounded brute force (allowlisted); the
+    n_rel_total side must come from a label-cardinality aggregate
+    joined back broadcast — never a second corpus-sized shuffle —
+    and the DCG terms are literals (no log2 in the plan)."""
+    df = registry["retrieval_ndcg_eval"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "LOG2" not in plan.upper().replace("LOGICAL", ""), plan[:2000]
+    assert "BatchEvalPython" not in plan
