@@ -202,6 +202,7 @@ HEADLINE = [
     "benford_first_digit",
     "event_disorder_audit",
     "join_key_skew_audit",
+    "contrastive_triplets",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

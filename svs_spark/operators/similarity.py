@@ -594,3 +594,95 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, "rank int, vec_id long, mmr double, rel double"
     )
+
+
+def contrastive_pair_join(
+    embeddings: DataFrame,
+    query_vecs: "list[tuple[int, int, Sequence[float]]]",
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive TRIPLET mining in one corpus scan: for each labeled
+    anchor, the top-k most-similar SAME-label rows (positives — the
+    anchor row itself excluded by id) AND the top-k most-similar
+    DIFFERENT-label rows (the hardest negatives), tagged by a ``role``
+    column ('pos' / 'neg'). Anchor + positive + negative is exactly the
+    batch a triplet/InfoNCE fine-tune consumes; mining both roles in
+    the same GEMM pass halves the scan cost of running retrieval and
+    hard-negative mining separately.
+
+    Same kernel discipline as ``knn_join_batch`` / ``hard_negative_join``:
+    query matrix in the task closure, one BLAS GEMM per Arrow batch,
+    scores rounded to 6dp BEFORE local selection, per-role local top-k
+    with boundary ties kept, global per-(query, role) window resolves
+    (score desc, id desc). Exchange carries ≤ 2·k·q rows per batch.
+
+    ``query_vecs`` is [(query_id, query_label, vector), ...] — anchors
+    are corpus rows, so the id-based self-mask matters for positives
+    (an anchor is always its own nearest same-label neighbor).
+    """
+    import numpy as np
+
+    qids = [int(q) for q, _, _ in query_vecs]
+    qlabels = [int(lb) for _, lb, _ in query_vecs]
+    qmat_list = [[float(x) for x in v] for _, _, v in query_vecs]
+
+    def _role_rows(scores, ids, qid_arr, role, k):
+        # scores already masked (-inf = ineligible for this role)
+        take = min(k, scores.shape[0])
+        part = np.argpartition(-scores, take - 1, axis=0)[:take]
+        kth = np.take_along_axis(scores, part, axis=0).min(axis=0)
+        rows, cols = np.nonzero(
+            (scores >= kth[None, :]) & np.isfinite(scores)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": qid_arr[cols],
+                "role": role,
+                "vid": ids[rows],
+                "score": scores[rows, cols],
+            }
+        )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmat = np.asarray(qmat_list, dtype=np.float64).T  # (d, q)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        qlab_arr = np.asarray(qlabels, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy().astype(np.int64)
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            base = np.round(mat @ qmat, 6)  # (batch, q)
+            same = labs[:, None] == qlab_arr[None, :]
+            self_mask = ids[:, None] == qid_arr[None, :]
+            pos = base.copy()
+            pos[~same | self_mask] = -np.inf
+            neg = base.copy()
+            neg[same] = -np.inf
+            out = [
+                _role_rows(pos, ids, qid_arr, "pos", k),
+                _role_rows(neg, ids, qid_arr, "neg", k),
+            ]
+            out = [o for o in out if len(o)]
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = embeddings.select(id_col, vec_col, label_col).mapInPandas(
+        score, schema="query_id long, role string, vid long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("score"), F.desc("vid")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "role", F.col("vid").alias(id_col), "score", "rank"
+        )
+    )

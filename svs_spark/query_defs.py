@@ -12628,3 +12628,67 @@ def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("double") * F.count("*") / F.sum("n"), 6
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "contrastive_triplets",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    pos_s AS (
+      SELECT query_id, c.vec_id,
+             round(list_dot_product(qv, c.embedding::DOUBLE[]), 6) AS score
+      FROM q JOIN embeddings c
+        ON c.label = q.qlabel AND c.vec_id <> q.query_id
+    ),
+    neg_s AS (
+      SELECT query_id, c.vec_id,
+             round(list_dot_product(qv, c.embedding::DOUBLE[]), 6) AS score
+      FROM q JOIN embeddings c ON c.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT 'pos' AS role, query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id DESC) AS INTEGER) AS rank
+      FROM pos_s
+      UNION ALL
+      SELECT 'neg' AS role, query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id DESC) AS INTEGER) AS rank
+      FROM neg_s
+    )
+    SELECT query_id, role, vec_id, score, rank
+    FROM ranked WHERE rank <= 1
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet EXPORT: for each labeled anchor, its
+    hardest positive (most-similar same-label row, the anchor itself
+    excluded by id) and its hardest negative (most-similar
+    different-label row) — exactly the (anchor, positive, negative)
+    batch a triplet-loss / InfoNCE embedding fine-tune consumes, and
+    the last mile after retrieval_ndcg_eval says the ranking needs
+    work and hard_negative_mining says what confuses it.
+
+    Scale shape: BOTH roles are mined in ONE corpus scan
+    (similarity.contrastive_pair_join — one GEMM per Arrow batch, two
+    masked local top-1 selections, exchange carries ≤ 2·q rows per
+    batch); the self-exclusion mask matters because anchors are corpus
+    rows and would otherwise be their own nearest positive. The 8
+    labeled anchors are a bounded serving-batch literal, as in
+    knn_batch_topk."""
+    from svs_spark.operators.similarity import contrastive_pair_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "label", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = [
+        (int(r["vec_id"]), int(r["label"]), list(r["embedding"]))
+        for r in qrows
+    ]
+    return contrastive_pair_join(emb, qvecs, k=1)

@@ -808,3 +808,14 @@ def test_retrieval_ndcg_label_totals_are_aggregates(spark, registry):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "LOG2" not in plan.upper().replace("LOGICAL", ""), plan[:2000]
     assert "BatchEvalPython" not in plan
+
+
+def test_contrastive_triplets_one_scan_kernel(spark, registry):
+    """Both roles come from ONE Arrow kernel over one corpus scan —
+    no per-role second scan, no label join, no cartesian."""
+    df = registry["contrastive_triplets"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert plan.count("Scan parquet") <= 2, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
