@@ -58,6 +58,16 @@ def main() -> None:
         )
     print("  ... (k=5 per query; the contrastive-training batch)")
 
+    print("\n## 2b. Triplet export (hardest positive + negative per anchor)")
+    trip = reg["contrastive_triplets"](spark, SF).toPandas()
+    piv = trip.pivot(index="query_id", columns="role", values="score")
+    for qid, r in piv.iterrows():
+        print(
+            f"  q{qid}: pos {r['pos']:.4f} vs neg {r['neg']:.4f}"
+            f" (margin {r['pos'] - r['neg']:+.4f})"
+        )
+    print("  (negative margins = exactly the pairs a fine-tune should fix)")
+
     print("\n## 3. Corpus self-repetition (distinct-n diversity)")
     div = reg["distinct_ngram_diversity"](spark, SF).collect()
     worst = sorted((r for r in div if r["n"] == 3), key=lambda r: r["diversity"])
