@@ -282,3 +282,48 @@ def test_contrastive_pair_join_self_exclusion_planted(spark):
     assert by_role["pos"].vec_id == 1
     assert abs(by_role["pos"].score - 1.0) < 1e-9
     assert by_role["neg"].vec_id == 3
+
+
+def test_diversity_approx_twin_within_tolerance(spark, registry):
+    """The 100 TB swap the query docstring names: HLL
+    approx_count_distinct (rsd 2%) over the SAME hashed gram frames
+    must land within 5% of the exact distinct for every (source, n)
+    cell — the accuracy contract that licenses the swap at scale,
+    where the exact distinct's shuffle carries the full gram keyspace
+    and the sketch carries constant-size registers."""
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r.source, r.n): r.distinct_ngrams
+        for r in registry["distinct_ngram_diversity"](spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+
+    def gram_frame(n: int):
+        b = docs.filter(F.size("t") >= n)
+        if n == 1:
+            g = F.explode("t").alias("gram")
+        else:
+            parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+            g = F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}),"
+                    f" i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("gram")
+        return b.select("source", F.lit(n).alias("n"), g).select(
+            "source", "n", F.xxhash64("gram").alias("gh")
+        )
+
+    grams = gram_frame(1).unionByName(gram_frame(2)).unionByName(gram_frame(3))
+    approx = {
+        (r.source, r.n): r.d
+        for r in grams.groupBy("source", "n")
+        .agg(F.approx_count_distinct("gh", rsd=0.02).alias("d"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for key, ex in exact.items():
+        assert abs(approx[key] - ex) <= 0.05 * ex, (key, approx[key], ex)

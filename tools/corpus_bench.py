@@ -1038,6 +1038,49 @@ def main() -> None:
 
     run("distinct_ngram_diversity", ngram_diversity)
 
+    def ngram_diversity_approx():
+        # the 100 TB path: HLL approx_count_distinct (rsd 2%) replaces
+        # the exact distinct — partials are constant-size registers, so
+        # the shuffle carries sketches instead of the full gram keyspace
+        base = docs.select(
+            (F.col("doc_id") % 20).alias("source"),
+            F.split(F.lower("text"), " ").alias("t"),
+        )
+
+        def gram_frame(n: int):
+            b = base.filter(F.size("t") >= n)
+            if n == 1:
+                g = F.explode("t").alias("gram")
+            else:
+                parts = ", ".join(
+                    f"element_at(t, i + {j})" for j in range(n)
+                )
+                g = F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}),"
+                        f" i -> concat_ws(' ', {parts}))"
+                    )
+                ).alias("gram")
+            return b.select("source", F.lit(n).alias("n"), g).select(
+                "source", "n", F.xxhash64("gram").alias("gh")
+            )
+
+        grams = (
+            gram_frame(1).unionByName(gram_frame(2)).unionByName(gram_frame(3))
+        )
+        return (
+            grams.groupBy("source", "n")
+            .agg(
+                F.count("*").alias("total_ngrams"),
+                F.approx_count_distinct("gh", rsd=0.02).alias(
+                    "distinct_ngrams"
+                ),
+            )
+            .count()
+        )
+
+    run("distinct_ngram_diversity_approx", ngram_diversity_approx)
+
     print(
         json.dumps(
             {
