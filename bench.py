@@ -203,6 +203,11 @@ HEADLINE = [
     "event_disorder_audit",
     "join_key_skew_audit",
     "contrastive_triplets",
+    # round-8: driver-gated HLL twin (exact + sketch in one aggregate)
+    # and PAV isotonic calibration (cache-light, appended per the
+    # DEVNOTES #22 ordering rule)
+    "distinct_ngram_diversity_approx",
+    "isotonic_calibration",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all
@@ -213,10 +218,36 @@ HEADLINE = [
 ]
 
 
+def _calibration_spin() -> float:
+    """Time a fixed deterministic CPU workload (pure-Python LCG, ~0.3 s
+    on an idle core). The work is constant, so the measured seconds are
+    a direct probe of how much CPU this process is actually getting:
+    round-7's host degradation inflated identical code 1.5-8x and had
+    to be adjudicated after the fact with A/B controls (DEVNOTES #22);
+    this field makes a degraded run self-identifying in the artifact.
+    """
+    x = 1
+    t0 = time.perf_counter()
+    for _ in range(5_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    assert x >= 0
+    return round(time.perf_counter() - t0, 4)
+
+
+def _host_provenance(calib: float | None = None) -> dict:
+    la1, la5, la15 = os.getloadavg()
+    d = {"loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)]}
+    if calib is not None:
+        d["calib_sec"] = calib
+    return d
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    host_start = _host_provenance(_calibration_spin())
 
     from svs_spark.session import get_session
 
@@ -244,6 +275,13 @@ def main() -> None:
 
     registry = queries()
     names = [n for n in HEADLINE if n in registry]
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — solo-rerun a named subset with the
+    # identical warm/best-of-2 methodology (adjudicating suspected
+    # host-noise regressions without the other 130+ queries' cache churn)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in wanted]
     # warm: JVM + parquet footer caches + embeddings persist
     from pyspark import StorageLevel
 
@@ -270,6 +308,9 @@ def main() -> None:
     release_caches()  # building each query already released its
     # predecessor's caches; this drops the final query's set too
 
+    host_end = _host_provenance(_calibration_spin())
+    host = {"start": host_start, "end": host_end}
+
     total = round(sum(timings.values()), 4)
     # The driver captures only the TAIL of stdout (~2000 chars) and
     # parses the JSON line from it; the full per-query dict outgrew
@@ -279,7 +320,9 @@ def main() -> None:
     # plus as many per-query entries (in HEADLINE order) as fit a
     # 1850-char budget — deterministic greedy, always parseable.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    # a filtered solo run must not clobber the committed full-run artifact
+    full_name = "BENCH_SOLO.json" if only else "BENCH_FULL.json"
+    with open(os.path.join(here, full_name), "w") as f:
         json.dump(
             {
                 "metric": "headline_queries_total_warm",
@@ -287,6 +330,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
+                "host": host,
                 "sf": sf,
             },
             f,
@@ -297,7 +341,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "n_queries": len(timings),
-        "full": "BENCH_FULL.json",
+        "full": full_name,
+        "host": host,
         "sf": sf,
     }
     compact: dict[str, float] = {}
