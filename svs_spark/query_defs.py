@@ -5760,8 +5760,15 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode scan -> (doc, tok) map-side-combined tf
     aggregate (the only wide exchange carries distinct (doc, tok)
-    pairs, not raw tokens); the vocabulary and its 1-row total are
-    broadcast back onto tf (vocab << corpus at web scale); final
+    pairs, not raw tokens); the vocabulary join back onto tf is
+    SIZE-GATED at runtime rather than manually hinted — AQE measures
+    the materialized vocab stage and broadcasts it only when it is
+    under spark.sql.autoBroadcastJoinThreshold (64 MB here). On typical
+    corpora the word-type table is tiny and the final plan is a
+    BroadcastHashJoin; on 100 TB web text where types grow ~unboundedly
+    (URLs, typos -> 1e9 rows) the same plan degrades gracefully to a
+    plain shuffle join on tok instead of a driver/executor broadcast
+    OOM. The 1-row total stays an explicit broadcast (scalar). Final
     per-doc aggregate rides the same doc-keyed exchange as tf.
     """
     docs = load(spark, sf_dir, "documents")
@@ -5772,7 +5779,7 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
     bits = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
-    j = tf.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    j = tf.join(vocab, "tok").crossJoin(F.broadcast(total))
     per_tok_bits = F.col("tf") * (bits(F.col("total")) - bits(F.col("c")))
     return (
         j.groupBy("doc_id")
@@ -11964,10 +11971,14 @@ def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts).
 
     Scale shape: identical to unigram_logprob_quality — one explode
-    scan into a map-side-combined (source, tok) tf aggregate, vocabulary
-    + 1-row total broadcast back, per-source integer fold; the final
-    normalization is a window over |sources| rows. All sums are
-    integers, so no partial-aggregation merge-order drift."""
+    scan into a map-side-combined (source, tok) tf aggregate; the
+    vocabulary joins back under AQE's runtime size gate (broadcast
+    below autoBroadcastJoinThreshold, plain shuffle join on tok above
+    it — see unigram_logprob_quality's docstring for why the manual
+    hint was a 1e9-type broadcast OOM waiting at web scale); the 1-row
+    total is an explicit scalar broadcast; per-source integer fold;
+    the final normalization is a window over |sources| rows. All sums
+    are integers, so no partial-aggregation merge-order drift."""
     docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -11975,9 +11986,7 @@ def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
-    bits = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
-    j = tf.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
-    per_tok_bits = F.col("tf") * (bits(F.col("total")) - bits(F.col("c")))
+    j = tf.join(vocab, "tok").crossJoin(F.broadcast(total))
     s = j.groupBy("source").agg(
         F.sum("tf").alias("n_tokens"),
         F.expr(

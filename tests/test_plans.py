@@ -223,14 +223,34 @@ def test_gapfill_windows_share_user_exchange(spark, registry):
         assert "NestedLoop" not in plan, (name, plan[:2000])
 
 
-def test_unigram_quality_broadcasts_vocab(spark, registry):
-    """The vocabulary (and its 1-row total) must broadcast back onto
-    the (doc, tok) tf table — a sort-merge join here would shuffle the
-    whole corpus by token a second time."""
-    df = registry["unigram_logprob_quality"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan[:2000]
-    assert "SortMergeJoin" not in plan, plan[:2000]
+def test_unigram_quality_vocab_join_is_size_gated(spark, registry):
+    """The vocabulary join back onto tf is runtime-size-gated, not
+    manually hinted (a forced broadcast is an OOM on 1e9-type web-scale
+    vocabularies). Two properties, for both unigram-LM queries:
+
+    1. at sf scale AQE's measured vocab size is under the threshold,
+       so the FINAL adaptive plan runs a BroadcastHashJoin on tok;
+    2. with the threshold disabled (simulating an over-threshold
+       vocab) the same query falls back to a plain shuffle join on tok
+       and produces IDENTICAL results.
+    """
+    for name in ("unigram_logprob_quality", "domain_reweighting"):
+        df = registry[name](spark, SF_DIR)
+        base = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, (name, plan[:500])
+        assert "BroadcastHashJoin [tok" in plan, (name, plan[:3000])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df2 = registry[name](spark, SF_DIR)
+            got = sorted(map(tuple, df2.collect()))
+            plan2 = df2._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin [tok" in plan2, (name, plan2[:3000])
+            assert "BroadcastHashJoin [tok" not in plan2, (name, plan2[:3000])
+            assert got == base, name
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_kmeans_assign_corpus_never_shuffles_for_scoring(spark, registry):
