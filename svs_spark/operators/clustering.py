@@ -504,7 +504,13 @@ def kcenter_greedy(
     kernel's GEMM column; rounding to 6dp swamps any last-ulp blocking
     difference. Collecting m (id, score) rows plus one m·dim vector
     fetch is the only driver transfer (m is a tuning constant, never
-    data-sized)."""
+    data-sized).
+
+    If ``k`` exceeds the corpus row count, selection stops at corpus
+    exhaustion and FEWER than k centers are returned (each pass
+    excludes already-selected ids with a scan-stage InSet filter —
+    ≤ k int64s against the GEMM, negligible — so the greedy can never
+    re-emit a chosen id)."""
     import numpy as np
 
     if k < 1:
@@ -520,16 +526,26 @@ def kcenter_greedy(
     radii: list[float] = []
     n_passes = 0
 
+    def _remaining() -> DataFrame:
+        # already-selected ids can never be re-picked: without this,
+        # k > |corpus| silently loops emitting duplicate center ids
+        return embeddings.filter(
+            ~F.col(id_col).isin([int(i) for i in center_ids])
+        )
+
     if batch_candidates <= 0:
         while len(center_ids) < k:
             n_passes += 1
-            top = (
-                centroid_assign(embeddings, centers, id_col=id_col,
+            picked = (
+                centroid_assign(_remaining(), centers, id_col=id_col,
                                 vec_col=vec_col, keep_vec=True)
                 .orderBy(F.asc("score"), F.asc(id_col))
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not picked:
+                break  # corpus exhausted: fewer than k centers exist
+            top = picked[0]
             radii.append(round(1.0 - float(top["score"]), 6))
             center_ids.append(int(top[id_col]))
             centers.append((len(centers), [float(x) for x in top[vec_col]]))
@@ -543,7 +559,7 @@ def kcenter_greedy(
         # dim 1536 the payload-carrying sort dominated the pass cost —
         # measured slower than the sequential form at 1M×1536)
         rows = (
-            centroid_assign(embeddings, centers, id_col=id_col,
+            centroid_assign(_remaining(), centers, id_col=id_col,
                             vec_col=vec_col)
             .orderBy(F.asc("score"), F.asc(id_col))
             .limit(m)

@@ -35,6 +35,26 @@ from pyspark.sql import DataFrame, functions as F
 from svs_spark.functions.vector import dot, dot_literal
 
 
+def _label_values(pdf: pd.DataFrame, label_col: str):
+    """Kernel-side label extraction with a CLEAR failure mode: the
+    label column is cast to long on the DataFrame side (so incompatible
+    types fail at plan time), which turns nulls / uncastable values
+    into NaN — surface those here with an actionable message instead of
+    the opaque numpy 'cannot convert float NaN to integer' deep in the
+    executor."""
+    import numpy as np
+
+    s = pdf[label_col]
+    if s.isna().any():
+        raise ValueError(
+            f"label column {label_col!r} contains null (or non-integer, "
+            "cast-failed) values; hard-negative / contrastive mining "
+            "requires non-null integer labels — filter or fill them "
+            "before mining"
+        )
+    return s.to_numpy().astype(np.int64)
+
+
 def with_scores(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -330,6 +350,10 @@ def hard_negative_join(
 
     ``query_vecs`` is [(query_id, query_label, vector), ...] — a
     bounded serving-style literal batch, like knn_join_batch's.
+
+    ``label_col`` must hold non-null integer-castable values: it is
+    cast to long on the DataFrame side (incompatible types fail at
+    plan time) and nulls raise a clear ValueError in the kernel.
     """
     import numpy as np
 
@@ -345,7 +369,7 @@ def hard_negative_join(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            labs = pdf[label_col].to_numpy().astype(np.int64)
+            labs = _label_values(pdf, label_col)
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             # round BEFORE masking/selection: the global window ranks by
             # rounded score, so pruning on unrounded values could drop
@@ -369,9 +393,11 @@ def hard_negative_join(
                 }
             )
 
-    partials = embeddings.select(id_col, vec_col, label_col).mapInPandas(
-        score, schema=f"query_id long, {id_col} long, score double"
-    )
+    # cast plan-side: a structurally incompatible label type (array,
+    # struct, ...) fails HERE with an AnalysisException, not mid-stage
+    partials = embeddings.select(
+        id_col, vec_col, F.col(label_col).cast("long").alias(label_col)
+    ).mapInPandas(score, schema=f"query_id long, {id_col} long, score double")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -622,6 +648,8 @@ def contrastive_pair_join(
     ``query_vecs`` is [(query_id, query_label, vector), ...] — anchors
     are corpus rows, so the id-based self-mask matters for positives
     (an anchor is always its own nearest same-label neighbor).
+    ``label_col`` follows the same non-null integer contract as
+    ``hard_negative_join``.
     """
     import numpy as np
 
@@ -654,7 +682,7 @@ def contrastive_pair_join(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            labs = pdf[label_col].to_numpy().astype(np.int64)
+            labs = _label_values(pdf, label_col)
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             base = np.round(mat @ qmat, 6)  # (batch, q)
             same = labs[:, None] == qlab_arr[None, :]
@@ -671,7 +699,10 @@ def contrastive_pair_join(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    partials = embeddings.select(id_col, vec_col, label_col).mapInPandas(
+    # same plan-side cast rule as hard_negative_join (see comment there)
+    partials = embeddings.select(
+        id_col, vec_col, F.col(label_col).cast("long").alias(label_col)
+    ).mapInPandas(
         score, schema="query_id long, role string, vid long, score double"
     )
     from pyspark.sql.window import Window

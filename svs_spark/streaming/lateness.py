@@ -22,6 +22,18 @@ audit's (n_events, n_late, max_late) per type — that equivalence is
 the parity test; a two-trigger split must produce the same totals as
 the one-shot drain (prefix-consistency test).
 
+PRECONDITION for batch equivalence: trigger splits must be
+event_id-PREFIX-ALIGNED per type — every event_id in trigger T+1 is
+greater than every event_id the type saw through trigger T (true for
+any source that delivers in arrival order, e.g. an append-only log
+consumed in sequence). If a source replays or reorders ACROSS
+triggers — a later trigger carrying event_ids that precede
+already-processed ones — the carried high-water mark (legitimately,
+from the monitor's arrival-time view) scores those rows as late,
+which the offline batch audit, sorting the whole history by
+event_id, would not. That is a property of cross-trigger replay, not
+a bug: the monitor measures lateness as experienced by the pipeline.
+
 Scale shape: 1 long of state per event_type; the only exchange is the
 groupBy(event_type) hash partitioning; output is |types| rows per
 trigger regardless of volume.

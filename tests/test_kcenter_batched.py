@@ -101,3 +101,29 @@ def test_k_validation(spark):
     df = _df(spark, np.eye(3))
     with pytest.raises(ValueError):
         kcenter_greedy(df, k=0)
+
+
+@pytest.mark.parametrize("m", [0, 4])
+def test_k_exceeding_corpus_stops_at_exhaustion(spark, m):
+    """k > |corpus| must stop when every row is a center — unique ids,
+    len == corpus size — not silently emit duplicate center ids
+    (round-7 ADVICE: both forms previously re-picked chosen rows)."""
+    rng = np.random.default_rng(13)
+    vecs = _rand_unit(rng, 7, 5)
+    df = _df(spark, vecs)
+    ids, radii, _ = kcenter_greedy(df, k=20, batch_candidates=m)
+    assert sorted(ids) == list(range(7))  # every row once, none twice
+    assert len(radii) == 6  # one radius per non-seed selection
+
+
+def test_exhaustion_keeps_duplicate_vector_rows(spark):
+    """Exhaustion is by ID, not by score: distinct rows holding
+    identical vectors still all get selected (radius 0), so corpora
+    with exact duplicates keep full-k behavior."""
+    rng = np.random.default_rng(17)
+    base = _rand_unit(rng, 3, 4)
+    vecs = np.vstack([base, base])  # 6 rows, 3 distinct vectors
+    df = _df(spark, vecs)
+    ids, radii, _ = kcenter_greedy(df, k=10, batch_candidates=4)
+    assert sorted(ids) == list(range(6))
+    assert radii[-1] == 0.0  # the tail picks are exact duplicates

@@ -155,6 +155,35 @@ def test_hard_negative_join_fewer_than_k(spark):
     assert np.isfinite(out.score).all()
 
 
+def test_label_validation_surfaces_clearly(spark):
+    """Round-7 ADVICE: a null label used to die deep in the executor
+    with an opaque 'cannot convert NaN to integer'. Now the label
+    column is cast long plan-side and nulls raise a clear ValueError
+    naming the column; string labels that parse as integers still work
+    (the cast accepts them)."""
+    from pyspark.errors import PythonException
+    from svs_spark.operators.similarity import (
+        contrastive_pair_join,
+        hard_negative_join,
+    )
+
+    rows = [(0, 0, [1.0, 0.0]), (1, None, [0.0, 1.0]), (2, 1, [0.5, 0.5])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    for fn in (hard_negative_join, contrastive_pair_join):
+        with pytest.raises(PythonException, match="non-null integer labels"):
+            fn(df, [(0, 0, [1.0, 0.0])], k=2).collect()
+
+    # integer-valued string labels cast cleanly and behave identically
+    srows = [(0, "0", [1.0, 0.0]), (1, "1", [0.9, 0.1]), (2, "1", [0.0, 1.0])]
+    sdf = spark.createDataFrame(
+        srows, "vec_id long, label string, embedding array<double>"
+    )
+    out = hard_negative_join(sdf, [(0, 0, [1.0, 0.0])], k=1).toPandas()
+    assert out.vec_id.tolist() == [1]
+
+
 def test_distinct_ngram_diversity_matches_python(spark, registry):
     out = registry["distinct_ngram_diversity"](spark, SF_DIR).toPandas()
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")

@@ -73,6 +73,15 @@ def test_two_trigger_hwm_carries(spark, tmp_path):
     src.mkdir()
     a.to_parquet(src / "part-a.parquet")
     b.to_parquet(src / "part-b.parquet")
+    # FileStreamSource orders files by modification time; back-to-back
+    # writes can share an mtime, which would reverse trigger order and
+    # invalidate the rep_a-then-rep_b replay below. Force the order.
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "part-a.parquet", (now - 10, now - 10))
+    _os.utime(src / "part-b.parquet", (now, now))
 
     schema = spark.read.parquet(str(src)).schema
     stream = (
