@@ -57,6 +57,11 @@ ONE_ROW_CROSS_OK = {
     "event_disorder_audit",  # crosses the 1-row min/max event_id range
     # into the scan-stage bucket expression (the two-level running-max
     # decomposition) — same shape as hilbert/zorder's range broadcast
+    "isotonic_calibration",  # the PAV minimax triangle: theta joins
+    # (i <= j, i <= bin <= j) over the <=10-row BIN table — constant
+    # work at any corpus size; the data-sized path is the one 10-bin
+    # aggregate plus the 1-row max broadcast (score_calibration_bins
+    # shape)
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM
