@@ -208,6 +208,8 @@ HEADLINE = [
     # DEVNOTES #22 ordering rule)
     "distinct_ngram_diversity_approx",
     "isotonic_calibration",
+    "matryoshka_recall_eval",
+    "kcenter_coreset_batched",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

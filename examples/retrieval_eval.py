@@ -109,6 +109,30 @@ def main() -> None:
     )
     print("  (factor ~1 = hash partitioning balances; 100+ = salt it)")
 
+    print("\n## 6b. Score calibration (isotonic / PAV fit)")
+    cal = sorted(
+        reg["isotonic_calibration"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    for r in cal:
+        pooled = " (pooled)" if r["calibrated"] != r["raw_rate"] else ""
+        print(
+            f"  bin {r['bin']}: raw {r['raw_rate']:.4f} ->"
+            f" calibrated {r['calibrated']:.4f}{pooled}  n={r['n_docs']}"
+        )
+    print("  (monotone fit: trust the magnitudes after this, not before)")
+
+    print("\n## 6c. Truncated-dimension recall (Matryoshka eval)")
+    for r in sorted(
+        reg["matryoshka_recall_eval"](spark, SF).collect(),
+        key=lambda r: r["dims"],
+    ):
+        print(
+            f"  d={r['dims']:>3}: recall@10 = {r['recall_at_10']:.2f}"
+            f" ({r['n_hits']}/100)"
+        )
+    print("  (ship the smallest d whose recall your product tolerates)")
+
     print("\n## 7. Diverse coreset via BATCHED greedy k-center")
     from pyspark.sql import functions as F
 

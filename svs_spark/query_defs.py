@@ -11808,9 +11808,7 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCENTER_DOT = "round(1 - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
 
 
-@register(
-    "kcenter_coreset",
-    oracle=f"""
+_KCENTER_ORACLE = f"""
     WITH seed AS (SELECT min(vec_id) AS vec_id FROM embeddings),
     c1 AS (SELECT e.vec_id, e.embedding
            FROM embeddings e JOIN seed s ON e.vec_id = s.vec_id),
@@ -11832,8 +11830,10 @@ _KCENTER_DOT = "round(1 - list_dot_product(e.embedding::DOUBLE[], c.embedding::D
     UNION ALL SELECT 2, vec_id, md FROM p2
     UNION ALL SELECT 3, vec_id, md FROM p3
     UNION ALL SELECT 4, vec_id, md FROM p4
-    """,
-)
+    """
+
+
+@register("kcenter_coreset", oracle=_KCENTER_ORACLE)
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset selection (Gonzalez 1985; the diversity-
     sampling half of modern data-selection recipes): seed with the
@@ -12913,4 +12913,123 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("n_pos"),
         F.round(F.col("p").cast("double") / F.col("n"), 6).alias("raw_rate"),
         F.round("calv", 6).alias("calibrated"),
+    )
+
+
+def _matryoshka_oracle() -> str:
+    branch = """
+      SELECT {d} AS dims, q.qid, c.vec_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_dot_product(q.qv[1:{d}],
+                                               c.cv[1:{d}]), 6) DESC,
+                        c.vec_id DESC
+             ) AS rn
+      FROM q JOIN c ON true"""
+    branches = " UNION ALL ".join(branch.format(d=d) for d in (8, 16, 32))
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    full_rank AS (
+      SELECT q.qid, c.vec_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_dot_product(q.qv, c.cv), 6) DESC,
+                        c.vec_id DESC
+             ) AS rn
+      FROM q JOIN c ON true
+    ),
+    full10 AS (SELECT qid, vec_id FROM full_rank WHERE rn <= 10),
+    tr AS ({branches}),
+    tr10 AS (SELECT dims, qid, vec_id FROM tr WHERE rn <= 10),
+    hits AS (
+      SELECT t.dims, CAST(count(*) AS BIGINT) AS n_hits
+      FROM tr10 t JOIN full10 f USING (qid, vec_id)
+      GROUP BY 1
+    )
+    SELECT CAST(dims AS INTEGER) AS dims, n_hits,
+           round(n_hits / 100.0, 6) AS recall_at_10
+    FROM hits
+    """
+
+
+@register("matryoshka_recall_eval", oracle=_matryoshka_oracle())
+def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval evaluation: rank the
+    corpus by PREFIX-dot of the first d dims (d = 8, 16, 32) and report
+    top-10 recall against the full-dimension exact top-10 — the
+    dim-vs-recall tradeoff table an embedding team reads before
+    shipping truncated vectors (Kusupati et al. 2022's MRL eval loop;
+    serving at d/8 of the width cuts index RAM and GEMM FLOPs by the
+    same factor, IF recall holds — this measures the IF).
+
+    Parity discipline: truncation is a pure array slice in both
+    engines (F.slice / list[1:d]); every score is the rounded-6 dot of
+    identical doubles, ties id-desc — the repo-wide knn contract, so
+    the recall counts are exact integers.
+
+    Scale shape: the eval set is bounded (10 queries — the
+    QUADRATIC_BY_DESIGN eval-brute-force family, like
+    retrieval_ndcg_eval); each width is one corpus scan with the
+    slice folded into the scan stage. At 100 TB the three widths fuse
+    into ONE GEMM pass (prefix dots are partial sums of the full dot —
+    one kernel emits per-width local top-k in a single corpus read,
+    the knn_join_batch shape with a widths axis); the per-width
+    composition here keeps the driver-gated form identical to the
+    oracle's."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    full10 = A.knn_join(q, c, k=10).select("query_id", "vec_id")
+    parts = []
+    for d in (8, 16, 32):
+        qd = q.select(
+            "query_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        cd = c.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        parts.append(
+            A.knn_join(qd, cd, k=10).select(
+                F.lit(d).alias("dims"), "query_id", "vec_id"
+            )
+        )
+    tr10 = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hits = tr10.join(full10, ["query_id", "vec_id"])
+    return hits.groupBy("dims").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.count("*") / F.lit(100.0), 6).alias("recall_at_10"),
+    )
+
+
+@register("kcenter_coreset_batched", oracle=_KCENTER_ORACLE)
+def q_kcenter_coreset_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED (top-m candidate, pigeonhole-guard) greedy k-center —
+    operators/clustering.kcenter_greedy with batch_candidates > 0 —
+    driver-gated against the IDENTICAL unrolled-CTE oracle the
+    sequential kcenter_coreset uses. The guard argument (no uncollected
+    row can beat a candidate whose updated (score, id) pair is still
+    within the collected bound, because min-scores only rise) makes the
+    batched selection EXACTLY the sequential greedy's; registering both
+    forms against one oracle turns that equality into a per-round
+    driver check instead of a pytest-only property (r7 verdict, What's
+    missing #3).
+
+    Scale shape: corpus passes drop from k−1 to ~2 — each pass is one
+    map-only GEMM (centers in the task closure) + a TakeOrdered(m)
+    collect of 16-byte (id, score) rows + one InSet-pruned fetch of the
+    m candidate vectors; local selection updates only the m candidates.
+    Measured at 1M×1536: k=64 in 7 passes / 220 s vs 63 passes / 1774 s
+    sequential (PROBES_r07), identical output."""
+    from svs_spark.operators.clustering import kcenter_greedy
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids, radii, _ = kcenter_greedy(emb, k=4, batch_candidates=64)
+    picks = [(1, ids[0], None)] + [
+        (r + 2, ids[r + 1], radii[r]) for r in range(3)
+    ]
+    return spark.createDataFrame(
+        picks, "pick_round long, vec_id long, radius double"
     )

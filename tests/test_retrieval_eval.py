@@ -356,3 +356,34 @@ def test_diversity_approx_twin_within_tolerance(spark, registry):
     assert set(approx) == set(exact)
     for key, ex in exact.items():
         assert abs(approx[key] - ex) <= 0.05 * ex, (key, approx[key], ex)
+
+
+def test_matryoshka_recall_matches_numpy(spark, registry):
+    """Prefix-dot recall vs a NumPy twin: same rounded-6 scores, same
+    id-desc tie rule, exact hit counts; recall must not be vacuously 0
+    or 1 across all widths on this corpus."""
+    out = {
+        int(r.dims): (r.n_hits, r.recall_at_10)
+        for r in registry["matryoshka_recall_eval"](spark, SF_DIR).collect()
+    }
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    mat = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    qm, qids = mat[ids < 10], ids[ids < 10]
+    cm, cids = mat[ids >= 10], ids[ids >= 10]
+
+    def top10(qv, cv):
+        s = np.round(cv @ qv.T, 6)  # (n_c, n_q)
+        res = {}
+        for j, qid in enumerate(qids):
+            order = np.lexsort((-cids, -s[:, j]))
+            res[qid] = set(cids[order[:10]])
+        return res
+
+    full = top10(qm, cm)
+    for d in (8, 16, 32):
+        tr = top10(qm[:, :d], cm[:, :d])
+        hits = sum(len(tr[q] & full[q]) for q in qids)
+        assert out[d] == (hits, round(hits / 100.0, 6)), d
+    vals = [out[d][0] for d in (8, 16, 32)]
+    assert 0 < min(vals) and max(vals) < 100

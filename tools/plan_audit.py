@@ -76,6 +76,9 @@ QUADRATIC_BY_DESIGN = {
     "retrieval_ndcg_eval",  # 10 labeled eval rows × candidates — the
     # eval-set brute force that scores the embedding itself (eval sets
     # are bounded; the corpus side is the same one-pass scan)
+    "matryoshka_recall_eval",  # same bounded-eval family: 10 queries ×
+    # corpus per truncation width; widths fuse into one GEMM pass at
+    # scale (prefix dots are partial sums — see the query docstring)
 }
 ONE_ROW_CROSS_OK |= QUADRATIC_BY_DESIGN
 
