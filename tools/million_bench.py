@@ -439,6 +439,43 @@ def main() -> None:
     pq_query_s, pq_stats = median3(_pq_rep)
     pq_recall = sum(pq_recalls) / len(pq_recalls)
 
+    # --- first-position adjudication (r7 verdict What's-wrong #3): the
+    # full bench's late stages inherit page-cache / JIT / persisted-frame
+    # state from ~15 earlier stages, and r7 measured bulk_64q and the
+    # semdedup pair stage swapping by run ORDER alone. The headline keys
+    # below therefore report FRESH-PROCESS single-op probes
+    # (tools/serving_probe.py, the r7 adjudicator) run right here, and
+    # the same-process values stay under *_in_run_* with provenance —
+    # the artifact carries both, self-consistently, in one invocation.
+    # SPARK_GRAFT_SKIP_PROBES=1 skips them (quick iteration).
+    probe_out: dict = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_PROBES"):
+        import subprocess
+
+        probe_py = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "serving_probe.py"
+        )
+        for op in ("bulk64", "semdedup_reuse"):
+            try:
+                r = subprocess.run(
+                    [sys.executable, probe_py, op, str(n), str(dim)],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                line = [
+                    ln for ln in r.stdout.splitlines() if ln.startswith("{")
+                ][-1]
+                probe_out[op] = json.loads(line)
+            except Exception as e:  # noqa: BLE001
+                probe_out[op] = {"error": f"{type(e).__name__}: {e}"}
+    bulk_probe = probe_out.get("bulk64", {}).get("bulk_64q_stats")
+    sem_probe = probe_out.get("semdedup_reuse", {}).get(
+        "pair_stage_sec_first_position"
+    )
+    bulk_headline = bulk_probe["median"] if bulk_probe else round(bulk_s, 3)
+    sem_headline = sem_probe if sem_probe is not None else round(semdedup_s, 3)
+    _prov_probe = "first-position probe (fresh process, serving_probe.py)"
+    _prov_inrun = "in-run (probe skipped/failed — order-confounded)"
+
     print(
         json.dumps(
             {
@@ -452,9 +489,14 @@ def main() -> None:
                 "sql_path_stats": sql_stats,
                 "batch_path_sec": round(batch_s, 3),
                 "batch_path_stats": batch_stats,
-                "bulk_64q_sec": round(bulk_s, 3),
-                "bulk_64q_stats": bulk_stats,
-                "bulk_queries_per_sec": round(64 / bulk_s, 2),
+                "bulk_64q_sec": bulk_headline,
+                "bulk_64q_provenance": (
+                    _prov_probe if bulk_probe else _prov_inrun
+                ),
+                "bulk_64q_probe_stats": bulk_probe,
+                "bulk_64q_in_run_sec": round(bulk_s, 3),
+                "bulk_64q_in_run_stats": bulk_stats,
+                "bulk_queries_per_sec": round(64 / bulk_headline, 2),
                 "ivf_train_sec": round(train_s, 3),
                 "ivf_build_sec": round(ivf_build_s, 3),
                 "ivf_probes": probes,
@@ -488,7 +530,14 @@ def main() -> None:
                 "pq_recall_at_100": round(pq_recall, 4),
                 # default composition: reuses the IVF index's labels
                 # (ivf_assigned_frame) — no corpus × centroids GEMM
-                "semdedup_pairs_sec": round(semdedup_s, 3),
+                "semdedup_pairs_sec": sem_headline,
+                "semdedup_pairs_provenance": (
+                    _prov_probe if sem_probe is not None else _prov_inrun
+                ),
+                "semdedup_pairs_probe_found": probe_out.get(
+                    "semdedup_reuse", {}
+                ).get("pairs_found"),
+                "semdedup_pairs_in_run_sec": round(semdedup_s, 3),
                 "semdedup_pairs_found": sem_pairs,
                 "semdedup_uses_ivf_label_reuse": True,
                 "semdedup_skipped_clusters": sem_skip.get(

@@ -186,6 +186,59 @@ def main() -> None:
 
         out["kcenter_k8_batched_stats"] = median3(once_batched)
         out["kcenter_k8_batched_passes"] = passes_seen[-1]
+    elif op == "ndcg64":
+        # retrieval-eval shape at scale (r7 verdict ask #7): a bounded
+        # labeled eval set (64 queries) scored against the full corpus
+        # with the one-scan GEMM, then nDCG@10 / RR arithmetic over the
+        # 640 surviving rows — the registered retrieval_ndcg_eval's
+        # 100 TB shape (eval sets are bounded; the corpus side is the
+        # same one-pass scan the bulk path uses). Labels derive
+        # scan-stage from vec_id (the corpus generator's cluster id),
+        # relevance = candidate shares the query's label.
+        import math
+
+        from pyspark.sql import functions as F
+
+        from svs_spark.operators.similarity import knn_join_batch
+        from tools.million_bench import N_CENTERS
+
+        labeled = emb.withColumn(
+            "label", F.pmod(F.col("vec_id"), F.lit(N_CENTERS)).cast("int")
+        )
+        qbatch = [(i, make_query(100 + i, dim)) for i in range(64)]
+        # make_query(seed) draws near centers[seed % N_CENTERS], and a
+        # corpus row's label is vec_id % N_CENTERS — so the query's
+        # true label is (100+i) % N_CENTERS (a well-ranked corpus
+        # yields nDCG ~1, making the metric a sanity check, not noise)
+        qlabel = {i: (100 + i) % N_CENTERS for i in range(64)}
+        knn_join_batch(labeled, qbatch[:2], 10).count()  # warm
+
+        ndcgs: list = []
+
+        def once():
+            t0 = time.perf_counter()
+            rows = (
+                knn_join_batch(labeled, qbatch, 10)
+                .join(labeled.select("vec_id", "label"), "vec_id")
+                .select("query_id", "rank", "label")
+                .collect()
+            )
+            dt = time.perf_counter() - t0
+            if not ndcgs:
+                per_q: dict = {}
+                for r in rows:
+                    if r["label"] == qlabel[r["query_id"]]:
+                        per_q.setdefault(r["query_id"], []).append(r["rank"])
+                idcg = sum(1.0 / math.log2(i + 1) for i in range(1, 11))
+                for i in range(64):
+                    dcg = sum(
+                        1.0 / math.log2(rk + 1) for rk in per_q.get(i, [])
+                    )
+                    ndcgs.append(dcg / idcg)
+            return dt
+
+        out["ndcg64_eval_stats"] = median3(once)
+        out["ndcg64_mean_ndcg10"] = round(sum(ndcgs) / len(ndcgs), 4)
     elif op == "kcenter64":
         # the LARGE-k coreset regime, where batching is the difference
         # between feasible and not: sequential greedy = k−1 = 63 full
