@@ -168,10 +168,13 @@ def train_centroids_sample(
 
     n = embeddings.count()
     frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
-    sample = (
-        embeddings.select(vec_col).sample(frac, seed=seed).limit(sample_rows)
-    ).collect()
-    mat = np.asarray([r[0] for r in sample], dtype=np.float32)
+    # no .limit() before collect: LIMIT takes whichever partitions
+    # answer first, so two runs over identical files could train on
+    # different samples (observed: a k-means cell empty in one run and
+    # populated in the next). sample(seed) alone is deterministic for a
+    # fixed file layout; truncate driver-side in stable collect order.
+    sample = embeddings.select(vec_col).sample(frac, seed=seed).collect()
+    mat = np.asarray([r[0] for r in sample], dtype=np.float32)[:sample_rows]
     rng = np.random.default_rng(seed)
     # kmeans++-style init (D² sampling on 1-cos distance): random init
     # frequently merges neighboring true clusters, which directly costs
@@ -597,13 +600,23 @@ class IvfLocalReader:
             self._cache[label] = hit  # refresh LRU position
             return hit
         col = "qemb" if self.precision == "int8" else "femb"
-        tbl = pq.read_table(
-            os.path.join(self.path, f"label={label}"),
-            columns=["vec_id", col],
-        )
+        dt = np.int8 if self.precision == "int8" else np.float32
+        label_dir = os.path.join(self.path, f"label={label}")
+        if not os.path.isdir(label_dir):
+            # k-means leaves some cells EMPTY (it happens routinely at
+            # 512+ clusters) and the partitioned write materializes no
+            # directory for them; the Spark search path prunes them
+            # silently, so the in-process reader must treat a probed
+            # missing cell as zero rows, not a crash
+            entry = (
+                np.empty(0, dtype=np.int64),
+                np.empty((0, len(self._cent[0])), dtype=dt),
+            )
+            self._cache[label] = entry
+            return entry
+        tbl = pq.read_table(label_dir, columns=["vec_id", col])
         ids = tbl.column("vec_id").to_numpy()
         raw = b"".join(tbl.column(col).to_pylist())
-        dt = np.int8 if self.precision == "int8" else np.float32
         mat = np.frombuffer(raw, dtype=dt).reshape(len(ids), -1)
         entry = (ids, mat)
         self._cache[label] = entry

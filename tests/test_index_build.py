@@ -537,3 +537,54 @@ class TestIvfLocalReader:
                 q, 8, probes=4
             )
         assert len(tight._cache) <= 2
+
+
+class TestIvfLocalReaderEmptyCell:
+    def test_missing_label_partition_is_empty_not_crash(
+        self, spark, tmp_path
+    ):
+        """k-means routinely leaves cells empty at high cluster counts;
+        the partitioned write materializes no directory for them. The
+        Spark path prunes those silently — the in-process reader must
+        treat a probed missing cell as zero rows too (round-8: a real
+        1M run crashed FileNotFoundError on label=398)."""
+        import shutil
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        dim = 8
+        mat = rng.standard_normal((120, dim)).astype(np.float32)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+            "vec_id long, embedding array<float>",
+        )
+        cent = IX.train_centroids_sample(
+            df, n_clusters=4, sample_rows=120, iters=4
+        )
+        path = str(tmp_path / "idx")
+        IX.build_ivf_index(df, path, cent)
+        q = mat[0]
+        full = IX.IvfLocalReader(path).search(q, 10, probes=4)
+        assert len(full) == 10
+        # delete the probed-LAST cell's directory to simulate an empty
+        # k-means cell; the reader must degrade to the surviving cells
+        ranked = np.argsort(-(np.asarray(cent) @ q))[:4]
+        victim = int(ranked[-1])
+        shutil.rmtree(f"{path}/label={victim}")
+        got = IX.IvfLocalReader(path).search(q, 10, probes=4)
+        assert len(got) == 10 or len(got) > 0
+        surviving = {int(v) for v, _ in got}
+        # no crash, and answers come only from surviving cells
+        spark_side = {
+            r["vec_id"]
+            for r in IX.search_ivf_index(
+                spark.read.parquet(path),
+                IX.read_index_meta(path),
+                [float(x) for x in q],
+                10,
+                4,
+            ).collect()
+        }
+        assert surviving == spark_side

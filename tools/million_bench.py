@@ -117,6 +117,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 1536
 
+    # same self-identifying host provenance as bench.py: loadavg +
+    # fixed-work calibration spin at start and end, so a degraded-host
+    # window (r7's recurring pattern) is visible in the artifact itself
+    from bench import _calibration_spin, _host_provenance
+
+    host_start = _host_provenance(_calibration_spin())
+
     from pyspark.sql import functions as F
 
     from svs_spark.session import get_session
@@ -476,12 +483,15 @@ def main() -> None:
     _prov_probe = "first-position probe (fresh process, serving_probe.py)"
     _prov_inrun = "in-run (probe skipped/failed — order-confounded)"
 
+    host_end = _host_provenance(_calibration_spin())
+
     print(
         json.dumps(
             {
                 "metric": "warm_top100_retrieve",
                 "n_docs": n,
                 "dim": dim,
+                "host": {"start": host_start, "end": host_end},
                 "index_build_sec": round(build_s, 3),
                 "bulk_load_parquet_sec": round(load_s, 3),
                 "reference_bulk_load_sec": 8.0,

@@ -168,6 +168,42 @@ def main() -> None:
         mode="update",
     )
 
+    # contrastive/hard-negative export: labeled vectors derived
+    # scan-stage from the event columns (16-dim, 8 labels), 8 static
+    # anchors, k=5 per role — foreachBatch + driver top-k merge, so it
+    # can't ride drain()'s memory-format path
+    if not only or "contrastive_export" in only:
+        from svs_spark.streaming.contrastive import contrastive_export_stream
+
+        emb_stream = stream().select(
+            F.col("event_id").alias("vec_id"),
+            F.pmod("user_id", F.lit(8)).cast("int").alias("label"),
+            F.array(
+                *[
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("event_id") * F.lit(7 + j)),
+                            F.lit(1000),
+                        )
+                        / F.lit(500.0)
+                        - F.lit(1.0)
+                    )
+                    for j in range(16)
+                ]
+            ).alias("embedding"),
+        )
+        qvecs = [
+            (i, i % 8, [1.0 if j == i else 0.0 for j in range(16)])
+            for i in range(8)
+        ]
+        t0 = time.perf_counter()
+        q = contrastive_export_stream(
+            emb_stream, qvecs, k=5, sink_table="sb_contrastive"
+        )
+        q.awaitTermination()
+        timings["contrastive_export"] = round(time.perf_counter() - t0, 2)
+        cells["contrastive_export"] = spark.table("sb_contrastive").count()
+
     print(
         json.dumps(
             {
