@@ -31,6 +31,9 @@ def main() -> None:
     from svs_spark.session import get_session
     from tools.million_bench import make_query, synth_corpus
 
+    from bench import _calibration_spin, _host_provenance
+
+    host_start = _host_provenance(_calibration_spin())
     spark = get_session(
         "serving_probe",
         extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
@@ -267,6 +270,10 @@ def main() -> None:
     else:
         raise SystemExit(f"unknown op: {op}")
 
+    out["host"] = {
+        "start": host_start,
+        "end": _host_provenance(_calibration_spin()),
+    }
     print(json.dumps(out))
     spark.stop()
 
