@@ -236,11 +236,38 @@ def _calibration_spin() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _lcg_spin(steps: int) -> int:
+    x = 1
+    for _ in range(steps):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def _calibration_spin_allcore(workers: int = 16) -> float:
+    """Wall time for ``workers`` PROCESSES each running a 2.5M-step LCG
+    concurrently. The single-core spin recovers instantly after load,
+    but round-8's corpus bench measured 1.2-2.6x op inflation WITH a
+    clean single-core calib — the degradation shows only in ALL-CORE
+    throughput (reduced all-core turbo / steal). On a healthy
+    32-thread host this lands near the single-core spin's time for
+    half the per-worker steps; a throttled host inflates it."""
+    import concurrent.futures as cf
+
+    t0 = time.perf_counter()
+    try:
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_lcg_spin, [2_500_000] * workers))
+    except Exception:  # noqa: BLE001 — provenance must never kill a bench
+        return -1.0
+    return round(time.perf_counter() - t0, 4)
+
+
 def _host_provenance(calib: float | None = None) -> dict:
     la1, la5, la15 = os.getloadavg()
     d = {"loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)]}
     if calib is not None:
         d["calib_sec"] = calib
+        d["calib_allcore_sec"] = _calibration_spin_allcore()
     return d
 
 

@@ -86,6 +86,12 @@ def main() -> None:
     args = ap.parse_args()
     only = {o for o in args.ops.split(",") if o}
 
+    # self-identifying host provenance (see bench.py): loadavg + a
+    # fixed-work calibration spin at start/end
+    from bench import _calibration_spin, _host_provenance
+
+    host_start = _host_provenance(_calibration_spin())
+
     from pyspark.sql import functions as F
 
     from svs_spark.session import get_session
@@ -1089,6 +1095,10 @@ def main() -> None:
                 "unit": "sec",
                 "timings": timings,
                 "result_counts": counts,
+                "host": {
+                    "start": host_start,
+                    "end": _host_provenance(_calibration_spin()),
+                },
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
         )
