@@ -458,6 +458,11 @@ def semdedup_recall_probe(
     }
 
 
+# selected-id exclusion switches from an InSet literal filter to a
+# broadcast left-anti join past this many centers (see kcenter_greedy)
+_ANTI_JOIN_CUTOFF = 128
+
+
 def kcenter_greedy(
     embeddings: DataFrame,
     k: int,
@@ -508,9 +513,10 @@ def kcenter_greedy(
 
     If ``k`` exceeds the corpus row count, selection stops at corpus
     exhaustion and FEWER than k centers are returned (each pass
-    excludes already-selected ids with a scan-stage InSet filter —
-    ≤ k int64s against the GEMM, negligible — so the greedy can never
-    re-emit a chosen id)."""
+    excludes already-selected ids — a scan-stage InSet filter up to
+    128 centers, a broadcast left-anti join beyond that so per-pass
+    plan-compile cost stays bounded instead of quadratic in k — so the
+    greedy can never re-emit a chosen id)."""
     import numpy as np
 
     if k < 1:
@@ -528,10 +534,20 @@ def kcenter_greedy(
 
     def _remaining() -> DataFrame:
         # already-selected ids can never be re-picked: without this,
-        # k > |corpus| silently loops emitting duplicate center ids
-        return embeddings.filter(
-            ~F.col(id_col).isin([int(i) for i in center_ids])
+        # k > |corpus| silently loops emitting duplicate center ids.
+        # Small selected sets use an InSet literal (scan-stage filter,
+        # no exchange); past _ANTI_JOIN_CUTOFF ids the literal list
+        # makes each pass's plan-compile cost quadratic in k (ADVICE
+        # r8), so large-k runs switch to a broadcast left-anti join
+        # against the selected-ids frame — same rows, bounded plans.
+        if len(center_ids) <= _ANTI_JOIN_CUTOFF:
+            return embeddings.filter(
+                ~F.col(id_col).isin([int(i) for i in center_ids])
+            )
+        sel = embeddings.sparkSession.createDataFrame(
+            [(int(i),) for i in center_ids], f"{id_col} long"
         )
+        return embeddings.join(F.broadcast(sel), id_col, "left_anti")
 
     if batch_candidates <= 0:
         while len(center_ids) < k:

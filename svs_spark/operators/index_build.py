@@ -612,13 +612,14 @@ class IvfLocalReader:
                 np.empty(0, dtype=np.int64),
                 np.empty((0, len(self._cent[0])), dtype=dt),
             )
-            self._cache[label] = entry
-            return entry
-        tbl = pq.read_table(label_dir, columns=["vec_id", col])
-        ids = tbl.column("vec_id").to_numpy()
-        raw = b"".join(tbl.column(col).to_pylist())
-        mat = np.frombuffer(raw, dtype=dt).reshape(len(ids), -1)
-        entry = (ids, mat)
+        else:
+            tbl = pq.read_table(label_dir, columns=["vec_id", col])
+            ids = tbl.column("vec_id").to_numpy()
+            raw = b"".join(tbl.column(col).to_pylist())
+            mat = np.frombuffer(raw, dtype=dt).reshape(len(ids), -1)
+            entry = (ids, mat)
+        # empty and loaded entries share one insert+evict path, so the
+        # len(_cache) <= max_cached invariant holds for both
         self._cache[label] = entry
         if self.max_cached is not None and len(self._cache) > self.max_cached:
             self._cache.pop(next(iter(self._cache)))  # evict LRU

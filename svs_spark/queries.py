@@ -171,14 +171,10 @@ _FORCE_RECHECK: dict[str, int] = {
     # aggregate subplan — earlier green rows verified the persisted plan
     "tpch_q15ish": 5,
     "tpch_q11ish": 5,
-    # round 8: vocabulary join switched from forced broadcast to AQE's
-    # runtime size gate — earlier green rows verified the hinted plan
-    "domain_reweighting": 8,
-    "unigram_logprob_quality": 8,
-    # round 8: label column now cast long plan-side in the mining
-    # kernels (hard_negative_join / contrastive_pair_join)
-    "hard_negative_mining": 8,
-    "contrastive_triplets": 8,
+    # (round 8's four rewrites — domain_reweighting /
+    # unigram_logprob_quality / hard_negative_mining /
+    # contrastive_triplets — all re-verified green in CORRECTNESS_r08,
+    # so their entries were dropped.)
 }
 
 

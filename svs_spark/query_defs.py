@@ -12979,12 +12979,13 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the knn_join_batch shape with a widths axis); the per-width
     composition here keeps the driver-gated form identical to the
     oracle's."""
+    n_queries, k = 10, 10  # recall denominator derives from these
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    c = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
-    full10 = A.knn_join(q, c, k=10).select("query_id", "vec_id")
+    c = emb.filter(F.col("vec_id") >= n_queries).select("vec_id", "embedding")
+    full10 = A.knn_join(q, c, k=k).select("query_id", "vec_id")
     parts = []
     for d in (8, 16, 32):
         qd = q.select(
@@ -12992,7 +12993,7 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cd = c.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
         parts.append(
-            A.knn_join(qd, cd, k=10).select(
+            A.knn_join(qd, cd, k=k).select(
                 F.lit(d).alias("dims"), "query_id", "vec_id"
             )
         )
@@ -13000,7 +13001,9 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = tr10.join(full10, ["query_id", "vec_id"])
     return hits.groupBy("dims").agg(
         F.count("*").cast("long").alias("n_hits"),
-        F.round(F.count("*") / F.lit(100.0), 6).alias("recall_at_10"),
+        F.round(F.count("*") / F.lit(float(n_queries * k)), 6).alias(
+            "recall_at_10"
+        ),
     )
 
 

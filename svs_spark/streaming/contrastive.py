@@ -51,14 +51,27 @@ def merge_topk(
     the running per-(query, role) top-k. ``best`` maps
     (query_id, role) -> list of (score, vec_id), kept sorted by
     (score desc, vec_id desc) and truncated to k — the exact order the
-    batch window ranks by, so top-k-of-top-ks stays exact."""
+    batch window ranks by, so top-k-of-top-ks stays exact.
+
+    Idempotent under replay: candidates dedupe on vec_id (max score
+    wins) before truncation, so an at-least-once re-delivery of a
+    micro-batch (foreachBatch's contract after a restart) re-merges to
+    the identical top-k instead of seating the same vec_id twice and
+    displacing a legitimate distinct candidate."""
     touched = set()
     for qid, role, vid, score in rows:
         key = (qid, role)
         best.setdefault(key, []).append((score, vid))
         touched.add(key)
     for key in touched:
-        best[key] = sorted(best[key], key=lambda t: (-t[0], -t[1]))[:k]
+        by_vid: dict = {}
+        for score, vid in best[key]:
+            if vid not in by_vid or score > by_vid[vid]:
+                by_vid[vid] = score
+        best[key] = sorted(
+            ((score, vid) for vid, score in by_vid.items()),
+            key=lambda t: (-t[0], -t[1]),
+        )[:k]
 
 
 def contrastive_export_stream(

@@ -574,7 +574,9 @@ class TestIvfLocalReaderEmptyCell:
         victim = int(ranked[-1])
         shutil.rmtree(f"{path}/label={victim}")
         got = IX.IvfLocalReader(path).search(q, 10, probes=4)
-        assert len(got) == 10 or len(got) > 0
+        # the surviving 3 cells still hold ~90 rows, so a full k must
+        # come back even after losing the victim cell
+        assert len(got) == 10
         surviving = {int(v) for v, _ in got}
         # no crash, and answers come only from surviving cells
         spark_side = {
@@ -588,3 +590,35 @@ class TestIvfLocalReaderEmptyCell:
             ).collect()
         }
         assert surviving == spark_side
+
+    def test_missing_cells_respect_lru_bound(self, spark, tmp_path):
+        """Empty-cell entries go through the same insert+evict path as
+        loaded entries, so probing missing cells cannot grow _cache past
+        max_cached_labels (ADVICE r8: the early return used to skip
+        eviction)."""
+        import shutil
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        dim = 8
+        mat = rng.standard_normal((160, dim)).astype(np.float32)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+            "vec_id long, embedding array<float>",
+        )
+        cent = IX.train_centroids_sample(
+            df, n_clusters=8, sample_rows=160, iters=4
+        )
+        path = str(tmp_path / "idx")
+        IX.build_ivf_index(df, path, cent)
+        # knock out half the cells, then probe everything repeatedly
+        for victim in range(0, 8, 2):
+            shutil.rmtree(f"{path}/label={victim}", ignore_errors=True)
+        reader = IX.IvfLocalReader(path, max_cached_labels=3)
+        for seed in range(12):
+            q = mat[seed * 13 % len(mat)]
+            got = reader.search(q, 5, probes=8)
+            assert len(got) == 5
+            assert len(reader._cache) <= 3

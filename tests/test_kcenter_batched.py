@@ -116,6 +116,29 @@ def test_k_exceeding_corpus_stops_at_exhaustion(spark, m):
     assert len(radii) == 6  # one radius per non-seed selection
 
 
+def test_anti_join_exclusion_matches_inset(spark, monkeypatch):
+    """Past _ANTI_JOIN_CUTOFF centers the exclusion filter switches
+    from an InSet literal to a broadcast left-anti join (r8 ADVICE:
+    the literal list made per-pass plan-compile cost quadratic in k).
+    Force the cutoff low and check both paths select identically."""
+    from svs_spark.operators import clustering as C
+
+    rng = np.random.default_rng(23)
+    vecs = _rand_unit(rng, 60, 6)
+    df = _df(spark, vecs)
+    ids_inset, radii_inset, _ = kcenter_greedy(df, k=8, batch_candidates=4)
+    monkeypatch.setattr(C, "_ANTI_JOIN_CUTOFF", 2)
+    ids_anti, radii_anti, _ = kcenter_greedy(df, k=8, batch_candidates=4)
+    assert ids_anti == ids_inset
+    assert radii_anti == radii_inset
+    # sequential form crosses the cutoff too
+    ids_seq, radii_seq, _ = kcenter_greedy(df, k=6)
+    monkeypatch.setattr(C, "_ANTI_JOIN_CUTOFF", 128)
+    ids_seq2, radii_seq2, _ = kcenter_greedy(df, k=6)
+    assert ids_seq == ids_seq2
+    assert radii_seq == radii_seq2
+
+
 def test_exhaustion_keeps_duplicate_vector_rows(spark):
     """Exhaustion is by ID, not by score: distinct rows holding
     identical vectors still all get selected (radius 0), so corpora
