@@ -140,9 +140,22 @@ def main() -> None:
 
     import numpy as np
 
+    # Per-stage throttle provenance (r9, verdict ask #2): after each
+    # timed stage, stamp the single-core calibration spin. A stage whose
+    # closing stamp exceeds 1.2× the run-start calib ran on a degraded
+    # host and is flagged in the artifact itself
+    # (throttle_flagged_stages) — no post-hoc adjudication needed.
+    stage_calib: list = []
+
+    def _stamp(stage: str) -> None:
+        stage_calib.append(
+            {"stage": stage, "calib_sec": _calibration_spin()}
+        )
+
     t0 = time.perf_counter()
     emb = synth_corpus(spark, n, dim)
     build_s = time.perf_counter() - t0
+    _stamp("synth_corpus")
 
     # bulk load: write the corpus as a parquet table (reference: 8 s
     # into SQLite at 1M docs, README.md:129 — no embedding RPCs).
@@ -174,6 +187,7 @@ def main() -> None:
         "overwrite"
     ).parquet(out)
     load_s = time.perf_counter() - t0
+    _stamp("bulk_load")
 
     qvec = fixed_query_vec(dim)
 
@@ -199,6 +213,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     sql_s, sql_stats = median3(_sql_once)
+    _stamp("sql_path")
 
     batch = with_scores_batch(emb, qvec).orderBy(
         F.desc("score"), F.desc("vec_id")
@@ -216,6 +231,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     batch_s, batch_stats = median3(_batch_once)
+    _stamp("batch_path")
 
     # bulk retrieval throughput: 64 queries, one corpus scan (the
     # 100 TB-relevant number — serving-style point queries are a
@@ -234,6 +250,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     bulk_s, bulk_stats = median3(_bulk_once)
+    _stamp("bulk_64q_in_run")
 
     # --- IVF int8 serving index: the single-query latency path --------
     from svs_spark.operators import index_build as IX
@@ -248,6 +265,7 @@ def main() -> None:
     t0 = time.perf_counter()
     IX.build_ivf_index(emb, idx_path, cent)
     ivf_build_s = time.perf_counter() - t0
+    _stamp("ivf_train_build")
     meta = IX.read_index_meta(idx_path)
     idx = spark.read.parquet(idx_path)
 
@@ -311,6 +329,7 @@ def main() -> None:
     ivf8_query_s, ivf8_recall = results["int8"]
     ivfr_query_s, ivfr_recall = results["int8_rerank"]
     idx_cached.unpersist()
+    _stamp("ivf_query_paths_in_run")
 
     # --- SemDeDup at 1M: reuse the IVF centroids as the cluster
     # schedule; assignment is the map-only GEMM, the pair stage is one
@@ -337,6 +356,7 @@ def main() -> None:
     ).collect()
     semdedup_s = time.perf_counter() - t0
     sem_pairs = len(sem_rows)
+    _stamp("semdedup_reuse_in_run")
 
     # the standalone twin (no prebuilt index to reuse): assignment is
     # the map-only corpus × centroids GEMM
@@ -350,6 +370,7 @@ def main() -> None:
         auto_split=True,
     ).count()
     semdedup_standalone_s = time.perf_counter() - t0
+    _stamp("semdedup_standalone_in_run")
 
     # planted-pair precision/recall at the 0.95 operating point: every
     # planted pair whose exact cosine clears the threshold must be
@@ -398,6 +419,7 @@ def main() -> None:
 
     local_s, local_stats = median3(_local_rep)
     local_recall = sum(local_recalls) / len(local_recalls)
+    _stamp("ivf_local_reader")
 
     # --- IVF-PQ serving index: m-byte codes, ADC screen + exact rerank.
     # At dim 1536 / m=96 the screen reads 96 B/vector instead of 6 KB —
@@ -445,6 +467,7 @@ def main() -> None:
 
     pq_query_s, pq_stats = median3(_pq_rep)
     pq_recall = sum(pq_recalls) / len(pq_recalls)
+    _stamp("pq_train_build_query")
 
     # --- first-position adjudication (r7 verdict What's-wrong #3): the
     # full bench's late stages inherit page-cache / JIT / persisted-frame
@@ -462,11 +485,11 @@ def main() -> None:
         probe_py = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "serving_probe.py"
         )
-        for op in ("bulk64", "semdedup_reuse"):
+        for op in ("ivf", "bulk64", "semdedup_reuse"):
             try:
                 r = subprocess.run(
                     [sys.executable, probe_py, op, str(n), str(dim)],
-                    capture_output=True, text=True, timeout=3600,
+                    capture_output=True, text=True, timeout=5400,
                 )
                 line = [
                     ln for ln in r.stdout.splitlines() if ln.startswith("{")
@@ -478,12 +501,27 @@ def main() -> None:
     sem_probe = probe_out.get("semdedup_reuse", {}).get(
         "pair_stage_sec_first_position"
     )
+    # the pure-Spark IVF serving metric — the value the 2×-of-baseline
+    # gate rides on — now comes from the cooled fresh-process probe
+    # (r8 verdict ask #1); the in-run value stays under *_in_run_*
+    ivf_probe = probe_out.get("ivf", {}).get("ivf_warm_query_stats")
+    ivf_probe_cooldown = probe_out.get("ivf", {}).get("cooldown")
     bulk_headline = bulk_probe["median"] if bulk_probe else round(bulk_s, 3)
     sem_headline = sem_probe if sem_probe is not None else round(semdedup_s, 3)
+    ivf_headline = (
+        ivf_probe["median"] if ivf_probe else round(ivf_query_s, 3)
+    )
     _prov_probe = "first-position probe (fresh process, serving_probe.py)"
     _prov_inrun = "in-run (probe skipped/failed — order-confounded)"
 
     host_end = _host_provenance(_calibration_spin())
+    # flag any stage whose closing calib stamp shows a degraded host
+    base_calib = host_start.get("calib_sec") or 0.5
+    throttle_flagged = [
+        s["stage"]
+        for s in stage_calib
+        if s["calib_sec"] > 1.2 * base_calib
+    ]
 
     print(
         json.dumps(
@@ -492,6 +530,8 @@ def main() -> None:
                 "n_docs": n,
                 "dim": dim,
                 "host": {"start": host_start, "end": host_end},
+                "stage_calib": stage_calib,
+                "throttle_flagged_stages": throttle_flagged,
                 "index_build_sec": round(build_s, 3),
                 "bulk_load_parquet_sec": round(load_s, 3),
                 "reference_bulk_load_sec": 8.0,
@@ -511,8 +551,17 @@ def main() -> None:
                 "ivf_build_sec": round(ivf_build_s, 3),
                 "ivf_probes": probes,
                 "ivf_clusters": meta["n_clusters"],
-                "ivf_warm_query_sec": round(ivf_query_s, 3),
-                "ivf_warm_query_stats": stats["float32_uncached"],
+                "ivf_warm_query_sec": ivf_headline,
+                "ivf_warm_query_provenance": (
+                    _prov_probe if ivf_probe else _prov_inrun
+                ),
+                "ivf_warm_query_probe_stats": ivf_probe,
+                "ivf_warm_query_probe_cooldown": ivf_probe_cooldown,
+                "ivf_warm_query_probe_recall_at_100": probe_out.get(
+                    "ivf", {}
+                ).get("ivf_recall_at_100"),
+                "ivf_warm_query_in_run_sec": round(ivf_query_s, 3),
+                "ivf_warm_query_in_run_stats": stats["float32_uncached"],
                 "ivf_recall_at_100": round(ivf_recall, 4),
                 # diagnostic config, NOT a serving path (see
                 # warm_ivf_cache docstring): queries must stay inside a
