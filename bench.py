@@ -210,6 +210,10 @@ HEADLINE = [
     "isotonic_calibration",
     "matryoshka_recall_eval",
     "kcenter_coreset_batched",
+    # round-9: one-GEMM multiwidth fusion + PAV-as-transform (appended
+    # per DEVNOTES #22)
+    "matryoshka_fused_recall",
+    "isotonic_score_transform",
     # embedding_near_dup_lsh is registered + driver-gated but not
     # benched: at this corpus's realistic threshold (0.4 — max pair
     # cos is 0.51) candidate pruning is inherently weak (36% of all

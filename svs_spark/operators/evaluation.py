@@ -88,3 +88,100 @@ def binary_auc(
             ).alias("auc"),
         )
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    out_col: str = "calibrated",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Isotonic (PAV) calibration applied as a scoring TRANSFORM: fit
+    the best monotone-non-decreasing map from score bin to positive
+    rate and ATTACH the calibrated probability to every row — the
+    operator a pipeline actually consumes (r8 verdict ask #4; the
+    registered ``isotonic_calibration`` query reports the fitted bin
+    table, this maps scores through it).
+
+    Fit: one map-side-combined ``n_bins`` aggregate (scan-stage integer
+    binning against a 1-row max broadcast), then pool-adjacent-
+    violators on the collected ≤ ``n_bins`` rows driver-side — the
+    stack algorithm with exact integer cross-multiplication, no float
+    compares inside the pooling (equal by construction to the minimax
+    identity the registered query computes in SQL; pytest pins both
+    against each other). Apply: a broadcast join of the ≤ ``n_bins``-row
+    fitted map — no second shuffle of the data.
+
+    Properties (tests/test_isotonic_transform.py): ``out_col`` is
+    non-decreasing in ``score_col``; on a signal whose bin-wise
+    positive rate is already monotone the transform is the identity on
+    those rates; pooled bins share one value (the weighted mean of the
+    violating run).
+
+    Scale shape: the corpus is touched twice — once for the bin
+    aggregate (combiner-friendly), once for the broadcast-join apply —
+    with nothing data-sized on the driver (``n_bins`` ints). Integral
+    score columns bin with exact ``div`` arithmetic (the oracle-parity
+    form); fractional scores use floor division on doubles.
+
+    ``label_col`` must be 0/1 and non-null (cast to long plan-side;
+    the same contract as hard_negative_join's labels).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    dtype = dict(df.dtypes).get(score_col)
+    if dtype is None:
+        raise ValueError(f"no column {score_col!r} in frame")
+    mx = df.agg(F.max(score_col).alias("_maxs"))
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        bin_expr = F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"{score_col} * {n_bins} div (_maxs + 1)"),
+        ).cast("long")
+    else:
+        bin_expr = F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor(
+                F.col(score_col) * n_bins / (F.col("_maxs") + F.lit(1e-9))
+            ),
+        ).cast("long")
+    binned = (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn(bin_col, bin_expr)
+        .drop("_maxs")
+    )
+    rows = sorted(
+        binned.groupBy(bin_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("p"),
+        )
+        .collect(),
+        key=lambda r: r[bin_col],
+    )
+    if any(r["p"] is None for r in rows):
+        raise ValueError(f"{label_col} contains nulls (0/1 contract)")
+    # stack PAV over the score-ordered bins: merge while the previous
+    # pool's mean exceeds the current's (exact integer cross-multiply)
+    pools: "list[list[int]]" = []  # [weight, possum, bins-in-pool]
+    spans: "list[list[int]]" = []  # bin ids per pool
+    for r in rows:
+        pools.append([int(r["n"]), int(r["p"])])
+        spans.append([int(r[bin_col])])
+        while (
+            len(pools) > 1
+            and pools[-2][1] * pools[-1][0] > pools[-1][1] * pools[-2][0]
+        ):
+            w2, s2 = pools.pop()
+            pools[-1][0] += w2
+            pools[-1][1] += s2
+            spans[-2].extend(spans.pop())
+    fitted = [
+        (b, s / w) for (w, s), bs in zip(pools, spans) for b in bs
+    ]
+    calmap = df.sparkSession.createDataFrame(
+        fitted, f"{bin_col} long, {out_col} double"
+    )
+    return binned.join(F.broadcast(calmap), bin_col, "left")

@@ -323,6 +323,97 @@ def knn_join_batch(
     )
 
 
+def knn_join_multiwidth(
+    embeddings: DataFrame,
+    query_vecs: "list[tuple[int, Sequence[float]]]",
+    k: int,
+    widths: "Sequence[int]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka multiwidth retrieval: top-k per query at EVERY prefix
+    width in ``widths``, fused into ONE corpus scan and one
+    GEMM-per-segment pass (r8 verdict ask #3; Kusupati et al. 2022's
+    MRL serving eval). The prefix dot at width w is a partial sum of
+    the full dot, so the kernel accumulates segment GEMMs
+    (mat[:, w_prev:w] @ Q[w_prev:w]) and snapshots the running sum at
+    each width boundary — total FLOPs equal ONE max-width GEMM, and the
+    corpus (the data-sized side) is read once instead of
+    ``len(widths)`` times. This is the fusion the registered
+    ``matryoshka_recall_eval`` documents as its 100 TB shape; the
+    registered query keeps the per-width composition so its plan stays
+    oracle-identical, and tests/test_multiwidth.py pins this kernel
+    row-for-row equal to that composition.
+
+    Same kernel discipline as ``knn_join_batch``: query matrix in the
+    task closure, scores rounded to 6dp BEFORE local selection (float64
+    segment-sum vs one-GEMM prefix dot are both unordered BLAS
+    reductions; the repo-wide round-6 contract is what makes them
+    comparable), per-(width, query) local top-k with boundary ties
+    kept, global window resolves (score desc, id desc). The exchange
+    carries ≤ len(widths)·k·q rows per batch.
+
+    Output: (dims int, query_id long, <id_col> long, score double,
+    rank int) — one top-k table per width, stacked.
+    """
+    import numpy as np
+
+    ws = sorted({int(w) for w in widths})
+    if not ws or ws[0] < 1:
+        raise ValueError(f"widths must be positive ints, got {widths!r}")
+    qids = [int(q) for q, _ in query_vecs]
+    qmat_list = [[float(x) for x in v] for _, v in query_vecs]
+    if any(len(v) < ws[-1] for v in qmat_list):
+        raise ValueError(
+            f"max width {ws[-1]} exceeds query vector dimension"
+        )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmat = np.asarray(qmat_list, dtype=np.float64).T  # (d, q)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(ids), qmat.shape[1]), dtype=np.float64)
+            outs = []
+            prev = 0
+            take = min(k, len(ids))
+            for w in ws:
+                acc += mat[:, prev:w] @ qmat[prev:w, :]
+                prev = w
+                scores = np.round(acc, 6)
+                part = np.argpartition(-scores, take - 1, axis=0)[:take]
+                kth = np.take_along_axis(scores, part, axis=0).min(axis=0)
+                rows, cols = np.nonzero(scores >= kth[None, :])
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "dims": np.int32(w),
+                            "query_id": qid_arr[cols],
+                            id_col: ids[rows],
+                            "score": scores[rows, cols],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    partials = embeddings.select(id_col, vec_col).mapInPandas(
+        score,
+        schema=f"dims int, query_id long, {id_col} long, score double",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.desc("score"), F.desc(id_col)
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hard_negative_join(
     embeddings: DataFrame,
     query_vecs: "list[tuple[int, int, Sequence[float]]]",

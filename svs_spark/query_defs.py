@@ -12916,6 +12916,80 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "isotonic_score_transform",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars AS s,
+             CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    mx AS (SELECT CAST(max(s) AS BIGINT) AS maxs FROM d),
+    bb AS (SELECT doc_id, s,
+                  CAST(least(9, s * 10 // (maxs + 1)) AS BIGINT) AS bin,
+                  y
+           FROM d CROSS JOIN mx),
+    bins AS (SELECT bin,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS p
+             FROM bb GROUP BY 1),
+    c AS (SELECT bin, n, p,
+                 CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                 CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp
+          FROM bins),
+    pairs AS (
+      SELECT ci.bin AS i, cj.bin AS j,
+             (cj.cp - (ci.cp - ci.p))::DOUBLE
+               / (cj.cn - (ci.cn - ci.n)) AS mean_ij
+      FROM c ci JOIN c cj ON ci.bin <= cj.bin
+    ),
+    minj AS (
+      SELECT b.bin, pr.i, min(pr.mean_ij) AS m
+      FROM pairs pr JOIN bins b ON pr.i <= b.bin AND b.bin <= pr.j
+      GROUP BY 1, 2
+    ),
+    cal AS (SELECT bin, max(m) AS calv FROM minj GROUP BY 1)
+    SELECT bb.doc_id, CAST(bb.s AS BIGINT) AS score, bb.bin,
+           round(cal.calv, 6) AS calibrated
+    FROM bb JOIN cal USING (bin)
+    """,
+)
+def q_isotonic_score_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration applied as a per-row scoring TRANSFORM
+    (r8 verdict ask #4): every document gets the calibrated
+    probability its score bin maps to under the PAV fit — the operator
+    a pipeline actually consumes (gate on calibrated ≥ τ, feed a
+    sampler, weight a mixture), where ``isotonic_calibration`` only
+    reports the fitted bin table. Runs
+    operators/evaluation.isotonic_calibrate — the driver-side stack-PAV
+    fit over the ≤10-row bin aggregate plus a broadcast-join apply —
+    against the minimax-identity SQL oracle extended with the same
+    join-back, so the driver gate pins stack-PAV ≡ closed-form minimax
+    on every bin AND the per-row mapping.
+
+    Same signal as the fit-reporting query (s = n_chars, y = CJK, a
+    non-monotone pair that forces real pooling at the gated sf).
+
+    Scale shape: one map-side-combined bin aggregate + one broadcast
+    join; the only driver transfer is the ≤ n_bins bin table. Output
+    is per-document (doc_id-keyed), deterministic."""
+    from svs_spark.operators.evaluation import isotonic_calibrate
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "zh", 1).otherwise(0).alias("y"),
+    )
+    out = isotonic_calibrate(d, "score", "y", n_bins=10)
+    return out.select(
+        "doc_id",
+        "score",
+        "bin",
+        F.round("calibrated", 6).alias("calibrated"),
+    )
+
+
 def _matryoshka_oracle() -> str:
     branch = """
       SELECT {d} AS dims, q.qid, c.vec_id,
@@ -12999,6 +13073,65 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     tr10 = parts[0].unionByName(parts[1]).unionByName(parts[2])
     hits = tr10.join(full10, ["query_id", "vec_id"])
+    return hits.groupBy("dims").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.count("*") / F.lit(float(n_queries * k)), 6).alias(
+            "recall_at_10"
+        ),
+    )
+
+
+@register("matryoshka_fused_recall", oracle=_matryoshka_oracle())
+def q_matryoshka_fused_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-GEMM fused form of ``matryoshka_recall_eval`` (r8
+    verdict ask #3) — operators/similarity.knn_join_multiwidth —
+    driver-gated against the IDENTICAL oracle. Registering both forms
+    turns kernel ≡ per-width-composition equality into a per-round
+    driver check instead of a pytest-only property (the
+    kcenter_coreset / kcenter_coreset_batched pattern).
+
+    Scale shape: ONE corpus scan for every width INCLUDING the
+    full-dim reference ranking — the kernel accumulates segment GEMMs
+    and snapshots the running partial sum at each width boundary, so
+    total FLOPs equal one full-width GEMM and the corpus is read once
+    instead of len(widths)+1 times. The exchange carries
+    ≤ (len(widths)+1)·k·q rows, and the recall computation is a single
+    collect_set aggregation over that bounded result — NOT a self-join
+    (a two-branch join re-reads the scan: the per-branch dims filters
+    push below the window exchange and defeat ReuseExchange — verified
+    on the executed plan, which is why this shape was chosen). A
+    (query, vec) pair whose dims-set contains the full width is a
+    reference hit; exploding the remaining widths counts per-width
+    hits. The 10 query vectors are a bounded driver collect (the
+    eval-set contract, like retrieval_ndcg_eval's labeled queries)."""
+    from svs_spark.operators.similarity import knn_join_multiwidth
+
+    n_queries, k = 10, 10
+    emb = load(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in q_rows
+    ]
+    d_full = len(qvecs[0][1])
+    widths = [8, 16, 32]
+    assert d_full not in widths  # full-dim rows are the reference set
+    c = emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "embedding"
+    )
+    topk = knn_join_multiwidth(c, qvecs, k, widths + [d_full])
+    hits = (
+        topk.groupBy("query_id", "vec_id")
+        .agg(F.collect_set("dims").alias("ds"))
+        .filter(F.array_contains("ds", F.lit(d_full)))
+        .select(F.explode("ds").alias("dims"))
+        .filter(F.col("dims") != d_full)
+    )
     return hits.groupBy("dims").agg(
         F.count("*").cast("long").alias("n_hits"),
         F.round(F.count("*") / F.lit(float(n_queries * k)), 6).alias(

@@ -62,6 +62,11 @@ ONE_ROW_CROSS_OK = {
     # work at any corpus size; the data-sized path is the one 10-bin
     # aggregate plus the 1-row max broadcast (score_calibration_bins
     # shape)
+    "isotonic_score_transform",  # the transform form: the ONLY
+    # nested-loop is the 1-row max broadcast the binning crosses in
+    # (operators/evaluation.isotonic_calibrate); the fitted-map apply
+    # is a broadcast HASH join on bin, and the PAV fit is driver-side
+    # over the <=n_bins collected rows
 }
 
 # Deliberately quadratic EXACT baselines: the nested loop is over GEMM

@@ -320,6 +320,62 @@ def main() -> None:
         )
         out["kcenter_k64_sequential_passes"] = passes_s
         out["kcenter_k64_equal"] = ids_b == ids_s and radii_b == radii_s
+    elif op == "matryoshka":
+        # the one-GEMM multiwidth fusion at scale (r8 verdict ask #3):
+        # top-100 for 64 queries at prefix widths 96/384/1536 — fused
+        # (ONE corpus scan, segment GEMMs with partial-sum snapshots)
+        # vs the per-width composition (one scan per width). The win is
+        # the scan count: at 100 TB the corpus read dominates, so the
+        # composition pays ~len(widths)× the I/O and Arrow transfer.
+        from pyspark.sql import functions as F
+
+        from svs_spark.operators.similarity import (
+            knn_join_batch,
+            knn_join_multiwidth,
+        )
+
+        widths = [96, 384, dim] if dim >= 768 else [8, 16, dim]
+        qbatch = [(i, make_query(100 + i, dim)) for i in range(64)]
+        knn_join_multiwidth(emb, qbatch[:2], 100, widths).count()  # warm
+
+        def once_fused():
+            t0 = time.perf_counter()
+            knn_join_multiwidth(emb, qbatch, 100, widths).count()
+            return time.perf_counter() - t0
+
+        out["fused_stats"] = median3(once_fused)
+
+        def once_composed():
+            t0 = time.perf_counter()
+            for w in widths:
+                dfw = emb.select(
+                    "vec_id", F.slice("embedding", 1, w).alias("embedding")
+                )
+                qw = [(qid, v[:w]) for qid, v in qbatch]
+                knn_join_batch(dfw, qw, 100).count()
+            return time.perf_counter() - t0
+
+        out["composed_stats"] = median3(once_composed)
+        out["widths"] = widths
+        out["speedup"] = round(
+            out["composed_stats"]["median"] / out["fused_stats"]["median"], 2
+        )
+        # row-for-row equality on one pass (ids+scores+ranks per width)
+        fused_rows = {
+            (r["dims"], r["query_id"], r["vec_id"], r["score"], r["rank"])
+            for r in knn_join_multiwidth(emb, qbatch, 100, widths).collect()
+        }
+        comp_rows = set()
+        for w in widths:
+            dfw = emb.select(
+                "vec_id", F.slice("embedding", 1, w).alias("embedding")
+            )
+            qw = [(qid, v[:w]) for qid, v in qbatch]
+            for r in knn_join_batch(dfw, qw, 100).collect():
+                comp_rows.add(
+                    (w, r["query_id"], r["vec_id"], r["score"], r["rank"])
+                )
+        out["fused_equals_composition"] = fused_rows == comp_rows
     elif op in ("ivf", "int8_rerank", "pq"):
         # the single-query serving paths, first-position (r8 verdict
         # ask #1: the pure-Spark IVF probe was the one headline metric
