@@ -805,44 +805,41 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # Fused round (optimization guide §2.4 — remove shuffles outright):
+    # the neighbor-min join and the pointer-jumping self-join both probe
+    # `labels` on an id key, so union their probe sides — the undirected
+    # edges (a, b) plus the (node, label) pairs — and pay ONE join + ONE
+    # aggregation per round instead of two joins, two left-join merges
+    # and a change-check join.  new_label[a] = min(neighbor labels,
+    # label[label[a]]) equals the unfused least(label, nmin, jmin):
+    # labels are monotone non-increasing node ids (label[x] <= x), so
+    # the label-of-label term is always <= the own-label term.
+    # Convergence probe: sum(label) strictly decreases while any label
+    # changes (labels only decrease), so a tiny aggregate on the
+    # checkpointed result replaces the join+filter+limit+count.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        # pointer jumping: adopt my label's label too (labels are always
-        # node ids, so the self-join resolves) — path doubling
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
-            .select(
-                F.col("x.node").alias("node"), F.col("y.label").alias("jmin")
+        targets = und.unionByName(
+            labels.select(
+                F.col("node").alias("a"), F.col("label").alias("b")
             )
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .join(jump, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nmin", F.col("label")),
-                    F.coalesce("jmin", F.col("label")),
-                ).alias("label"),
-            )
+            targets.join(labels, targets["b"] == labels["node"])
+            .groupBy(targets["a"].alias("node"))
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     und.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
@@ -1613,10 +1610,15 @@ def longest_dup_span_pow2(
     length = min_len
     while length <= max_len:
         wins = level.select(id_col, F.explode(win_val).alias("v"))
+        # "window value seen in >1 distinct docs" as min(id) != max(id):
+        # countDistinct plans an Expand (2x the exploded window rows
+        # through the value-key exchange); min/max partial-aggregate
+        # map-side with no row multiplication (guide §2.3) and the
+        # semi-join probe below reuses the same exchange.
         dup_vals = (
             wins.groupBy("v")
-            .agg(F.countDistinct(id_col).alias("nd"))
-            .filter(F.col("nd") > 1)
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
             .select("v")
         )
         lvl_flag = (

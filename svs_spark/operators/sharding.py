@@ -215,6 +215,80 @@ def cumsum_desc_by_value(
     return out.drop("_vlo", "_vhi", "_vw", "_vbucket")
 
 
+def multi_ranked_by_value(
+    df: DataFrame,
+    specs: list[tuple[str, str, str]],
+    tiebreak: str,
+    n_buckets: int = 1024,
+    n_name: str | None = None,
+) -> DataFrame:
+    """Several independent global ranks over the SAME rows in ONE
+    two-level pass (optimization guide §2.4 — share one exchange):
+    ``specs`` is a list of ``(metric, direction, rank_name)`` with
+    direction ``"asc"`` or ``"desc"``; the result has one row per input
+    row of ``df`` restricted to ``tiebreak`` plus one BIGINT rank column
+    per spec (and, when ``n_name`` is given, the total row count — the
+    ntile denominator).
+
+    Equivalence to chaining :func:`ranked_asc_by_value` /
+    :func:`ranked_desc_by_value` per metric (pinned in
+    tests/test_sharding.py): a DESC rank over ``m`` is the ASC rank over
+    ``-m`` (same total order incl. the tiebreak), and with
+    ``lo' = min(-m) = -max(m)`` the ASC bucket ``(-m - lo') div w``
+    equals the DESC bucket ``(max(m) - m) div w`` with the identical
+    width ``w = (hi - lo) div n_buckets + 1``. Chaining the single-metric
+    helpers instead re-plans the whole upstream chain inside each
+    metric's min/max broadcast subtree — k metrics cost O(k²) upstream
+    recomputes; this form unpivots to (tiebreak, sig, ord) rows and pays
+    ONE data exchange (the per-(sig,bucket) window; the bucket-count
+    aggregate reuses it) plus the final tiebreak-keyed pivot aggregate.
+    """
+    cells = [
+        F.struct(
+            F.lit(i).cast("int").alias("_sig"),
+            (
+                (-F.col(m)) if direction == "desc" else F.col(m)
+            ).cast("long").alias("_ord"),
+        )
+        for i, (m, direction, _) in enumerate(specs)
+    ]
+    stack = df.select(
+        tiebreak, F.explode(F.array(*cells)).alias("_c")
+    ).select(tiebreak, F.col("_c._sig").alias("_sig"), F.col("_c._ord").alias("_ord"))
+    stats = stack.groupBy("_sig").agg(
+        F.min("_ord").alias("_vlo"),
+        F.max("_ord").alias("_vhi"),
+        F.count("*").alias("_n"),
+    )
+    b = (
+        stack.join(F.broadcast(stats), "_sig")
+        .withColumn("_vw", F.expr(f"(_vhi - _vlo) div {n_buckets} + 1"))
+        .withColumn("_vbucket", F.expr("(_ord - _vlo) div _vw"))
+    )
+    w_in = Window.partitionBy("_sig", "_vbucket").orderBy(
+        F.col("_ord").asc(), F.col(tiebreak).asc()
+    )
+    counts = b.groupBy("_sig", "_vbucket").agg(F.count("*").alias("_bn"))
+    w_off = (
+        Window.partitionBy("_sig")
+        .orderBy("_vbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(w_off), F.lit(0))
+    ).select("_sig", "_vbucket", "_off")
+    ranked = b.join(F.broadcast(offs), ["_sig", "_vbucket"]).withColumn(
+        "_rn", (F.col("_off") + F.row_number().over(w_in)).cast("long")
+    )
+    aggs = [
+        F.max(F.when(F.col("_sig") == i, F.col("_rn"))).alias(rank_name)
+        for i, (_, _, rank_name) in enumerate(specs)
+    ]
+    if n_name is not None:
+        aggs.append(F.max("_n").alias(n_name))
+    return ranked.groupBy(tiebreak).agg(*aggs)
+
+
 def ntile_expr(rank_col: str, n_col: str, k: int) -> Column:
     """SQL-standard ``ntile(k)`` from a global rank and the total row
     count: the first ``n mod k`` tiles get ``n div k + 1`` rows, the

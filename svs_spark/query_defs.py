@@ -5206,7 +5206,10 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("source", F.split(F.col("text"), " ").alias("toks"))
-    tri = (
+    # three consumers fan out from the distinct (source, trigram-hash)
+    # index (per-source totals + both self-join sides) — invariant-26
+    # cache so the explode+hash+dedupe computes once
+    tri = cached(
         toks.filter(F.size("toks") >= 3)
         .select(
             "source",
@@ -6002,7 +6005,7 @@ def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "b",
     )
-    zk = LAY.zorder_key([F.col("x"), F.col("y")], bits=16)
+    zk = LAY.zorder_key(["x", "y"], bits=16)
     return (
         norm.withColumn("zcell", F.shiftright(zk, 12))
         .groupBy("zcell")
@@ -7330,9 +7333,14 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a 1-row broadcast. At 100 TB prune to parts above a support
     floor first (same stop-shingle trick as ngram_jaccard)."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # four consumers fan out from the deduped basket-item table (the
+    # order count, the per-part counts, both pair sides) — invariant-26
+    # cache so the distinct computes once
+    items = cached(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
     n = items.agg(F.count_distinct("ok").alias("n_orders"))
     pc = items.groupBy("pk").agg(F.count("*").alias("c"))
     a = items.select("ok", F.col("pk").alias("part_a"))
@@ -7391,14 +7399,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents so the sum is order-independent), reported as the
     4×4×4 segment histogram — the standard CRM cohorting.
 
-    Scale shape: one custkey aggregate, then three quartile codes via
-    the two-level global rank of operators/sharding.py — each metric
-    gets a bounded (≤1024-bucket) equi-width exchange plus a broadcast
-    offsets join instead of a single-partition ntile sort, and the
-    tile code is pure arithmetic on (rank, n) (ntile_expr reproduces
-    SQL ntile's big-tiles-first split exactly). No window in the plan
-    touches more than one bucket's rows per task
-    (tests/test_sharding.py plan gate)."""
+    Scale shape: one custkey aggregate, then all three quartile codes
+    from ONE fused two-level global rank (multi_ranked_by_value,
+    optimization guide §2.4): the three metrics unpivot to
+    (custkey, signal, value) rows and share a single bounded
+    (≤1024-bucket per signal) equi-width exchange plus a broadcast
+    offsets join — chaining three single-metric ranks re-planned the
+    whole upstream chain inside each metric's min/max broadcast subtree
+    (402 Exchange nodes in the r8 plan; 3.0 s at sf0.1). The tile code
+    is pure arithmetic on (rank, n) (ntile_expr reproduces SQL ntile's
+    big-tiles-first split exactly). No window in the plan touches more
+    than one bucket's rows per task (tests/test_sharding.py plan
+    gate)."""
     from svs_spark.operators import sharding as SH
 
     o = load(spark, sf_dir, "orders")
@@ -7410,17 +7422,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(cents).alias("monetary_cents"),
     )
-    n_stats = cust.agg(F.count("*").alias("_nc"))
-    coded = cust
-    for metric, code in (
-        ("recency", "r"),
-        ("frequency", "f"),
-        ("monetary_cents", "m"),
-    ):
-        coded = SH.ranked_desc_by_value(
-            coded, metric, "o_custkey", rank_name=f"_rn_{code}"
-        )
-    coded = coded.crossJoin(F.broadcast(n_stats))
+    # two consumers (the min/max stats broadcast + the ranked pass) —
+    # cache the 4-column custkey aggregate so orders aggregates once
+    coded = SH.multi_ranked_by_value(
+        cached(cust),
+        [
+            ("recency", "desc", "_rn_r"),
+            ("frequency", "desc", "_rn_f"),
+            ("monetary_cents", "desc", "_rn_m"),
+        ],
+        tiebreak="o_custkey",
+        n_name="_nc",
+    )
     for code in ("r", "f", "m"):
         coded = coded.withColumn(code, SH.ntile_expr(f"_rn_{code}", "_nc", 4))
     return (
@@ -7477,8 +7490,13 @@ def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")
-    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(cents).alias("cents")
+    # four consumers fan out from the per-part revenue aggregate (the
+    # grand total, the cumsum's min/max stats + bucket totals, the main
+    # ranked pass) — invariant-26 cache so lineitem aggregates once
+    rev = cached(
+        li.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.sum(cents).alias("cents")
+        )
     )
     tot = rev.agg(F.sum("cents").alias("t"))
     ranked = SH.cumsum_desc_by_value(rev, "cents", "pk", val_col="cents")
@@ -7837,10 +7855,15 @@ def q_length_decile_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     wcnt = Window.partitionBy(F.xxhash64("text"))
-    dup = docs.select(
-        "doc_id",
-        "n_chars",
-        (F.count("*").over(wcnt) > 1).alias("is_dup"),
+    # four consumers fan out from the dup-flag table (the row count,
+    # the rank's min/max stats + bucket counts, the main ranked pass) —
+    # invariant-26 cache so the text-hash window computes once
+    dup = cached(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.count("*").over(wcnt) > 1).alias("is_dup"),
+        )
     )
     n_stats = dup.agg(F.count("*").alias("_nd"))
     ranked = SH.ranked_desc_by_value(dup, "n_chars", "doc_id")
@@ -8581,9 +8604,14 @@ def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = value_histogram_cells(
         ev, "value", 0.0, 1000.0, 32, extra_cols=["event_type"]
     )
-    hist = cells.groupBy(
-        F.col("event_type").alias("grp"), "bucket"
-    ).agg(F.count("*").alias("n"))
+    # ks_vs_reference consumes the histogram three ways (the reference
+    # collect, the grid's group list, the main ECDF pass) — cache the
+    # bounded (|types| x 32)-cell aggregate so events scans once
+    hist = cached(
+        cells.groupBy(F.col("event_type").alias("grp"), "bucket").agg(
+            F.count("*").alias("n")
+        )
+    )
     ref = hist.filter(F.col("grp") == "view").select("bucket", "n")
     out = ks_vs_reference(hist, ref, keys=["grp"])
     return out.select(
@@ -8807,15 +8835,20 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("td", F.col("d") + F.col("off"))
         .filter(F.col("td") <= F.col("dmax"))
     )
-    dau = F.countDistinct(
-        F.when(F.col("off") == 0, F.col("user_id"))
-    ).alias("dau")
-    wau = F.countDistinct(
-        F.when(F.col("off") <= 6, F.col("user_id"))
-    ).alias("wau")
-    mau = F.countDistinct("user_id").alias("mau")
+    # two-level distinct (guide §2.3): the three conditional
+    # countDistincts planned an Expand x3 over the 30x-scattered rows;
+    # grouping to (day, user, min(off)) first collapses map-side, and
+    # the membership tests become plain counts — a user is DAU at td
+    # iff their smallest offset is 0, WAU iff <= 6, MAU always.
+    # Identical counts, no Expand.
+    per_user = ex.groupBy(
+        F.col("td").alias("day"), "user_id"
+    ).agg(F.min("off").alias("mo"))
+    dau = F.count(F.when(F.col("mo") == 0, 1)).alias("dau")
+    wau = F.count(F.when(F.col("mo") <= 6, 1)).alias("wau")
+    mau = F.count("*").alias("mau")
     return (
-        ex.groupBy(F.col("td").alias("day"))
+        per_user.groupBy("day")
         .agg(dau, wau, mau)
         .select(
             "day", "dau", "wau", "mau",
@@ -9729,51 +9762,41 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     single float division. The whole query is one map-side-combined
     aggregate to ONE row (no shuffle wider than 36 partial sums), then
     a literal explode to (i, j) rows."""
+    # The wide moment/cell expression trees are generated as SQL strings
+    # (a handful of selectExpr py4j calls): the per-Column builder form
+    # spent 1.87 s of the query's 1.95 s in Python/py4j constructing
+    # ~500 Column objects (profiled r9; exec itself is 0.17 s). Same
+    # expressions, same plan, same results.
     dims = _COV_DIMS
     emb = load(spark, sf_dir, "embeddings")
-    x = emb.select(
+    x = emb.selectExpr(
         *[
-            F.round(F.col("embedding")[i] * 1e6).cast("long").alias(f"x{i}")
+            f"CAST(round(embedding[{i}] * 1000000.0, 0) AS BIGINT) AS x{i}"
             for i in range(dims)
         ]
     )
-    aggs = (
-        [F.count("*").alias("n")]
-        + [F.sum(f"x{i}").alias(f"s{i}") for i in range(dims)]
+    agg_exprs = (
+        ["count(*) AS n"]
+        + [f"sum(x{i}) AS s{i}" for i in range(dims)]
         + [
-            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}")
+            f"sum(x{i} * x{j}) AS p{i}_{j}"
             for i in range(dims)
             for j in range(i, dims)
         ]
     )
-    row = x.agg(*aggs)
-    dec = "decimal(38,0)"
-    cells = [
-        F.struct(
-            F.lit(i).alias("i"),
-            F.lit(j).alias("j"),
-            (
-                (
-                    F.col(f"p{i}_{j}").cast(dec) * F.col("n").cast(dec)
-                    - F.col(f"s{i}").cast(dec) * F.col(f"s{j}").cast(dec)
-                ).cast("double")
-                / (
-                    F.col("n").cast("double")
-                    * (F.col("n") - 1).cast("double")
-                    * F.lit(1e12)
-                )
-            ).alias("c"),
-        )
+    row = x.agg(*[F.expr(e) for e in agg_exprs])
+    dec = "DECIMAL(38,0)"
+    cells = ", ".join(
+        f"struct({i} AS i, {j} AS j, "
+        f"CAST(CAST(p{i}_{j} AS {dec}) * CAST(n AS {dec})"
+        f" - CAST(s{i} AS {dec}) * CAST(s{j} AS {dec}) AS DOUBLE)"
+        f" / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e12) AS c)"
         for i in range(dims)
         for j in range(i, dims)
-    ]
+    )
     return (
-        row.select(F.explode(F.array(*cells)).alias("e"))
-        .select(
-            F.col("e.i").alias("i"),
-            F.col("e.j").alias("j"),
-            F.round(F.col("e.c"), 6).alias("cov"),
-        )
+        row.selectExpr(f"explode(array({cells})) AS e")
+        .selectExpr("e.i AS i", "e.j AS j", "round(e.c, 6) AS cov")
         .orderBy("i", "j")
     )
 
@@ -10212,9 +10235,14 @@ def q_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svs_spark.operators.sharding import bucketed_global_cumsum
 
     docs = load(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    # three consumers fan out from the tokenized length table (the
+    # id-range stats, the cumsum's bucket totals, the main pass) —
+    # invariant-26 cache so the split() tokenization computes once
+    d = cached(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
     )
     rng = d.agg(
         F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
@@ -11094,43 +11122,41 @@ def q_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer nano fixed point (1e9 div (60+r) — integer div in BOTH
     engines, so the fusion is hash-exact), top-100 fused.
 
-    Scale shape: each global rank is the TWO-LEVEL decomposition
-    (``ranked_asc_by_value`` / ``ranked_desc_by_value`` — bounded
-    equi-width value buckets + broadcast offsets, never a
-    single-partition sort); the three rank columns join back on the
-    8-byte doc_id key (co-partitioned exchanges); the top-100 is a
-    TakeOrderedAndProject. The LM-signal build reuses the
-    unigram_logprob_quality plan (vocab broadcast onto the tf
-    aggregate)."""
-    from svs_spark.operators.sharding import (
-        ranked_asc_by_value,
-        ranked_desc_by_value,
-    )
+    Scale shape: all three global ranks come from ONE fused two-level
+    decomposition (``multi_ranked_by_value`` — the signals unpivot to
+    (doc_id, signal, value) rows sharing a single bounded equi-width
+    bucket exchange + broadcast offsets, never a single-partition
+    sort), replacing three independent rank pipelines whose min/max
+    stats subtrees each re-planned the signal build (182 Exchange
+    nodes in the r8 plan); the fused pass also ends doc_id-keyed, so
+    no 3-way join back. The top-100 is a TakeOrderedAndProject. The
+    LM-signal build reuses the unigram_logprob_quality plan (vocab
+    broadcast onto the tf aggregate)."""
+    from svs_spark.operators.sharding import multi_ranked_by_value
 
     u = q_unigram_logprob_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", F.col("decibits_per_token").alias("q")
     )
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    # three rank pipelines fan out from one per-doc signal table —
-    # the invariant-25 3+-reference case: cache it (40 bytes/doc) so
-    # the vocab join computes once
+    # two consumers (stats broadcast + ranked pass) fan out from one
+    # per-doc signal table — the invariant-25 case: cache it (40
+    # bytes/doc) so the vocab join computes once
     j = cached(
         u.join(d, "doc_id").withColumn(
             "cpt", F.expr("n_chars * 1000 div n_tokens")
         )
     )
-    r_lm = ranked_asc_by_value(j, "q", "doc_id", rank_name="r_lm").select(
-        "doc_id", "r_lm"
+    ranks = multi_ranked_by_value(
+        j,
+        [
+            ("q", "asc", "r_lm"),
+            ("n_chars", "desc", "r_len"),
+            ("cpt", "asc", "r_cpt"),
+        ],
+        tiebreak="doc_id",
     )
-    r_len = ranked_desc_by_value(
-        j, "n_chars", "doc_id", rank_name="r_len"
-    ).select("doc_id", "r_len")
-    r_cpt = ranked_asc_by_value(
-        j, "cpt", "doc_id", rank_name="r_cpt"
-    ).select("doc_id", "r_cpt")
     fused = (
-        r_lm.join(r_len, "doc_id")
-        .join(r_cpt, "doc_id")
+        ranks
         .withColumn(
             "rrf_fp",
             F.expr(
@@ -12405,11 +12431,18 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = gram_frame(1).unionByName(gram_frame(2)).unionByName(
         gram_frame(3)
     )
-    return grams.groupBy("source", "n").agg(
-        F.count("*").cast("long").alias("total_ngrams"),
-        F.countDistinct("gh").cast("long").alias("distinct_ngrams"),
+    # pre-group on the gram hash (guide §2.3): collapses duplicate
+    # grams map-side and removes the Expand the mixed count+distinct
+    # aggregate planned (2x the gram stream through the exchange);
+    # identical counts.
+    per_gram = grams.groupBy("source", "n", "gh").agg(
+        F.count("*").alias("c")
+    )
+    return per_gram.groupBy("source", "n").agg(
+        F.sum("c").cast("long").alias("total_ngrams"),
+        F.count("*").cast("long").alias("distinct_ngrams"),
         F.round(
-            F.countDistinct("gh").cast("double") / F.count("*"), 6
+            F.count("*").cast("double") / F.sum("c"), 6
         ).alias("diversity"),
     )
 
@@ -12775,9 +12808,19 @@ def q_distinct_ngram_diversity_approx(
     grams = gram_frame(1).unionByName(gram_frame(2)).unionByName(
         gram_frame(3)
     )
-    agg = grams.groupBy("source", "n").agg(
-        F.count("*").cast("long").alias("total_ngrams"),
-        F.countDistinct("gh").cast("long").alias("exact_d"),
+    # pre-group on the gram hash (guide §2.3 — aggregate before you
+    # shuffle): both count-distinct sides are dedup-insensitive (exact
+    # distinct trivially; HLL registers are max-per-bucket, so feeding
+    # each distinct gh once yields the identical estimate), so the
+    # (source, n, gh) pre-aggregate collapses duplicate grams map-side
+    # and removes the Expand the mixed exact+distinct aggregate planned
+    # (2x the gram stream through the exchange).
+    per_gram = grams.groupBy("source", "n", "gh").agg(
+        F.count("*").alias("c")
+    )
+    agg = per_gram.groupBy("source", "n").agg(
+        F.sum("c").cast("long").alias("total_ngrams"),
+        F.count("*").cast("long").alias("exact_d"),
         F.approx_count_distinct("gh", rsd=0.02).alias("approx_d"),
     )
     return agg.select(

@@ -337,7 +337,19 @@ def test_rfm_and_pareto_windows_are_bucket_partitioned(spark, registry):
     for name in ("rfm_segments", "pareto_abc_parts"):
         df = registry[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "hashpartitioning(_bucket" in plan, (name, plan[:2000])
+        # single-metric path buckets on _bucket; the fused multi-metric
+        # path (rfm_segments since r9) on (_sig, _vbucket) — both are
+        # the two-level decomposition, never an empty partition spec
+        assert (
+            "hashpartitioning(_bucket" in plan
+            or "hashpartitioning(_sig" in plan
+        ), (name, plan[:2000])
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line:
+                assert (
+                    "windowspecdefinition(_bucket" in line
+                    or "windowspecdefinition(_sig" in line
+                ), (name, line)
         assert "ntile" not in plan, (name, plan[:2000])
 
 
@@ -669,11 +681,13 @@ def test_rank_fusion_uses_two_level_ranks(spark, registry):
     global sort."""
     df = registry["quality_rank_fusion"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+    # fused multi-metric two-level rank (r9): windows hash-partition on
+    # (signal, value bucket); never an empty partition spec
+    assert "hashpartitioning(_sig" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
-            assert "windowspecdefinition(_bucket" in line, line
+            assert "windowspecdefinition(_sig" in line, line
 
 
 def test_script_mix_profile_is_scan_stage_single_aggregate(spark, registry):

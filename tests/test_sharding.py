@@ -231,3 +231,74 @@ def test_ranked_asc_by_value_is_bucket_partitioned(spark, metrics):
         .toString()
     )
     assert "hashpartitioning(_bucket" in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-metric rank (round-9 optimization): one two-level pass
+# must equal the per-metric single-rank composition, mixed directions,
+# including ties and a near-unique metric.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def multi_metrics(spark):
+    return spark.range(400).select(
+        F.col("id").alias("ck"),
+        F.when(F.col("id") < 50, F.lit(7777))
+        .otherwise((F.col("id") * 104729) % 1000003)
+        .cast("long")
+        .alias("m1"),
+        ((F.col("id") * 7919) % 97).cast("long").alias("m2"),
+        (F.col("id") % 3).cast("long").alias("m3"),
+    )
+
+
+def test_multi_ranked_equals_single_rank_composition(spark, multi_metrics):
+    fused = {
+        r.ck: (r.r1, r.r2, r.r3, r.n)
+        for r in SH.multi_ranked_by_value(
+            multi_metrics,
+            [("m1", "desc", "r1"), ("m2", "asc", "r2"), ("m3", "desc", "r3")],
+            tiebreak="ck",
+            n_name="n",
+        ).collect()
+    }
+    r1 = {
+        r.ck: r.r1
+        for r in SH.ranked_desc_by_value(
+            multi_metrics, "m1", "ck", rank_name="r1"
+        ).collect()
+    }
+    r2 = {
+        r.ck: r.r2
+        for r in SH.ranked_asc_by_value(
+            multi_metrics, "m2", "ck", rank_name="r2"
+        ).collect()
+    }
+    r3 = {
+        r.ck: r.r3
+        for r in SH.ranked_desc_by_value(
+            multi_metrics, "m3", "ck", rank_name="r3"
+        ).collect()
+    }
+    n = multi_metrics.count()
+    assert fused == {ck: (r1[ck], r2[ck], r3[ck], n) for ck in r1}
+
+
+def test_multi_ranked_window_is_bucket_partitioned(spark, multi_metrics):
+    plan = (
+        SH.multi_ranked_by_value(
+            multi_metrics,
+            [("m1", "desc", "r1"), ("m2", "asc", "r2")],
+            tiebreak="ck",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every corpus-sized window hash-partitions on (signal, bucket) —
+    # never an empty partition spec (single-task global sort)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(_sig" in line, line
+    assert "hashpartitioning(_sig" in plan, plan[:1500]
