@@ -5434,13 +5434,18 @@ def q_token_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-    f = tok.groupBy("w").agg(F.count("*").alias("c"))
+    # two consumers (grand total + top-20) — cache the vocab table
+    f = cached(tok.groupBy("w").agg(F.count("*").alias("c")))
     tot = f.agg(F.sum("c").alias("total"))
+    # top-20 via TakeOrderedAndProject (per-partition heaps + driver
+    # merge) BEFORE ranking: the previous row_number window sorted the
+    # whole vocabulary in one partition just to keep 20 rows (guide
+    # §2.4); the post-limit rank window touches 20 rows
     w_rank = Window.orderBy(F.desc("c"), "w")
     r = (
-        f.withColumn("rank", F.row_number().over(w_rank).cast("int"))
-        .orderBy("rank")
+        f.orderBy(F.desc("c"), "w")
         .limit(20)
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
     )
     w_cum = Window.orderBy("rank").rowsBetween(
         Window.unboundedPreceding, 0
@@ -6370,7 +6375,11 @@ def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         D._signature_batch_kernel("doc_id", "text", num_hashes, 3),
         schema="did long, hs array<long>, sig array<long>",
     )
-    sig = (
+    # both sides of the source-pair self-join consume the signature
+    # table — without the cache each side re-runs the Arrow signature
+    # kernel over the whole corpus (the broadcast build side executes
+    # the subtree separately from the probe side). 20 rows cached.
+    sig = cached(
         base.select("did", "sig")
         .join(
             docs.select(F.col("doc_id").alias("did"), "source"), "did"
@@ -9410,7 +9419,10 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", is_test.alias("is_test"),
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     )
-    train = toks.filter(~F.col("is_test"))
+    # four consumers fan out from the exploded train-token stream (class
+    # totals, vocab size, per-(term,lang) counts, the dense grid's term
+    # list) — invariant-26 cache so tokenize+explode runs once
+    train = cached(toks.filter(~F.col("is_test")))
     cls = train.groupBy("lang").agg(F.count("*").alias("tot"))
     vn = train.agg(F.count_distinct("term").alias("v"))
     tr_docs = docs.filter(~is_test)
@@ -9538,11 +9550,17 @@ def q_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
         % F.lit(1000) >= 900
     )
-    base = docs.select(
-        "doc_id", "source", is_test.alias("is_test"),
-        F.split(F.lower(F.col("text")), " ").alias("tk"),
+    # the tokenized corpus feeds three pipelines (unigram counts, the
+    # train bigram table, the held-out scoring stream) and the unigram
+    # table feeds three consumers (grand total + both scoring joins) —
+    # invariant-26 caches so tokenize/explode run once each
+    base = cached(
+        docs.select(
+            "doc_id", "source", is_test.alias("is_test"),
+            F.split(F.lower(F.col("text")), " ").alias("tk"),
+        )
     )
-    uni = (
+    uni = cached(
         base.filter(~F.col("is_test"))
         .select(F.explode("tk").alias("w"))
         .groupBy("w").agg(F.count("*").alias("c"))
@@ -9585,13 +9603,20 @@ def q_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("w_fp"),
         )
     )
+    # per-(source, doc) pre-aggregate (guide §2.3): the mixed
+    # count_distinct(doc_id) + count(*) aggregate planned an Expand x2
+    # over the scored bigram stream; grouping to doc granularity first
+    # makes every downstream count plain. Identical values.
+    per_doc = s.groupBy("source", "doc_id").agg(
+        F.count("*").alias("nb"), F.sum("w_fp").alias("sfp")
+    )
     return (
-        s.groupBy("source")
+        per_doc.groupBy("source")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_bigrams"),
+            F.count("*").alias("n_docs"),
+            F.sum("nb").alias("n_bigrams"),
             F.round(
-                F.sum("w_fp").cast("double") / 1e6 / F.count("*"), 6
+                F.sum("sfp").cast("double") / 1e6 / F.sum("nb"), 6
             ).alias("avg_lp"),
         )
         .orderBy("source")
@@ -12570,21 +12595,28 @@ def q_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = ev.agg(
         F.min("event_id").alias("_lo"), F.max("event_id").alias("_hi")
     )
-    b = ev.crossJoin(F.broadcast(rng)).withColumn(
-        "_bucket",
-        F.floor(
-            (F.col("event_id") - F.col("_lo"))
-            * 512
-            / (F.col("_hi") - F.col("_lo") + 1)
-        ),
-    ).drop("_lo", "_hi")
+    # two consumers (the in-bucket running-max window and the bucket
+    # offsets aggregate) fan out from the bucketed event table —
+    # invariant-26 cache so events scans once
+    base = cached(
+        ev.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_bucket",
+            F.floor(
+                (F.col("event_id") - F.col("_lo"))
+                * 512
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
     w_in = (
         Window.partitionBy("event_type", "_bucket")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    b = b.withColumn("_run_in", F.max("us").over(w_in))
-    bmax = b.groupBy("event_type", "_bucket").agg(
+    b = base.withColumn("_run_in", F.max("us").over(w_in))
+    bmax = base.groupBy("event_type", "_bucket").agg(
         F.max("us").alias("_bmax")
     )
     w_off = (
