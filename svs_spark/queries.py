@@ -53,6 +53,14 @@ _cache_hooks.set_tracker(_LIVE_CACHES.append)
 # turned every timed run cold and cost 6-16x on the shingle-heavy
 # n-gram queries.
 _CACHE_OWNER: list[str] = [""]
+# Re-entrancy depth: a registered query that COMPOSES another registered
+# query (quality_rank_fusion builds on unigram_logprob_quality) must not
+# flip ownership mid-build — the inner wrapper call would otherwise
+# reassign _CACHE_OWNER to the inner name, so the OUTER query's cached()
+# frames get released at the start of its own next rebuild and every
+# warm timed run recomputes them cold (round-9 profiling). Only the
+# outermost build may release/claim.
+_BUILD_DEPTH: list[int] = [0]
 
 
 def cached(df: DataFrame) -> DataFrame:
@@ -123,10 +131,14 @@ def register(
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            if _CACHE_OWNER[0] != name:
+            if _BUILD_DEPTH[0] == 0 and _CACHE_OWNER[0] != name:
                 _release_query_caches()
                 _CACHE_OWNER[0] = name
-            return fn(spark, sf_dir)
+            _BUILD_DEPTH[0] += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _BUILD_DEPTH[0] -= 1
 
         _QUERIES[name] = wrapped
         if oracle is not None:

@@ -1704,14 +1704,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.explode(F.split(F.lower("text"), " ")).alias("term"),
     )
-    tf = t.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    # the tf table feeds both the df derivation and the scoring join —
+    # invariant-26 cache so tokenize+explode+count runs once
+    tf = cached(
+        t.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    )
     # corpus size folded in as a 1-row broadcast cross join (the oracle's
     # `n` CTE) instead of an eager driver-side docs.count() — keeps the
     # whole query one lazy plan with no extra action
     nd = docs.agg(F.count("*").cast("double").alias("nd"))
+    # df per term == tf rows per term: (doc_id, term) is unique in tf
+    # (lang is functional on doc_id), so the countDistinct over the raw
+    # token stream — a second explode pass — is a plain count here
     df_ = (
-        t.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(nd))
     )
     s = (
@@ -5301,10 +5308,14 @@ def q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the output is integer.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    # the token stream feeds the vocab build and the flagging join, the
+    # vocab feeds the total and the broadcast — invariant-26 caches
+    tok = cached(
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
     )
-    f = tok.groupBy("w").agg(F.count("*").alias("c"))
+    f = cached(tok.groupBy("w").agg(F.count("*").alias("c")))
     tot = f.agg(F.sum("c").alias("total"))
     flagged = (
         tok.join(F.broadcast(f), "w")
@@ -5783,7 +5794,9 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # the tf table feeds both the vocab build and the scoring join —
+    # invariant-26 cache so tokenize+explode+count runs once
+    tf = cached(toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
     bits = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
@@ -6517,10 +6530,15 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6dp on both engines.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    # the tokenized docs feed both the unigram and the bigram streams;
+    # the unigram counts feed both scoring-join sides; both grand totals
+    # derive from the count tables instead of extra explode passes
+    toks = cached(
+        docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    )
     uni = toks.select(F.explode("t").alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    tot = uni.agg(F.count("*").alias("n_tok"))
+    uc = cached(uni.groupBy("tok").agg(F.count("*").alias("c")))
+    tot = uc.agg(F.sum("c").alias("n_tok"))
     bg = toks.select(
         F.explode(
             F.transform(
@@ -6532,8 +6550,8 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
-    btot = bg.agg(F.count("*").alias("n_bg"))
+    bc = cached(bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab")))
+    btot = bc.agg(F.sum("c_ab").alias("n_bg"))
     a = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     b = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
     return (
@@ -8906,12 +8924,18 @@ def q_token_lang_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram_pmi_top). ln() on an all-integer ratio is the only float,
     rounded at 6dp in both engines; TakeOrdered top-50."""
     docs = load(spark, sf_dir, "documents")
-    occ = docs.select(
-        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    # the exploded (lang, token) stream feeds three aggregates —
+    # invariant-26 cache; the grand total derives from the (tiny)
+    # per-lang counts instead of a fourth pass
+    occ = cached(
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
     )
     tc = occ.groupBy("tok").agg(F.count("*").alias("c_t"))
     lc = occ.groupBy("lang").agg(F.count("*").alias("c_l"))
-    tot = occ.agg(F.count("*").alias("n"))
+    tot = lc.agg(F.sum("c_l").alias("n"))
     joint = occ.groupBy("tok", "lang").agg(F.count("*").alias("c_tl"))
     j = (
         joint.filter(F.col("c_tl") >= 5)
