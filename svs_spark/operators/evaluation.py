@@ -147,7 +147,15 @@ def isotonic_calibrate(
                 F.col(score_col) * n_bins / (F.col("_maxs") + F.lit(1e-9))
             ),
         ).cast("long")
-    binned = (
+    # binned feeds BOTH the fit's bin aggregate (collected below) and
+    # the returned apply join — untracked, the apply recomputed the
+    # scan + max-broadcast subtree, so one calibrate call paid 4 corpus
+    # passes (max, bin-agg, max again, join) instead of 2 + a cache
+    # read. Registry-scoped persist (released when the next registered
+    # query builds, or by release_caches()).
+    from svs_spark.cache_hooks import persist_tracked
+
+    binned = persist_tracked(
         df.crossJoin(F.broadcast(mx))
         .withColumn(bin_col, bin_expr)
         .drop("_maxs")

@@ -6748,9 +6748,14 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    t = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
-    ).filter(F.col("term").isin(*_HYBRID_TERMS))
+    # the filtered term stream feeds both the df derivation and the
+    # keyword-score join — invariant-26 cache so the tokenize+explode
+    # pass over the corpus runs once
+    t = cached(
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        ).filter(F.col("term").isin(*_HYBRID_TERMS))
+    )
     nd = docs.agg(F.count("*").cast("double").alias("nd"))
     dfreq = (
         t.groupBy("term")
@@ -7106,7 +7111,13 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
     ).filter(F.col("c") != "")
     cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
-    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    # doc length as a whole-partition window sum instead of a separate
+    # groupBy + join: the join form recomputed the explode+count
+    # subtree for the n aggregate (no ReuseExchange across the two
+    # consumers), and the (doc_id)-keyed window partitioning also
+    # satisfies the downstream groupBy — 2 corpus passes / 5 exchanges
+    # down to 1 pass / 3. n is the identical BIGINT sum.
+    n_w = F.sum("k").over(Window.partitionBy("doc_id"))
     # integer fixed-point ln terms: the per-(doc,char) nano-scaled
     # log is deterministic per row, and the BIGINT sum is
     # order-independent under partial aggregation (invariant 1 — a
@@ -7116,7 +7127,7 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     ent = (
-        cc.join(n, "doc_id")
+        cc.withColumn("n", n_w)
         .groupBy("doc_id", "n")
         .agg(F.sum(F.col("k") * t).alias("s"))
         .select(

@@ -135,3 +135,30 @@ def test_bad_args_raise(spark):
         isotonic_calibrate(df, "score", "y", n_bins=0)
     with pytest.raises(ValueError):
         isotonic_calibrate(df, "nope", "y")
+
+
+def test_binned_persist_is_registry_tracked(spark):
+    """The r9 optimization caches the binned frame (it feeds both the
+    fit's bin aggregate and the returned apply join); the persist must
+    join the registry's per-query release list so a long-lived session
+    can't accumulate dead InMemoryRelations."""
+    from svs_spark import cache_hooks
+
+    tracked: list = []
+    old = cache_hooks._TRACKER
+    cache_hooks.set_tracker(tracked.append)
+    try:
+        out = isotonic_calibrate(
+            _df(spark, [1, 5, 9, 3, 7] * 20, [0, 1, 1, 0, 1] * 20),
+            "score",
+            "y",
+        )
+        rows = out.collect()
+        assert len(rows) == 100
+        # exactly one tracked persist (the binned frame), and it is
+        # actually materialized as cached
+        assert len(tracked) == 1
+        assert tracked[0].storageLevel.useMemory
+        tracked[0].unpersist()
+    finally:
+        cache_hooks.set_tracker(old)
