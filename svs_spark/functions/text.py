@@ -34,6 +34,97 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
 
 
+# --- Spark-SQL string twins -------------------------------------------------
+# Each public function below returns F.expr(<one SQL string>) when given a
+# column NAME: the Column-builder forms spend hundreds of py4j round-trips
+# per call constructing the identical expression tree node by node (round-9
+# profiling: detect_language alone cost ~0.5 s of driver time per query
+# build). The SQL text is generated from the SAME constants, the arithmetic
+# is identical, and tests/test_text_sql_twins.py pins Column ≡ expr
+# equality cell-for-cell. Column inputs keep the original builder path.
+
+
+def _sql_padded_lower(col: str) -> str:
+    return f"concat(' ', lower({col}), ' ')"
+
+
+def _sql_count_occ(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{esc}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def _sql_ws_token_count(col: str) -> str:
+    t = f"trim({col})"
+    return (
+        f"(CASE WHEN length({t}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE {_sql_count_occ(t, ' ')} + 1 END)"
+    )
+
+
+def _sql_lang_score(col: str, lang: str) -> str:
+    p = _sql_padded_lower(col)
+    return (
+        "(CAST(0 AS BIGINT) + "
+        + " + ".join(_sql_count_occ(p, m) for m in LANG_MARKERS[lang])
+        + ")"
+    )
+
+
+def _sql_detect_language(col: str) -> str:
+    ordered = ["en", "es", "de", "fr"]
+    scores = {lang: _sql_lang_score(col, lang) for lang in ordered}
+    clauses = []
+    for lang in ordered:
+        conds = [f"{scores[lang]} > 0"]
+        for other in ordered:
+            if other == lang:
+                continue
+            op = ">" if ordered.index(other) < ordered.index(lang) else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "(CASE " + " ".join(clauses) + " ELSE 'und' END)"
+
+
+def _sql_stopword_ratio(col: str) -> str:
+    p = _sql_padded_lower(col)
+    hits = "(CAST(0 AS BIGINT) + " + " + ".join(
+        _sql_count_occ(p, sw) for sw in ENGLISH_STOPWORDS
+    ) + ")"
+    toks = _sql_ws_token_count(col)
+    return (
+        f"(CASE WHEN {toks} > 0 THEN CAST({hits} AS DOUBLE) / {toks} "
+        f"ELSE CAST(0.0 AS DOUBLE) END)"
+    )
+
+
+def _sql_punct_ratio(col: str) -> str:
+    stripped = col
+    for p in [".", ",", ";", ":", "!", "?"]:
+        stripped = f"replace({stripped}, '{p}', '')"
+    return (
+        f"(CASE WHEN length({col}) > 0 THEN "
+        f"CAST(length({col}) - length({stripped}) AS DOUBLE) / length({col}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END)"
+    )
+
+
+def _sql_quality_score(col: str) -> str:
+    toks = _sql_ws_token_count(col)
+    len_term = f"least(CAST(1.0 AS DOUBLE), CAST({toks} AS DOUBLE) / CAST(100.0 AS DOUBLE))"
+    sw_term = f"least(CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE) * {_sql_stopword_ratio(col)})"
+    punct_term = (
+        f"(CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), "
+        f"CAST(5.0 AS DOUBLE) * {_sql_punct_ratio(col)}))"
+    )
+    return (
+        f"(CAST(0.4 AS DOUBLE) * {len_term} + CAST(0.4 AS DOUBLE) * {sw_term}"
+        f" + CAST(0.2 AS DOUBLE) * {punct_term})"
+    )
+
+
 def _padded_lower(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.concat(F.lit(" "), F.lower(c), F.lit(" "))
@@ -67,6 +158,8 @@ def detect_language(text: Column | str) -> Column:
     Deterministic tie-break: languages are compared in the fixed order
     en > es > de > fr (first max wins); all-zero → 'und' (undetermined).
     """
+    if isinstance(text, str):
+        return F.expr(_sql_detect_language(f"`{text}`"))
     scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
     ordered = ["en", "es", "de", "fr"]
     result = F.lit("und")
@@ -87,7 +180,9 @@ def detect_language(text: Column | str) -> Column:
 
 def whitespace_token_count(text: Column | str) -> Column:
     """Token count by single-space splitting of trimmed text."""
-    c = F.col(text) if isinstance(text, str) else text
+    if isinstance(text, str):
+        return F.expr(_sql_ws_token_count(f"`{text}`"))
+    c = text
     t = F.trim(c)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         count_occurrences(t, " ") + 1
@@ -130,6 +225,8 @@ def quality_score(text: Column | str) -> Column:
     score = 0.4*min(1, tokens/100) + 0.4*min(1, 4*stopword_ratio)
           + 0.2*(1 - min(1, 5*punct_ratio))
     """
+    if isinstance(text, str):
+        return F.expr(_sql_quality_score(f"`{text}`"))
     tokens = whitespace_token_count(text).cast("double")
     len_term = F.least(F.lit(1.0), tokens / F.lit(100.0))
     sw_term = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text))

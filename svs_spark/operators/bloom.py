@@ -65,6 +65,30 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> "list[Column]":
     ]
 
 
+def _positions_sql(key_sql: str, num_bits: int, num_hashes: int) -> "list[str]":
+    """SQL-string twin of ``_positions`` — byte-identical expression
+    trees, one py4j round-trip instead of ~6 per probe position
+    (round-9 profiling: the Column builders spent ~0.3 s per bloom
+    query in driver-side chatter before Spark saw the plan)."""
+    h1 = f"pmod(xxhash64({key_sql}), {num_bits})"
+    h2 = f"pmod(xxhash64({key_sql}, {_H2_SALT}), {num_bits})"
+    return [
+        f"pmod({h1} + {i} * {h2}, {num_bits})" for i in range(num_hashes)
+    ]
+
+
+def _membership_cond_sql(
+    key_sql: str, arr_sql: str, num_bits: int, num_hashes: int
+) -> str:
+    probes = [
+        f"(getbit(element_at({arr_sql}, "
+        f"CAST(CAST({pos} / 64 AS BIGINT) + 1 AS INT)), "
+        f"CAST({pos} % 64 AS INT)) = 1)"
+        for pos in _positions_sql(key_sql, num_bits, num_hashes)
+    ]
+    return "(true AND " + " AND ".join(probes) + ")"
+
+
 def bloom_bitmap(
     keys: DataFrame,
     key_col: str,
@@ -80,20 +104,13 @@ def bloom_bitmap(
     """
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
+    pos_list = ", ".join(_positions_sql("k", num_bits, num_hashes))
     words = (
         keys.select(F.col(key_col).alias("k"))
-        .select(
-            F.explode(F.array(*_positions(F.col("k"), num_bits, num_hashes))).alias(
-                "pos"
-            )
-        )
-        .select(
-            (F.col("pos") / 64).cast("long").alias("word"),
-            # shiftleft's pyspark binding takes a Python-int count, so
-            # the per-row shift goes through expr
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
-            ).alias("mask"),
+        .selectExpr(f"explode(array({pos_list})) AS pos")
+        .selectExpr(
+            "CAST(pos / 64 AS BIGINT) AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS mask",
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
@@ -153,8 +170,8 @@ def bloom_prune(
     """
     spark = df.sparkSession
     bm_df = spark.createDataFrame([(bitmap,)], "__bloom_bm array<long>")
-    cond = _membership_cond(
-        F.col(key_col), F.col("__bloom_bm"), len(bitmap) * 64, num_hashes
+    cond = _membership_cond_sql(
+        f"`{key_col}`", "__bloom_bm", len(bitmap) * 64, num_hashes
     )
     return df.crossJoin(F.broadcast(bm_df)).filter(cond).drop("__bloom_bm")
 

@@ -795,16 +795,13 @@ def connected_components(
     ).unionByName(
         pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
     )
+    from pyspark.sql import Observation
+
     und = und.persist()
     # localCheckpoint (eager) truncates lineage each round — without it
     # the iterated plan nests exponentially and the driver OOMs building
     # plan strings long before any data is large
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    #
     # Fused round (optimization guide §2.4 — remove shuffles outright):
     # the neighbor-min join and the pointer-jumping self-join both probe
     # `labels` on an id key, so union their probe sides — the undirected
@@ -814,28 +811,44 @@ def connected_components(
     # label[label[a]]) equals the unfused least(label, nmin, jmin):
     # labels are monotone non-increasing node ids (label[x] <= x), so
     # the label-of-label term is always <= the own-label term.
+    #
+    # Round 1 needs no join at all: from identity labels the fused
+    # update is new_label[a] = min(a, min of a's neighbors), one
+    # aggregation over the edge list — so the identity-label init table
+    # (a distinct pass + its own checkpoint action) never materializes.
+    #
     # Convergence probe: sum(label) strictly decreases while any label
-    # changes (labels only decrease), so a tiny aggregate on the
-    # checkpointed result replaces the join+filter+limit+count.
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
+    # changes (labels only decrease). The sum rides the SAME action as
+    # the checkpoint via observe() — round-9 profiling showed the
+    # separate collect()-based probe cost a driver round-trip per round
+    # (~0.1-0.15 s each) on top of the checkpoint job.
+    def _sum_col():
+        return F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    obs0 = Observation()
+    labels = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_nmin"))
+        .select("node", F.least("node", "_nmin").alias("label"))
+        .observe(obs0, _sum_col())
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"]
+    for _ in range(max_iter - 1):
         targets = und.unionByName(
             labels.select(
                 F.col("node").alias("a"), F.col("label").alias("b")
             )
         )
+        obs = Observation()
         new_labels = (
             targets.join(labels, targets["b"] == labels["node"])
             .groupBy(targets["a"].alias("node"))
             .agg(F.min("label").alias("label"))
+            .observe(obs, _sum_col())
             .localCheckpoint()
         )
-        cur_sum = _label_sum(new_labels)
+        cur_sum = obs.get["s"]
         labels = new_labels
         if cur_sum == prev_sum:
             break

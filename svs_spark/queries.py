@@ -271,10 +271,38 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+# Lazy DataFrame HANDLE cache for load(): building a parquet reader costs
+# ~0.15-0.2 s of py4j round-trips + footer/schema reads, and the 148-query
+# bench paid it ~220 times per pass (round-9 profiling: 50 s of the 120 s
+# total was Python-side query construction). The cached object is an
+# UNEXECUTED logical plan — no rows, no results; every action still scans
+# the parquet files — so this is driver-overhead removal, not result
+# caching. Keyed by (applicationId, sf_dir, table, file mtime+size): a new
+# session, a different corpus dir, or a rewritten file all miss.
+_LOAD_HANDLES: dict[tuple, DataFrame] = {}
+
+
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: "bool | None" = None
+) -> DataFrame:
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = (0, 0)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, table, stamp, spread)
+    df = _LOAD_HANDLES.get(key)
+    if df is not None:
+        return df
     # The driver runs queries under ITS session; date-literal casts must
     # interpret wall-clock strings the same way the DuckDB oracle does
-    # (naive = UTC), regardless of the host timezone.
+    # (naive = UTC), regardless of the host timezone. Runtime confs are
+    # per-session state, so setting them on the cache-miss path covers
+    # every later hit in the same application.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         # Accept either historical physical type for events.ts (see
@@ -282,8 +310,44 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # works under the driver's own session too; it is a no-op for
         # micros-precision files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = normalize_events_ts(spark.read.parquet(path))
+    else:
+        df = spark.read.parquet(path)
+    # Scale-adaptive scan spread (guide §2 — partitioning must adapt to
+    # input size, not a constant tuned for one mode): documents and
+    # embeddings feed compute-DENSE narrow chains (tokenize / shingle /
+    # regex / GEMM kernels fused into the scan stage), and a parquet
+    # scan cannot split below a row group — the sf testdata is one file
+    # with one row group, so without this every such chain runs in ONE
+    # task regardless of core count. When the scan's estimated split
+    # count is below the cluster parallelism, round-robin the rows
+    # across the cores; at production scale (splits >= cores) this is
+    # a no-op, so nothing here is tuned to local[32].
+    # ``spread`` is tri-state: None = auto (the two tables whose
+    # downstream is almost always compute-dense), True = a caller whose
+    # post-scan work is compute-dense on another table (e.g. a five-way
+    # broadcast-probe over lineitem), False = the map-only scoring
+    # paths whose plan gates prove "the corpus never shuffles" (kmeans
+    # assignment, filtered retrieve, scan-stage audits) — for them the
+    # exchange is pure loss at scale and the local parallelism win does
+    # not justify changing the committed plan shape.
+    if spread is None:
+        spread = table in ("documents", "embeddings")
+    if spread and stamp[1] > 0:
+        try:
+            max_split = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                .rstrip("b")
+            )
+        except ValueError:
+            max_split = 134217728
+        cores = spark.sparkContext.defaultParallelism
+        if stamp[1] // max_split + 1 < cores:
+            df = df.repartition(cores)
+    for kk in [kk for kk in _LOAD_HANDLES if kk[0] != app]:
+        del _LOAD_HANDLES[kk]  # handles from stopped sessions
+    _LOAD_HANDLES[key] = df
+    return df
 
 
 # Deterministic query vector shared by Spark + DuckDB sides: unit-norm,

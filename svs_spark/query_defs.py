@@ -522,6 +522,47 @@ def _pent5_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_cached(spark, "pent5", sf_dir, build)
 
 
+def _gram_counts_123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (source, n, gh, c) gram-count table for n = 1, 2, 3: the
+    per-(source, n) stream of distinct gram hashes with their
+    occurrence counts. Both distinct-n diversity queries (exact and
+    HLL twin) consume exactly this table, so it materializes once per
+    (session, corpus) like the trigram index. The (source, n, gh)
+    pre-aggregate collapses duplicate grams map-side (guide §2.3) and
+    removes the Expand a mixed count+distinct aggregate would plan."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select(
+            "source", F.split(F.lower(F.col("text")), " ").alias("t")
+        )
+
+        def gram_frame(n: int) -> DataFrame:
+            base = docs.filter(F.size("t") >= n)
+            if n == 1:
+                g = F.explode("t").alias("gram")
+            else:
+                parts = [f"element_at(t, i + {j})" for j in range(n)]
+                expr = (
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> concat_ws(' ', {', '.join(parts)}))"
+                )
+                g = F.explode(F.expr(expr)).alias("gram")
+            # explode in one select, hash in the next (nested generators
+            # are rejected at analysis — invariant 8)
+            return base.select("source", F.lit(n).alias("n"), g).select(
+                "source", "n", F.xxhash64("gram").alias("gh")
+            )
+
+        grams = gram_frame(1).unionByName(gram_frame(2)).unionByName(
+            gram_frame(3)
+        )
+        return grams.groupBy("source", "n", "gh").agg(
+            F.count("*").alias("c")
+        )
+
+    return shared_cached(spark, "gram_counts_123", sf_dir, build)
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -630,7 +671,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
-    li = load(spark, sf_dir, "lineitem").filter(
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     disc_price = _dec("l_extendedprice") * (
@@ -680,7 +721,7 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")
     )
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     disc_price = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
@@ -1970,7 +2011,7 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style conditional aggregation (CASE WHEN inside sums)
     over the orders⋈lineitem join."""
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem").filter(
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
     )
     j = o.join(li, li["l_orderkey"] == o["o_orderkey"])
@@ -2562,7 +2603,7 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("sq"))
@@ -2784,7 +2825,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample predicate pushed into the scan stage — no shuffle at all
     until the reporting groupBy.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
     rate = F.when(F.col("lang") == "en", 10).otherwise(50)
     return (
@@ -3985,7 +4026,7 @@ def q_rag_chunk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     document."""
     from svs_spark.operators.chunking import chunk_text_df
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
     ch = chunk_text_df(docs, size=200, stride=150)
     ln = F.length("chunk_text")
     return ch.select(
@@ -4066,7 +4107,7 @@ def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge/shuffle join plus broadcast hash joins and a single
     partial-aggregated groupBy. Money goes through DECIMAL so the sum
     is order-independent."""
-    li = load(spark, sf_dir, "lineitem").filter(
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -4569,7 +4610,7 @@ def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")
     )
-    li = load(spark, sf_dir, "lineitem").filter(
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
     )
@@ -4973,7 +5014,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     output; at 100 TB this runs at scan speed and writes back through
     whatever partitioning the corpus already has.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     aug = docs.select("doc_id", F.expr(_PII_AUG_SQL).alias("t"))
     n_email, n_phone, n_ip = T.pii_counts("t")
     scrub = T.scrub_pii("t")
@@ -5603,7 +5644,13 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("bucket_sum"),
     )
-    span = b.groupBy("user_id").agg(
+    # span derives from the bucket aggregate (min/max over observed
+    # buckets is the same through the per-(user, bucket) grouping), so
+    # the event stream is scanned ONCE, not twice (guide §1.1 — count
+    # the fundamental passes); `actual` is cached because the grid join
+    # consumes it again.
+    actual = cached(actual)
+    span = actual.groupBy("user_id").agg(
         F.min("b").alias("mn"), F.max("b").alias("mx")
     )
     grid = span.select(
@@ -5701,7 +5748,13 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("bucket_sum"),
     )
-    span = b.groupBy("user_id").agg(
+    # span derives from the bucket aggregate (min/max over observed
+    # buckets is the same through the per-(user, bucket) grouping), so
+    # the event stream is scanned ONCE, not twice (guide §1.1 — count
+    # the fundamental passes); `actual` is cached because the grid join
+    # consumes it again.
+    actual = cached(actual)
+    span = actual.groupBy("user_id").agg(
         F.min("b").alias("mn"), F.max("b").alias("mx")
     )
     grid = span.select(
@@ -5865,7 +5918,7 @@ def q_kmeans_assign_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from svs_spark.operators.similarity import centroid_assign
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     seeds = [
         (r["vec_id"], r["embedding"])
         for r in emb.orderBy("vec_id").limit(8).collect()
@@ -6622,7 +6675,7 @@ def q_kmeans_lloyd_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange carries (cluster, dim) keys (integer-nano sums,
     order-independent under partial aggregation — see lang_centroids).
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     seeds = [
         (r["vec_id"], r["embedding"])
         for r in emb.orderBy("vec_id").limit(8).collect()
@@ -6674,7 +6727,7 @@ def q_retrieve_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     a larger unfiltered top-k, which can return < k rows. Plan-gated in
     tests/test_plans.py.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     return (
         emb.filter(F.col("label").isin(2, 5))
         .select(
@@ -7524,7 +7577,7 @@ def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_sharding.py plan gate)."""
     from svs_spark.operators import sharding as SH
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")
@@ -9013,7 +9066,7 @@ def q_supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic — integer inputs, one division) quantizes to
     integer nanos BEFORE the group sum, so the average is
     order-independent under partial aggregation."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     qc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     ps = (
         li.select(
@@ -9828,7 +9881,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~500 Column objects (profiled r9; exec itself is 0.17 s). Same
     # expressions, same plan, same results.
     dims = _COV_DIMS
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     x = emb.selectExpr(
         *[
             f"CAST(round(embedding[{i}] * 1000000.0, 0) AS BIGINT) AS x{i}"
@@ -11294,7 +11347,7 @@ def q_script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; the planted multilingual corpus in
     tests/test_unicode_semantics.py::test_script_mix_profile_multilingual
     exercises every class against the same oracle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     n = F.length("text")
 
     def cls(lo: int, hi: int) -> F.Column:
@@ -11364,7 +11417,7 @@ def q_nfc_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from typing import Iterator
 
-    docs = load(spark, sf_dir, "documents").select("source", "text")
+    docs = load(spark, sf_dir, "documents", spread=False).select("source", "text")
 
     def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import unicodedata
@@ -11576,7 +11629,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     violating doc per rule."""
     from svs_spark.operators import lexical as LX
 
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = load(spark, sf_dir, "documents", spread=False).filter(F.length("text") > 0)
     flagged = docs.select("source", *LX.gopher_rule_flags("text"))
     return flagged.groupBy("source").agg(*LX.gopher_flag_aggs())
 
@@ -11709,8 +11762,14 @@ def q_customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single ~file split, so without this the broadcast join probes (and
     # runs every levenshtein) in ONE task — 902k pairs single-threaded
     # (measured 5.1 s -> sub-second). At 100 TB the same repartition is
-    # what co-locates each block's comparisons.
-    a = cust.repartition("c_nationkey", "c_mktsegment").alias("a")
+    # what co-locates each block's comparisons. The stage is COMPUTE
+    # bound (pair DP work, not bytes), so the partition count comes from
+    # the cluster's core count, not the byte-sized shuffle default —
+    # AQE's byte-based coalescing would otherwise fold this small table
+    # into a handful of tasks and serialize the levenshtein work
+    # (round-9: 8-partition lev stage at 32 cores).
+    cores = spark.sparkContext.defaultParallelism
+    a = cust.repartition(cores, "c_nationkey", "c_mktsegment").alias("a")
     b = cust.alias("b")
     # thresholded levenshtein (banded DP, returns -1 above the bound) —
     # same exact distances for the kept pairs, ~3x cheaper than the full
@@ -12465,39 +12524,7 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through one shuffle anyway. Docs shorter than n tokens are
     filtered BEFORE the sequence transform on both sides (descending-
     sequence gotcha, invariant 8/9 family)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "source", F.split(F.lower(F.col("text")), " ").alias("t")
-    )
-
-    def gram_frame(n: int) -> DataFrame:
-        base = docs.filter(F.size("t") >= n)
-        if n == 1:
-            g = F.explode("t").alias("gram")
-        else:
-            parts = [
-                f"element_at(t, i + {j})" for j in range(n)
-            ]
-            expr = (
-                f"transform(sequence(1, size(t) - {n - 1}), "
-                f"i -> concat_ws(' ', {', '.join(parts)}))"
-            )
-            g = F.explode(F.expr(expr)).alias("gram")
-        # explode in one select, hash in the next (nested generators
-        # are rejected at analysis — invariant 8)
-        return base.select("source", F.lit(n).alias("n"), g).select(
-            "source", "n", F.xxhash64("gram").alias("gh")
-        )
-
-    grams = gram_frame(1).unionByName(gram_frame(2)).unionByName(
-        gram_frame(3)
-    )
-    # pre-group on the gram hash (guide §2.3): collapses duplicate
-    # grams map-side and removes the Expand the mixed count+distinct
-    # aggregate planned (2x the gram stream through the exchange);
-    # identical counts.
-    per_gram = grams.groupBy("source", "n", "gh").agg(
-        F.count("*").alias("c")
-    )
+    per_gram = _gram_counts_123(spark, sf_dir)
     return per_gram.groupBy("source", "n").agg(
         F.sum("c").cast("long").alias("total_ngrams"),
         F.count("*").cast("long").alias("distinct_ngrams"),
@@ -12556,7 +12583,7 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     char), a 9-key aggregate that partial-combines map-side, and the
     total folded in as a 1-row broadcast — the digit histogram never
     shuffles more than 9 rows per partition."""
-    li = load(spark, sf_dir, "lineitem").filter(
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_extendedprice") > 0
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
@@ -12853,38 +12880,11 @@ def q_distinct_ngram_diversity_approx(
     The exact-vs-approx comparison makes this registered query do both
     passes; the sketch-only speed number lives in CORPUS_BENCH (this
     gate is about correctness of the swap, not its timing)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "source", F.split(F.lower(F.col("text")), " ").alias("t")
-    )
-
-    def gram_frame(n: int) -> DataFrame:
-        base = docs.filter(F.size("t") >= n)
-        if n == 1:
-            g = F.explode("t").alias("gram")
-        else:
-            parts = [f"element_at(t, i + {j})" for j in range(n)]
-            expr = (
-                f"transform(sequence(1, size(t) - {n - 1}), "
-                f"i -> concat_ws(' ', {', '.join(parts)}))"
-            )
-            g = F.explode(F.expr(expr)).alias("gram")
-        return base.select("source", F.lit(n).alias("n"), g).select(
-            "source", "n", F.xxhash64("gram").alias("gh")
-        )
-
-    grams = gram_frame(1).unionByName(gram_frame(2)).unionByName(
-        gram_frame(3)
-    )
-    # pre-group on the gram hash (guide §2.3 — aggregate before you
-    # shuffle): both count-distinct sides are dedup-insensitive (exact
-    # distinct trivially; HLL registers are max-per-bucket, so feeding
-    # each distinct gh once yields the identical estimate), so the
-    # (source, n, gh) pre-aggregate collapses duplicate grams map-side
-    # and removes the Expand the mixed exact+distinct aggregate planned
-    # (2x the gram stream through the exchange).
-    per_gram = grams.groupBy("source", "n", "gh").agg(
-        F.count("*").alias("c")
-    )
+    # Shared with distinct_ngram_diversity (same (source, n, gh, c)
+    # table): both count-distinct consumers are dedup-insensitive
+    # (exact distinct trivially; HLL registers are max-per-bucket, so
+    # feeding each distinct gh once yields the identical estimate).
+    per_gram = _gram_counts_123(spark, sf_dir)
     agg = per_gram.groupBy("source", "n").agg(
         F.sum("c").cast("long").alias("total_ngrams"),
         F.count("*").cast("long").alias("exact_d"),
