@@ -334,19 +334,20 @@ def minhash_lsh_pairs(
     # (DEVNOTES invariant 7) and every row carries the full key array,
     # so duplicate-band matches can be killed by a per-row predicate
     # instead of a .distinct() shuffle over the matched set.
-    key_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col("sig")[bi * rows + ri].cast("string")
-                        for ri in range(rows)
-                    ],
-                )
+    # (one SQL string instead of bands*rows Column builders — round-9
+    # py4j diet; identical expression tree)
+    key_arr = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64(concat_ws('-', "
+            + ", ".join(
+                f"CAST(sig[{bi * rows + ri}] AS STRING)"
+                for ri in range(rows)
             )
+            + "))"
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     band_rows = base.select("did", key_arr.alias("keys")).select(
         "did", "keys", F.posexplode("keys").alias("band", "key")
@@ -391,17 +392,32 @@ def minhash_lsh_pairs(
     # bucket_cap, first COLD agreeing band (an agreeing-but-skipped
     # earlier band never produced the candidate; both members share
     # that bucket, so either side's key identifies it).
-    first_match = F.lit(True)
-    for i in range(bands - 1, -1, -1):
-        earlier_differ = F.lit(True)
-        for j in range(i):
-            differs = F.col("ka")[j] != F.col("kb")[j]
-            if hot_by_band.get(j):
-                differs = differs | F.col("ka")[j].isin(hot_by_band[j])
-            earlier_differ = earlier_differ & differs
-        first_match = F.when(F.col("band") == i, earlier_differ).otherwise(
-            first_match
-        )
+    if not hot_by_band:
+        # SQL fast path (py4j diet): same nested CASE tree as the
+        # Column fold below, built in one round-trip
+        def _ed(i: int) -> str:
+            if i == 0:
+                return "true"
+            return "(true AND " + " AND ".join(
+                f"(ka[{j}] != kb[{j}])" for j in range(i)
+            ) + ")"
+
+        fm_sql = "true"
+        for i in range(bands - 1, -1, -1):
+            fm_sql = f"(CASE WHEN band = {i} THEN {_ed(i)} ELSE {fm_sql} END)"
+        first_match = F.expr(fm_sql)
+    else:
+        first_match = F.lit(True)
+        for i in range(bands - 1, -1, -1):
+            earlier_differ = F.lit(True)
+            for j in range(i):
+                differs = F.col("ka")[j] != F.col("kb")[j]
+                if hot_by_band.get(j):
+                    differs = differs | F.col("ka")[j].isin(hot_by_band[j])
+                earlier_differ = earlier_differ & differs
+            first_match = F.when(
+                F.col("band") == i, earlier_differ
+            ).otherwise(first_match)
     cands = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1715,19 +1731,20 @@ def minhash_lsh_bipartite(
         schema="did long, hs array<long>, sig array<long>",
     )
     base = persist_tracked(base)
-    key_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col("sig")[bi * rows + ri].cast("string")
-                        for ri in range(rows)
-                    ],
-                )
+    # (one SQL string instead of bands*rows Column builders — round-9
+    # py4j diet; identical expression tree)
+    key_arr = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64(concat_ws('-', "
+            + ", ".join(
+                f"CAST(sig[{bi * rows + ri}] AS STRING)"
+                for ri in range(rows)
             )
+            + "))"
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     band_rows = base.select(
         "did", right_side.alias("is_right"), key_arr.alias("keys")

@@ -331,8 +331,16 @@ def load(
     # assignment, filtered retrieve, scan-stage audits) — for them the
     # exchange is pure loss at scale and the local parallelism win does
     # not justify changing the committed plan shape.
+    # documents only: its consumers are tokenize/shingle/regex chains
+    # where the per-row work dwarfs the exchange. The embeddings GEMM
+    # kernels measured SLOWER with an auto-spread (the per-batch GEMM
+    # is cheap relative to shuffling the vectors, and the block-pairwise
+    # kernels already repartition internally), so vector paths opt in
+    # explicitly where it pays.
     if spread is None:
-        spread = table in ("documents", "embeddings")
+        spread = table == "documents"
+    if os.environ.get("SVS_NO_SPREAD"):  # measurement A/B control
+        spread = False
     if spread and stamp[1] > 0:
         try:
             max_split = int(

@@ -671,7 +671,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
-    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+    li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     disc_price = _dec("l_extendedprice") * (
@@ -721,7 +721,7 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")
     )
-    li = load(spark, sf_dir, "lineitem", spread=True)
+    li = load(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
@@ -2011,7 +2011,7 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style conditional aggregation (CASE WHEN inside sums)
     over the orders⋈lineitem join."""
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+    li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
     )
     j = o.join(li, li["l_orderkey"] == o["o_orderkey"])
@@ -2603,7 +2603,7 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem", spread=True)
+    li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("sq"))
@@ -4107,7 +4107,7 @@ def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge/shuffle join plus broadcast hash joins and a single
     partial-aggregated groupBy. Money goes through DECIMAL so the sum
     is order-independent."""
-    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+    li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -4610,7 +4610,7 @@ def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")
     )
-    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+    li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
     )
@@ -6003,8 +6003,15 @@ def event_outliers_mad_df(
     med = ev.groupBy("event_type").agg(
         F.expr(med_fn % "value").alias("med")
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # dev feeds BOTH the mad aggregate and the final counting pass —
+    # uncached, the event scan + median broadcast join ran twice
+    # (guide §5: reuse justifies the persist; registry-scoped release)
+    from svs_spark.cache_hooks import persist_tracked
+
+    dev = persist_tracked(
+        ev.join(F.broadcast(med), "event_type").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        )
     )
     mad = dev.groupBy("event_type").agg(
         F.expr(med_fn % "adev").alias("mad")
@@ -7577,7 +7584,7 @@ def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_sharding.py plan gate)."""
     from svs_spark.operators import sharding as SH
 
-    li = load(spark, sf_dir, "lineitem", spread=True)
+    li = load(spark, sf_dir, "lineitem")
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")
@@ -9066,7 +9073,7 @@ def q_supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic — integer inputs, one division) quantizes to
     integer nanos BEFORE the group sum, so the average is
     order-independent under partial aggregation."""
-    li = load(spark, sf_dir, "lineitem", spread=True)
+    li = load(spark, sf_dir, "lineitem")
     qc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     ps = (
         li.select(
@@ -12583,7 +12590,7 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     char), a 9-key aggregate that partial-combines map-side, and the
     total folded in as a 1-row broadcast — the digit histogram never
     shuffles more than 9 rows per partition."""
-    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+    li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice") > 0
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
