@@ -1539,94 +1539,6 @@ def dedup_block_rewrite(
     )
 
 
-def _dup_span_fused(
-    base: DataFrame,
-    hash_cols: list,
-    double_hash: bool,
-    id_col: str,
-    min_len: int,
-    max_len: int,
-) -> DataFrame:
-    """Single-exchange form of the pow2 ladder (round 9, guide §2.1).
-
-    Every level's hash array is a PURE column transform of the previous
-    level's — h_2L[j] = h_L[j]·B^L + h_L[j+L] (mod M) — so when no
-    inter-level pruning is requested the whole ladder materializes in
-    one scan stage and the per-level duplicate checks collapse into ONE
-    value-key exchange carrying a level tag: explode (level, window
-    value) for all levels at once, min(id) != max(id) per (level,
-    value), semi-join back (reusing the same exchange), and the
-    per-document answer is max(level). The iterative form shipped the
-    same total rows but as log2(max/min)+1 separate
-    aggregate+distinct shuffle rounds with a persisted ladder per
-    round; this form needs NO persists at all — the final id projection
-    prunes the char transforms down to a bare scan.
-
-    Per-level arrays guard on length (size(prev) > L/2, else empty),
-    which both mirrors the iterative form's pre-filter and keeps
-    ``sequence()`` from descending on negative ends. Levels stay
-    SEPARATE projections (withColumn chain): Catalyst's CollapseProject
-    leaves non-cheap multiply-referenced lambdas un-inlined, so each
-    ladder level is computed once per row, exactly like the iterative
-    form.
-    """
-    df = base
-    cur = {c: c for c, _, _ in hash_cols}
-    tag_parts = []
-    length = min_len
-    while True:
-        if double_hash:
-            val = (
-                f"zip_with({cur['h']}, {cur['h2']},"
-                " (a, b) -> a * 2147483648 + b)"
-            )
-        else:
-            val = cur["h"]
-        tag_parts.append(
-            f"transform({val}, v -> named_struct('l', {length}, 'v', v))"
-        )
-        nxt = length * 2
-        if nxt > max_len:
-            break
-        for c, b, m in hash_cols:
-            p = pow(b, length, m)
-            name = f"_{c}_{nxt}"
-            df = df.withColumn(
-                name,
-                F.expr(
-                    f"IF(size({cur[c]}) > {length},"
-                    f" transform(sequence(0, size({cur[c]}) - 1 - {length}),"
-                    f" j -> ({cur[c]}[j] * {p} + {cur[c]}[j + {length}]) % {m}),"
-                    f" cast(array() as array<bigint>))"
-                ),
-            )
-            cur[c] = name
-        length = nxt
-    wins = df.select(
-        id_col,
-        F.explode(F.expr("concat(" + ", ".join(tag_parts) + ")")).alias("s"),
-    ).select(id_col, F.col("s.l").alias("l"), F.col("s.v").alias("v"))
-    dup_vals = (
-        wins.groupBy("l", "v")
-        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("l", "v")
-    )
-    best = (
-        wins.join(dup_vals, ["l", "v"], "left_semi")
-        .groupBy(id_col)
-        .agg(F.max("l").alias("max_dup_len"))
-    )
-    return (
-        base.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("max_dup_len", F.lit(0)).alias("max_dup_len"),
-        )
-    )
-
-
 def longest_dup_span_pow2(
     docs: DataFrame,
     min_len: int = 16,
@@ -1655,11 +1567,8 @@ def longest_dup_span_pow2(
 
     Scale shape: per-doc hash ladders live in array columns (one row
     per doc — no explode until the per-level duplicate check, which
-    ships 8-byte values). Without inter-level pruning all levels'
-    checks collapse into ONE value-key exchange carrying a level tag
-    (``_dup_span_fused`` — round-9 form); with ``prune_unflagged`` the
-    levels stay separate rounds because the prune needs level L's
-    verdict before building level 2L. Either way cost is
+    ships 8-byte values); each level's check is one value-key shuffle
+    whose input halves as windows outgrow short docs. Cost is
     O(levels · corpus chars) rows total — the same asymptotics as one
     suffix-array pass, in plain DataFrame ops.
 
@@ -1716,11 +1625,6 @@ def longest_dup_span_pow2(
                 ),
             )
         cur *= 2
-
-    if not prune_unflagged:
-        return _dup_span_fused(
-            base, hash_cols, double_hash, id_col, min_len, max_len
-        )
     base = persist_tracked(base)
 
     # combined match value: h alone, or h·2³¹ + h2 (< 2⁶² — exact)
