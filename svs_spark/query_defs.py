@@ -2937,7 +2937,12 @@ def q_decontaminate_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svs_spark.operators.bloom import bloom_bitmap, bloom_prune
 
     ex = _pent5_index(spark, sf_dir)
-    test_idx = ex.filter(F.col("is_test")).select("h").distinct()
+    # test_idx feeds BOTH the bitmap build and the exact verify join —
+    # uncached, each consumer re-runs the filter+distinct over the full
+    # shared 5-gram index (invariant-26 cache; test-split cardinality)
+    test_idx = cached(
+        ex.filter(F.col("is_test")).select("h").distinct()
+    )
     bitmap = bloom_bitmap(test_idx, "h", num_bits=1 << 19, num_hashes=4)
     pruned = bloom_prune(
         ex.filter(~F.col("is_test")), "h", bitmap, num_hashes=4
@@ -9514,12 +9519,16 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", is_test.alias("is_test"),
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     )
-    # four consumers fan out from the exploded train-token stream (class
-    # totals, vocab size, per-(term,lang) counts, the dense grid's term
-    # list) — invariant-26 cache so tokenize+explode runs once
-    train = cached(toks.filter(~F.col("is_test")))
+    # the exploded token stream feeds BOTH splits (train: class totals
+    # + term counts; test: the tf table) — invariant-26 cache the full
+    # stream so tokenize+explode runs once, and derive the vocabulary
+    # size and the dense grid's term list from the (term, lang) COUNT
+    # table instead of extra passes over the corpus-sized stream (the
+    # batch-3 trick: counts holds every train term, so its distinct
+    # terms are the vocabulary)
+    toks = cached(toks)
+    train = toks.filter(~F.col("is_test"))
     cls = train.groupBy("lang").agg(F.count("*").alias("tot"))
-    vn = train.agg(F.count_distinct("term").alias("v"))
     tr_docs = docs.filter(~is_test)
     prior = (
         tr_docs.groupBy("lang").agg(F.count("*").alias("nl"))
@@ -9530,9 +9539,12 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("prior_fp"),
         )
     )
-    counts = train.groupBy("term", "lang").agg(F.count("*").alias("cnt"))
+    counts = cached(
+        train.groupBy("term", "lang").agg(F.count("*").alias("cnt"))
+    )
+    vn = counts.select("term").distinct().agg(F.count("*").alias("v"))
     dense = (
-        train.select("term").distinct()
+        counts.select("term").distinct()
         .crossJoin(F.broadcast(docs.select("lang").distinct()))
         .join(counts, ["term", "lang"], "left")
         .join(F.broadcast(cls), "lang")
