@@ -2604,29 +2604,32 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # ONE lineitem pass (round-9 §2.4): the IN-subquery's HAVING
+    # aggregate already computes sum(l_quantity) per orderkey, and the
+    # final group keys are all functionally determined by o_orderkey —
+    # so re-joining RAW lineitem (a second full fact shuffle) and
+    # re-summing it per group recomputes exactly `sq`. Join the
+    # filtered aggregate itself: the fact-fact exchange pair and the
+    # wide final groupBy both disappear; qualifying orders are rare
+    # (HAVING > 240), so the aggregate side broadcasts like the old
+    # semi-join's key set did.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > F.lit(240).cast("decimal(12,2)"))
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
-    j = (
-        orders.join(
-            F.broadcast(big),
-            orders["o_orderkey"] == big["big_orderkey"],
-            "left_semi",
-        )
-        .join(cust, F.col("o_custkey") == cust["c_custkey"])
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
-    )
-    agg = j.groupBy(
+    j = orders.join(
+        F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+    ).join(cust, F.col("o_custkey") == cust["c_custkey"])
+    out = j.select(
         "c_name",
         "c_custkey",
         "o_orderkey",
         F.unix_timestamp("o_orderdate").alias("order_epoch"),
         F.round(_dec("o_totalprice").cast("double"), 2).alias("totalprice"),
-    ).agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
-    return agg.orderBy(F.desc("totalprice"), F.asc("o_orderkey")).limit(100)
+        F.col("sq").cast("double").alias("sum_qty"),
+    )
+    return out.orderBy(F.desc("totalprice"), F.asc("o_orderkey")).limit(100)
 
 
 @register(
@@ -2943,6 +2946,13 @@ def q_decontaminate_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_idx = cached(
         ex.filter(F.col("is_test")).select("h").distinct()
     )
+    # NOTE (round 9): a fully-lazy bitmap (fold the word aggregate into
+    # the consuming action's BroadcastExchange via map_from_entries +
+    # transform(sequence...)) was implemented and MEASURED 4× slower —
+    # Spark's GetMapValue is a linear scan, so densifying an 8192-word
+    # map costs O(words²) on one core per evaluation. The eager collect
+    # stays: it is a bounded 64 KiB driver payload, the same shape as
+    # DataFrameStatFunctions.bloomFilter's own action.
     bitmap = bloom_bitmap(test_idx, "h", num_bits=1 << 19, num_hashes=4)
     pruned = bloom_prune(
         ex.filter(~F.col("is_test")), "h", bitmap, num_hashes=4
@@ -4128,18 +4138,29 @@ def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
+    # Narrow the fact rows BEFORE any join (guide §2.3): l_year and the
+    # discounted price fold 3 columns (timestamp + 2 decimals) into 2
+    # narrow ones at the scan's project, so whatever the planner picks
+    # for the fact join (broadcast at bench scale; shuffle at lake
+    # scale) moves (l_orderkey, l_suppkey, l_year, vol) instead of the
+    # raw columns. Join order and strategies are unchanged.
+    li_n = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        vol.alias("vol"),
+    )
     j = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li_n.join(o, li_n["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == cn["cnk"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(s), li_n["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == sn["snk"])
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
-    return j.groupBy(
-        "cust_nation", "supp_nation",
-        F.year("l_shipdate").alias("l_year"),
-    ).agg(F.sum(vol).cast("double").alias("volume"))
+    return j.groupBy("cust_nation", "supp_nation", "l_year").agg(
+        F.sum("vol").cast("double").alias("volume")
+    )
 
 
 @register(
