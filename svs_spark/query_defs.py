@@ -12037,10 +12037,12 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan shape per round). The DuckDB oracle unrolls the k=4 rounds
     as nested CTEs over the identical rounded-distance contract."""
     emb = cached(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    seed_id = int(emb.agg(F.min("vec_id")).collect()[0][0])
-    seed_vec = (
-        emb.filter(F.col("vec_id") == seed_id).select("embedding").collect()[0][0]
-    )
+    # ONE driver action per round (guide §5.2): the TakeOrdered row
+    # already carries the embedding column, so the former point-lookup
+    # re-collect of the picked center's vector (a second full job per
+    # round, 8 actions total for k=4) is redundant — 4 actions remain.
+    seed = emb.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    seed_id, seed_vec = int(seed.vec_id), seed.embedding
     picks = [(1, seed_id, None)]
     cur = emb.select(
         "vec_id",
@@ -12050,12 +12052,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (2, 3, 4):
         top = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
         picks.append((r, int(top.vec_id), float(top.md)))
-        cvec = (
-            emb.filter(F.col("vec_id") == int(top.vec_id))
-            .select("embedding")
-            .collect()[0][0]
-        )
-        nd = F.round(F.lit(1.0) - V.dot_literal("embedding", cvec), 6)
+        nd = F.round(F.lit(1.0) - V.dot_literal("embedding", top.embedding), 6)
         cur = cur.select(
             "vec_id", "embedding", F.least(F.col("md"), nd).alias("md")
         )
