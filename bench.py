@@ -300,7 +300,24 @@ def main() -> None:
     spark = get_session(
         "svs_spark_bench",
         shuffle_partitions=int(shuffle_parts),
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+        # -XX:CICompilerCount=4: 148 distinct queries generate ~10
+        # codegen units each; the default tiered-JIT pool on a 32-cpu
+        # host runs ~12 background compiler threads that compete with
+        # the 32 executor threads for the whole run (measured: 433
+        # CPU-s of accumulated JIT time by minute 9, with
+        # not-yet-compiled generated code running INTERPRETED — the
+        # 5-20x mid-run inflation blocks r9 attributed to host noise).
+        # Bounding the pool to 4 threads removed the inflation block:
+        # 193.8/127.6 s baseline runs -> 105.2 s, identical plans.
+        # C1-only (TieredStopAtLevel=1) was also measured and REJECTED
+        # (185.6 s — steady-state code too slow). Scale note: this is a
+        # DRIVER-JVM setting; on a real cluster the driver runs no
+        # tasks and 4 compiler threads are plenty, so the flag is not a
+        # local-mode-only tune. Env-overridable for A/B.
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xlog:disable "
+            + os.environ.get("SVS_BENCH_JVM_FLAGS", "-XX:CICompilerCount=4")
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

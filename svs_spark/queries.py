@@ -187,6 +187,17 @@ _FORCE_RECHECK: dict[str, int] = {
     # unigram_logprob_quality / hard_negative_mining /
     # contrastive_triplets — all re-verified green in CORRECTNESS_r08,
     # so their entries were dropped.)
+    # round 10: Arrow-kernel vectorization (winnow / embed hash —
+    # bit-identical integers, pinned by tests) and the bounded-input
+    # multimodal queries dropping the corpus spread (plan change:
+    # no repartition below the kernel) — earlier green rows verified
+    # the old kernels/plans
+    "winnow_pairs": 10,
+    "embed_and_retrieve": 10,
+    "multimodal_features": 10,
+    "multimodal_frame_stats": 10,
+    "multimodal_resize_meta": 10,
+    "audio_window_energy": 10,
 }
 
 

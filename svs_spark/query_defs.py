@@ -1428,7 +1428,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel → typed rows) is the real thing, the decode kernel is the
     deterministic stub (operators/multimodal.py). The SQL oracle
     recomputes the byte statistics independently."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents", spread=False).filter(
+        F.col("doc_id") < 200
+    )
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.col("text").cast("binary").alias("content"),
@@ -1836,40 +1838,102 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = _WINNOW_K, _WINNOW_W
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
         from svs_spark.functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
 
-        cache: dict = {}
+        # Shingle hashes by POLYNOMIAL DECOMPOSITION (the minhash
+        # signature kernel's identity, operators/dedup.py):
+        #   h(acc ⧺ " t") = acc·B^(|t|+1) + 32·B^|t| + h(t)  (mod M)
+        # so only unique TOKENS see the per-character Python loop
+        # (memoized across batches) and the k-token combines plus the
+        # w-window minima are vectorized int64 numpy passes over all
+        # of the batch's positions — bit-identical integers to hashing
+        # each shingle string directly (the identity the oracle relies
+        # on; products stay < 2^60 at M = 1e9+7). The previous form
+        # hashed every shingle string through the Python loop: ~20
+        # chars × |windows| per doc of interpreter work (guide §4.2).
+        tok_cache: dict = {}
+        pow_tab = [1, FINGERPRINT_BASE]
 
-        def ph(s: str) -> int:
-            h = cache.get(s)
-            if h is None:
+        def pows_to(n: int) -> np.ndarray:
+            while len(pow_tab) <= n:
+                pow_tab.append(
+                    pow_tab[-1] * FINGERPRINT_BASE % FINGERPRINT_MOD
+                )
+            return np.asarray(pow_tab, dtype=np.int64)
+
+        def ph(tok: str) -> tuple:
+            ent = tok_cache.get(tok)
+            if ent is None:
                 h = 0
-                for ch in s:
+                for ch in tok:
                     h = (h * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
-                cache[s] = h
-            return h
+                ent = (h, len(tok))
+                tok_cache[tok] = ent
+            return ent
 
         for pdf in batches:
-            ids, prints = [], []
+            ids_out, docs_toks = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.lower().split(" ")
                 if len(toks) < k + w - 1:
                     continue
-                hs = [
-                    ph(" ".join(toks[i : i + k]))
-                    for i in range(len(toks) - k + 1)
-                ]
-                ids.append(did)
-                prints.append(
-                    list(
-                        dict.fromkeys(
-                            min(hs[j : j + w])
-                            for j in range(len(hs) - w + 1)
-                        )
-                    )
+                ids_out.append(did)
+                docs_toks.append(toks)
+            if not ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "prints": pd.Series([], dtype="object"),
+                    }
                 )
-            yield pd.DataFrame({"doc_id": ids, "prints": prints})
+                continue
+            if len(tok_cache) > 4_000_000:
+                tok_cache.clear()
+            flat_h, flat_len = [], []
+            for toks in docs_toks:
+                for t in toks:
+                    hh, ll = ph(t)
+                    flat_h.append(hh)
+                    flat_len.append(ll)
+            H = np.asarray(flat_h, dtype=np.int64)
+            L = np.asarray(flat_len, dtype=np.int64)
+            P = pows_to(int(L.max()) + 2)
+            n_sh = [len(t) - k + 1 for t in docs_toks]
+            tok_off = np.concatenate(
+                ([0], np.cumsum([len(t) for t in docs_toks]))
+            )
+            starts = np.concatenate(
+                [
+                    np.arange(tok_off[d], tok_off[d] + n_sh[d])
+                    for d in range(len(docs_toks))
+                ]
+            )
+            acc = H[starts].copy()
+            for j in range(1, k):
+                lj = L[starts + j]
+                acc *= P[lj + 1]
+                acc %= FINGERPRINT_MOD
+                acc += 32 * P[lj] + H[starts + j]
+                acc %= FINGERPRINT_MOD
+            sh_off = np.concatenate(([0], np.cumsum(n_sh)))
+            n_wn = [m - w + 1 for m in n_sh]
+            wstarts = np.concatenate(
+                [
+                    np.arange(sh_off[d], sh_off[d] + n_wn[d])
+                    for d in range(len(docs_toks))
+                ]
+            )
+            mins = acc[wstarts].copy()
+            for j in range(1, w):
+                np.minimum(mins, acc[wstarts + j], out=mins)
+            wn_off = np.concatenate(([0], np.cumsum(n_wn)))
+            prints = [
+                list(dict.fromkeys(mins[wn_off[d] : wn_off[d + 1]].tolist()))
+                for d in range(len(docs_toks))
+            ]
+            yield pd.DataFrame({"doc_id": ids_out, "prints": prints})
 
     base = cached(
         docs.select("doc_id", "text")
@@ -1932,19 +1996,41 @@ def q_embed_and_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
         from svs_spark.functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
 
-        def ph(s: str) -> int:
-            h = 0
-            for ch in s:
-                h = (h * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
-            return h
-
         for pdf in batches:
             ids, vecs = [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                h = ph(text)
+            texts = list(pdf["text"])
+            n = len(texts)
+            if n:
+                # vectorized polynomial hash: codepoints come out of
+                # utf-32-le bytes in one shot per doc, and the Horner
+                # fold runs ACROSS docs per position with a length
+                # mask — identical int64 arithmetic to the per-char
+                # loop (h·31 + c < 2^35 at M = 1e9+7), just not in the
+                # interpreter (guide §4.2). The downstream raw/norm
+                # floats keep the original per-doc Python order so
+                # every double is bit-identical.
+                lens = np.asarray([len(t) for t in texts], dtype=np.int64)
+                maxlen = int(lens.max())
+                C = np.zeros((n, maxlen), dtype=np.int64)
+                for i, t in enumerate(texts):
+                    if t:
+                        C[i, : len(t)] = np.frombuffer(
+                            t.encode("utf-32-le"), dtype=np.uint32
+                        )
+                hv = np.zeros(n, dtype=np.int64)
+                for pos in range(maxlen):
+                    active = pos < lens
+                    hv = np.where(
+                        active,
+                        (hv * FINGERPRINT_BASE + C[:, pos]) % FINGERPRINT_MOD,
+                        hv,
+                    )
+            for i, did in enumerate(pdf["doc_id"]):
+                h = int(hv[i])
                 raw = [float((h * m) % 1009 - 504) for m in _HE_MULTS]
                 norm = _math.sqrt(sum(x * x for x in raw))
                 ids.append(did)
@@ -10653,7 +10739,9 @@ def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sampler is a streaming Arrow map (no shuffle);
     the per-asset aggregate combines map-side on asset_id. Payload
     bytes never cross an exchange — only lengths do."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents", spread=False).filter(
+        F.col("doc_id") < 200
+    )
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.col("text").cast("binary").alias("content"),
@@ -10702,7 +10790,9 @@ def q_multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: resize is the payload-SHRINKING map a 100 TB image
     pipeline runs first — streaming Arrow batches, no exchange; only
     the 256-byte outputs and their checksums flow on."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents", spread=False).filter(
+        F.col("doc_id") < 200
+    )
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.col("text").cast("binary").alias("content"),
@@ -10772,7 +10862,9 @@ def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     win/hop≈2× expansion) aggregate map-side on asset_id before the
     only exchange. A real MFCC/VAD featurizer swaps the kernel, not
     the plumbing."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents", spread=False).filter(
+        F.col("doc_id") < 200
+    )
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.col("text").cast("binary").alias("content"),
