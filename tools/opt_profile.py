@@ -35,7 +35,10 @@ def main() -> None:
     spark = get_session(
         "svs_opt_profile",
         shuffle_partitions=int(shuffle_parts),
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+            "-Xlog:disable -XX:CICompilerCount=4"
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
